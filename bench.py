@@ -1,0 +1,67 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is executed twice: a warm-up that triggers JVM/codegen
+warming and parquet footer caching is NOT counted separately — instead
+we count the end-to-end wall time of the measured run (action =
+``collect`` of the final, already-aggregated result; results are small
+by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gov_data_pipeline_spark.queries import all_queries  # noqa: E402
+from gov_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the ones whose
+# physical plan matters at scale (joins, windows, dedup, similarity).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q06_asof_join",
+    "q09_group_concat",
+    "q10_window_rank",
+    "q13_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # Warm the JVM + parquet footers once with the cheapest query.
+    registry[names[0]](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

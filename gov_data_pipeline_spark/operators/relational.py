@@ -1,0 +1,139 @@
+"""Relational operators Spark lacks as single built-ins.
+
+Each is a composition of DataFrame operations chosen for scale: no
+``collect()``, no row explosion beyond what the semantics require, and
+shuffle patterns that hold at 1000 executors.
+
+Reference ancestry (SURVEY.md §2.2): as-of join T13, row-index attach
+T14 (generalizing the reference's image-column attach,
+``handlers/base.py:256-272``), top-k per group T25, sessionize T23 (the
+group-id trick behind the reference's continuation-row merge,
+``handlers/kyrgyzstan.py:183-217``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_values: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Nearest-prior (backward) as-of join.
+
+    For every left row, attach the right row with the greatest
+    ``right_time`` <= ``left_time`` within the same ``on`` key group.
+
+    Implementation: union-tag + window ``last(..., ignorenulls=True)``.
+    Both sides are tagged and unioned, sorted by time within each key
+    partition, and the right side's values are carried forward to the
+    next left rows. This is ONE shuffle on the key (no range-join row
+    explosion, no per-key skew beyond the data's own key skew), so it
+    scales linearly — the pattern survives 100x data where a naive
+    range join + row_number would blow up quadratically in hot keys.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_values is None:
+        right_values = [c for c in right.columns if c not in keys and c != right_time]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_time"),
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+        F.col(right_time).alias("__r_time"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # Right rows sort before left rows at equal timestamps so a right row
+    # at exactly left_time matches (<=, i.e. inclusive as-of).
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__is_left"),
+        F.last("__r_time", ignorenulls=True).over(w).alias(f"{prefix}{right_time}"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_values
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def attach_row_index(df: DataFrame, order_by: list[str], name: str = "row_idx") -> DataFrame:
+    """Attach a 0-based dense row index under a total order.
+
+    Generalizes the reference's positional column attach (SURVEY R18/R19)
+    without ``monotonically_increasing_id`` (whose values are
+    partition-dependent, not dense, and not stable across retries).
+
+    Note: a single global ``row_number`` window funnels everything
+    through one task. That is the *correct* price for a total order on
+    unordered input; when the downstream only needs per-key positions,
+    pass keys to ``Window.partitionBy`` instead (see ``sessionize``).
+    For ingest-order indexing at scale, prefer ``zipWithIndex`` at read
+    time before any shuffle.
+    """
+    w = W.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(name, F.row_number().over(w) - F.lit(1))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via ``row_number`` (ties broken by order_by).
+
+    One shuffle on the group key; each partition keeps only its top k
+    after the window, so the output never materializes the full sort.
+    Callers must include a unique tiebreak column in ``order_by`` for
+    deterministic output.
+    """
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign per-key session ids: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``.
+
+    The sum-of-flags group-id construction (SURVEY T23) — the same
+    window rewrite that replaces the reference's sequential
+    continuation-row scan (``handlers/kyrgyzstan.py:183-217``). One
+    shuffle on the key; sessions never cross keys so this parallelizes
+    perfectly across keys.
+    """
+    w = W.partitionBy(key).orderBy(F.col(ts).asc())
+    gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )

@@ -1,0 +1,649 @@
+"""Relational query surface: scans, joins, aggregation, windows, sorts,
+set operations (SURVEY.md §2.2 T1, T5-T26).
+
+Every query has a DuckDB oracle producing the identical result with the
+identical column names. Double aggregates are rounded *inside both
+queries* (not post-hoc) so partial-aggregation order differences between
+engines cannot leak into the hash compare.
+
+Scale notes are on each query; the shared principles:
+- filters/projections are expressed declaratively so Catalyst pushes
+  them into the parquet scan;
+- small dimensions are broadcast explicitly; fact-fact joins shuffle on
+  their keys and rely on AQE for skew;
+- every window has a partition key except where a total order is the
+  semantics (and then the query aggregates before sorting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gov_data_pipeline_spark.catalog import read_table as _t
+from gov_data_pipeline_spark.operators import (
+    asof_join,
+    attach_row_index,
+    sessionize,
+    top_k_per_group,
+)
+
+
+# ---------------------------------------------------------------------------
+# T1/T5-T9/T15/T24 — pricing summary (TPC-H Q1 shape). Flagship.
+# Map-side partial aggregation on 6 tiny groups -> shuffle moves ~6 rows
+# per task regardless of input size; scales to 100 TB trivially.
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       round(avg(l_quantity), 4)                                          AS avg_qty,
+       round(avg(l_extendedprice), 4)                                     AS avg_price,
+       round(avg(l_discount), 4)                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# T10 — star join: revenue by region/nation for 1997 orders.
+# nation/region are broadcast (tiny); lineitem⋈orders and ⋈customer are
+# key-shuffled sort-merge joins, the right default at 100 TB (AQE may
+# demote to broadcast when a filtered side turns out small).
+# ---------------------------------------------------------------------------
+
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q02_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# T11 — semi / anti joins. left_semi/left_anti never materialize the
+# probe side's payload — at scale this is strictly cheaper than
+# join+distinct.
+# ---------------------------------------------------------------------------
+
+
+def q03_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders_97 = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        cust.join(orders_97, cust.c_custkey == orders_97.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_Q03_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+ORDER BY c_custkey
+"""
+
+
+def q04_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders_h1_95 = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders_h1_95, cust.c_custkey == orders_h1_95.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_Q04_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1995-07-01')
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# T12 — theta/range join against a tiny in-memory band dimension.
+# Non-equi joins in Spark become BroadcastNestedLoopJoin when one side
+# is broadcast — the only sane physical plan for band lookup; the bands
+# side is O(10) rows so the "nested loop" is a constant per row.
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("low", 0.0, 100_000.0),
+    ("mid", 100_000.0, 200_000.0),
+    ("high", 200_000.0, 10_000_000.0),
+]
+
+
+def q05_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+_Q05_SQL = """
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 200000.0),
+             ('high', 200000.0, 10000000.0)) AS bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# T13 — as-of join: for each error event, the nearest prior signup by the
+# same user. Union-tag + last(ignorenulls) — one key shuffle, linear.
+# ---------------------------------------------------------------------------
+
+
+def q06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        errors, signups, on="user_id", left_time="ts", right_time="ts", right_values=["value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("signup_ts"),
+        F.round("asof_value", 2).alias("signup_value"),
+    ).orderBy("event_id")
+
+
+_Q06_SQL = """
+SELECT e.event_id, e.user_id,
+       (SELECT max(s.ts) FROM events s
+        WHERE s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts <= e.ts)
+         AS signup_ts,
+       round((SELECT s.value FROM events s
+              WHERE s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts <= e.ts
+              ORDER BY s.ts DESC LIMIT 1), 2) AS signup_value
+FROM events e
+WHERE e.event_type = 'error'
+ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T16 — rollup / cube. NULL group markers are coalesced to 'ALL' so the
+# encoding is engine-independent (fixture keys are never null).
+# ---------------------------------------------------------------------------
+
+
+def q07_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+_Q07_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def q08_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+_Q08_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# ---------------------------------------------------------------------------
+# T18 — ordered group-concat (the reference's continuation-row merge
+# aggregation shape, handlers/kyrgyzstan.py:183-217). collect_list gives
+# no ordering guarantee across partitions, so the order is imposed
+# explicitly with array_sort — deterministic under any physical plan.
+# ---------------------------------------------------------------------------
+
+
+def q09_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("linenumbers"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_Q09_SQL = """
+SELECT l_orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# T20/T25 — ranking window + top-k per group.
+# ---------------------------------------------------------------------------
+
+
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    top = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return top.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("rk").cast("int").alias("rk"),
+    ).orderBy("o_custkey", "rk")
+
+
+_Q10_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rk AS INT) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# T21 — analytic window (lag).
+# ---------------------------------------------------------------------------
+
+
+def q11_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("prev_value", F.lag("value").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round("prev_value", 2).alias("prev_value"),
+            F.round(F.col("value") - F.col("prev_value"), 2).alias("delta"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_Q11_SQL = """
+SELECT event_id, user_id,
+       round(value, 2) AS value,
+       round(prev_value, 2) AS prev_value,
+       round(value - prev_value, 2) AS delta
+FROM (
+  SELECT event_id, user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T22 — framed aggregate: per-customer running order total.
+# ---------------------------------------------------------------------------
+
+
+def q12_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.withColumn("running_total", F.round(F.sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_Q12_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# T23 — sessionization (sum-of-flags group id).
+# ---------------------------------------------------------------------------
+
+
+def q13_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    sess = sessionize(events, key="user_id", ts="ts", gap_seconds=1800)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q13_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T24/T25 — global top-k with deterministic tiebreak. Spark executes
+# orderBy+limit as TakeOrderedAndProject: per-partition top-k then a
+# single k-row merge — no global sort materialization at any scale.
+# ---------------------------------------------------------------------------
+
+
+def q14_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+_Q14_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# T26 — set operations (set semantics on both engines).
+# ---------------------------------------------------------------------------
+
+
+def _custkeys_in_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    ).select("o_custkey")
+
+
+def q15_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _custkeys_in_year(spark, sf_dir, 1997)
+    b = _custkeys_in_year(spark, sf_dir, 1998)
+    return a.intersect(b).orderBy("o_custkey")
+
+
+_Q15_SQL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+ORDER BY o_custkey
+"""
+
+
+def q16_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _custkeys_in_year(spark, sf_dir, 1997)
+    b = _custkeys_in_year(spark, sf_dir, 1998)
+    return a.subtract(b).orderBy("o_custkey")
+
+
+_Q16_SQL = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# T15 (pivot shape) — per-user event-type counts as fixed columns.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in _EVENT_TYPES],
+    ).orderBy("user_id")
+
+
+_Q17_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# T14 — row-index attach under a declared total order.
+# ---------------------------------------------------------------------------
+
+
+def q18_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return attach_row_index(docs, ["doc_id"]).orderBy("doc_id")
+
+
+_Q18_SQL = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS row_idx
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_semi_join": q03_semi_join,
+    "q04_anti_join": q04_anti_join,
+    "q05_band_join": q05_band_join,
+    "q06_asof_join": q06_asof_join,
+    "q07_rollup": q07_rollup,
+    "q08_cube": q08_cube,
+    "q09_group_concat": q09_group_concat,
+    "q10_window_rank": q10_window_rank,
+    "q11_window_lag": q11_window_lag,
+    "q12_running_sum": q12_running_sum,
+    "q13_sessionize": q13_sessionize,
+    "q14_topk_orders": q14_topk_orders,
+    "q15_intersect": q15_intersect,
+    "q16_except": q16_except,
+    "q17_pivot": q17_pivot,
+    "q18_row_index": q18_row_index,
+}
+
+ORACLE = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q02_revenue_by_nation": _Q02_SQL,
+    "q03_semi_join": _Q03_SQL,
+    "q04_anti_join": _Q04_SQL,
+    "q05_band_join": _Q05_SQL,
+    "q06_asof_join": _Q06_SQL,
+    "q07_rollup": _Q07_SQL,
+    "q08_cube": _Q08_SQL,
+    "q09_group_concat": _Q09_SQL,
+    "q10_window_rank": _Q10_SQL,
+    "q11_window_lag": _Q11_SQL,
+    "q12_running_sum": _Q12_SQL,
+    "q13_sessionize": _Q13_SQL,
+    "q14_topk_orders": _Q14_SQL,
+    "q15_intersect": _Q15_SQL,
+    "q16_except": _Q16_SQL,
+    "q17_pivot": _Q17_SQL,
+    "q18_row_index": _Q18_SQL,
+}

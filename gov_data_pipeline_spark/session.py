@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+One place that owns the engine's Spark configuration so every entry point
+(tests, bench, driver contract) gets the same tuned session.
+
+Scale notes (the config is written for a real cluster; local[] only
+changes master/memory):
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-join demotion/promotion are all decided from observed stats,
+  which is the only thing that survives a 100x data scale-up.
+- ``spark.sql.shuffle.partitions`` is a *default*, not a plan: AQE
+  coalesces it down for small stages and splits skewed partitions up.
+  On a 1000-executor cluster you would raise the default (e.g. 2000+)
+  and let AQE trim; locally 32 matches the core count.
+- Arrow on: every pandas_udf / mapInPandas / toPandas crossing is
+  Arrow-batched, never row-at-a-time pickle.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "gov_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Parameters are overridable for tests; defaults target the
+    local[32] / 128 GiB harness while keeping every setting valid for a
+    multi-executor cluster.
+    """
+    cpus = int(DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- planner / optimizer -------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # --- python <-> jvm ------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- semantics ----------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # Fixture `events.parquet` stores TIMESTAMP(NANOS); Spark's
+        # reader has no nanos timestamp type, so read as epoch-nanos
+        # long — catalog.load_tables converts to micros exactly the way
+        # DuckDB's reader truncates.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- local-mode niceties (harmless on a cluster) -------------
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

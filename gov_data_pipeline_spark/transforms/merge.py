@@ -1,0 +1,78 @@
+"""Continuation-row merge — the reference's one genuinely stateful
+relational operator (``handlers/kyrgyzstan.py:183-217``), re-expressed
+as a window + ordered group-concat (SURVEY T17/T18/T23).
+
+Reference semantics, ported rule-for-rule:
+
+- rows whose key cell starts with ``Name:`` are dropped outright
+  (``kyrgyzstan.py:193-194``);
+- a row whose key matches ``^(?:№?\\d{4,})(/ТЗ.*)?`` starts a new
+  record (``kyrgyzstan.py:176-181``);
+- other rows merge into the previous record: per column, non-empty
+  trimmed values are appended with a single space
+  (``kyrgyzstan.py:203-212``);
+- leading continuation rows (before any new-record row) still form one
+  record (the ``prev = row`` branch, ``kyrgyzstan.py:211-212``).
+
+The sequential scan becomes: group id = running count of new-record
+flags over the row order, then per-group ordered concat. One window +
+one aggregation — no Python loop, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+NEW_RECORD_PATTERN = r"^(?:№?\d{4,})(/ТЗ.*)?"
+
+
+def is_new_record_col(col) -> "F.Column":
+    """``re.match`` is start-anchored; rlike is search, so the pattern
+    keeps its explicit ``^``. Reference ``handlers/kyrgyzstan.py:176-181``."""
+    return F.trim(col).rlike(NEW_RECORD_PATTERN)
+
+
+def merge_continuation_rows(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Merge continuation rows into their preceding record.
+
+    ``idx_col`` is the ingest-order row index (pin it before any
+    shuffle). ``partition_col`` (e.g. a source-file id) bounds the
+    window: records never span files, so passing it makes the window
+    per-file and the whole operator shuffle-parallel. Without it the
+    window is global — correct, but single-task in the ordering step,
+    which is the honest cost of a total order (the reference pays the
+    same cost by being sequential).
+    """
+    value_cols = [c for c in df.columns if c not in (idx_col, partition_col)]
+
+    kept = df.filter(~F.trim(F.col(key_col).cast("string")).startswith("Name:"))
+
+    part = [partition_col] if partition_col else []
+    w = W.partitionBy(*part).orderBy(F.col(idx_col).asc()) if part else W.orderBy(
+        F.col(idx_col).asc()
+    )
+    flagged = kept.withColumn(
+        "__gid",
+        F.sum(is_new_record_col(F.col(key_col)).cast("int")).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+
+    def merged(col: str):
+        # Ordered, empty-skipping concat: collect (idx, value) pairs,
+        # sort by idx, keep non-empty trimmed values, join with " ".
+        pairs = F.array_sort(
+            F.collect_list(F.struct(F.col(idx_col).alias("i"), F.trim(F.col(col)).alias("v")))
+        )
+        vals = F.filter(F.transform(pairs, lambda p: p["v"]), lambda v: v != "")
+        return F.array_join(vals, " ").alias(col)
+
+    grouped = flagged.groupBy(*part, "__gid").agg(
+        F.min(idx_col).alias(idx_col), *[merged(c) for c in value_cols]
+    )
+    return grouped.drop("__gid").orderBy(*part, idx_col)

@@ -1,0 +1,162 @@
+"""Text-cleaning transforms carrying the reference's business semantics.
+
+Each function re-expresses one reference scalar (see the file:line cite
+in its docstring) as a Spark Column expression. Everything that plain
+regex can express stays JVM-side (``F.regexp_replace`` chains compile
+into whole-stage codegen); only NFKC normalization and the
+Python-``\\w``-semantics character filter drop to an Arrow-batched
+``pandas_udf`` — and only for the characters regex can't reach.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# Python str.strip() removes all whitespace (\t\n\r\f\v), Spark's trim()
+# removes spaces only — so "strip" is expressed as a regex.
+_STRIP = r"^\s+|\s+$"
+
+
+def _strip(col: Column) -> Column:
+    return F.regexp_replace(col, _STRIP, "")
+
+
+def clean_cell_col(col: Column) -> Column:
+    """``re.sub(r"\\s+", " ", cell.strip()) if cell else ""``.
+
+    Reference: ``handlers/kyrgyzstan.py:169-174`` (also ``62-71``).
+    Null and empty collapse to ``""``; interior whitespace runs collapse
+    to one space.
+    """
+    cleaned = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.coalesce(cleaned, F.lit(""))
+
+
+@F.pandas_udf(T.StringType())
+def _nfkc_and_filter(s: pd.Series) -> pd.Series:
+    """NFKC-normalize then drop chars outside ``[\\w\\s.,;:№-]``.
+
+    The char class uses *Python* regex semantics (``\\w`` is
+    Unicode-aware: Cyrillic and Latin letters, digits, underscore) to
+    match the reference exactly; Java regex ``\\w`` is ASCII-only, so
+    this half stays in Python. Reference: ``handlers/kazakhstan.py:158-168``.
+    """
+
+    def fix(v: str | None) -> str | None:
+        if v is None:
+            return None
+        v = unicodedata.normalize("NFKC", v)
+        return re.sub(r"[^\w\s\.,;:№\-]", "", v)
+
+    return s.map(fix)
+
+
+@F.pandas_udf(T.StringType())
+def nfkc_normalize(s: pd.Series) -> pd.Series:
+    """Plain NFKC normalization (SURVEY T29); no Spark builtin exists."""
+    return s.map(lambda v: unicodedata.normalize("NFKC", v) if v is not None else None)
+
+
+def clean_text_col(col: Column) -> Column:
+    """The Kazakhstan ``clean_text`` scalar, reference
+    ``handlers/kazakhstan.py:154-168``:
+
+    1. strip; ``\\n`` -> space; drop ``\\r``;
+    2. collapse ``\\s{2,}`` to one space;
+    3. NFKC normalize;
+    4. drop every char outside ``[\\w\\s.,;:№-]`` (Python ``\\w``);
+    null -> ``""``.
+
+    Steps 1-2 are native regexp (codegen); 3-4 are one Arrow-batched
+    pandas_udf call.
+    """
+    t = _strip(col)
+    t = F.regexp_replace(t, r"\n", " ")
+    t = F.regexp_replace(t, r"\r", "")
+    t = F.regexp_replace(t, r"\s{2,}", " ")
+    return F.coalesce(_nfkc_and_filter(t), F.lit(""))
+
+
+def normalize_reg_num_col(col: Column) -> Column:
+    """The registration-number normalizer, all 10 rules in reference
+    order (``handlers/kyrgyzstan.py:219-236``) — plain regex, so the
+    whole chain is native and codegen'd:
+
+    strip; drop leading ``№``; stabilize ``См.``; long dashes -> ``-``;
+    tighten ``-`` ``/`` ``.``; close digit gaps; re-space ``См.``;
+    collapse ``--``; collapse whitespace; strip.
+    """
+    v = _strip(col)
+    rules: list[tuple[str, str]] = [
+        (r"^№\s*", ""),
+        (r"\s*См\.\s*", " См. "),
+        (r"\s*[–—]\s*", "-"),
+        (r"\s*-\s*", "-"),
+        (r"\s*/\s*", "/"),
+        (r"\s*\.\s*", "."),
+        (r"(?<=\d)\s+(?=\d)", ""),
+        (r"(См\.)\s*(?=\S)", "$1 "),
+        (r"-{2,}", "-"),
+        (r"\s+", " "),
+    ]
+    out = v
+    for pat, rep in rules:
+        out = F.regexp_replace(out, pat, rep)
+    out = _strip(out)
+    # Reference returns the stripped original when it strips to empty —
+    # which is itself empty, so plain empty-string propagation is exact.
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+# "исключен" as a standalone word: no Cyrillic letter directly before or
+# after (rejects "исключение"), arbitrary whitespace between letters,
+# ё folded to е, case-insensitive. Reference: utils/gpt.py:39-51.
+_EXCLUDED_PATTERN = r"(?<![а-я])" + r"\s*".join("исключен") + r"(?![а-я])"
+
+
+def is_excluded_col(*cols: Column | str) -> Column:
+    """Row-level exclusion predicate over the concatenated row text.
+
+    Reference: ``utils/gpt.py:39-51`` (predicate) and ``399-401`` (row
+    concatenation). Lowercase approximates ``str.casefold`` exactly for
+    the Cyrillic/Latin domain the reference handles.
+    """
+    row_text = F.concat_ws(" ", *[F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit("")) for c in cols])
+    normalized = F.regexp_replace(F.lower(row_text), "ё", "е")
+    return normalized.rlike(_EXCLUDED_PATTERN)
+
+
+def exclusion_flag_col(*cols: Column | str) -> Column:
+    """The reference's ``Исключено`` column: ``Да``/``Нет``
+    (``utils/gpt.py:398-406,447-448``)."""
+    return F.when(is_excluded_col(*cols), F.lit("Да")).otherwise(F.lit("Нет"))
+
+
+def strip_all_strings(df: DataFrame) -> DataFrame:
+    """Trim every string column (reference ``handlers/belarus.py:117-119``)."""
+    return df.select(
+        *[
+            _strip(F.col(c)).alias(c) if isinstance(df.schema[c].dataType, T.StringType) else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def cast_all_string(df: DataFrame) -> DataFrame:
+    """Force every column to string (reference ``handlers/kyrgyzstan.py:273-281``)."""
+    return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def redact_long_col(col: Column, max_len: int = 100, keep: int = 50) -> Column:
+    """Log-redaction projection: long strings elided to ``head … tail``
+    (reference ``utils/gpt.py:390-396``)."""
+    return F.when(
+        F.length(col) > max_len,
+        F.concat(
+            F.substring(col, 1, keep), F.lit(" ... "), F.substring(col, -keep, keep)
+        ),
+    ).otherwise(col)

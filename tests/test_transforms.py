@@ -1,0 +1,142 @@
+"""Unit tests for the reference-semantics transform library.
+
+Edge cases are taken from the reference behavior itself (FIXTURES.md §B):
+"исключение" must NOT match the exclusion predicate; reg-num
+normalization of '№ 0 123/ТЗ', '0124 – ТЗ', 'См.0125'; continuation
+merges with a leading continuation row and a 'Name:' noise row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gov_data_pipeline_spark.transforms import (
+    clean_cell_col,
+    clean_text_col,
+    dedup_column_names,
+    clean_column_name,
+    is_excluded_col,
+    merge_continuation_rows,
+    normalize_reg_num_col,
+    promote_headers,
+    pad_ragged_rows,
+)
+
+
+def _one_col(spark, values, fn):
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    return [r[0] for r in df.select(fn(F.col("x")).alias("y")).collect()]
+
+
+class TestCleanCell:
+    def test_collapses_and_strips(self, spark):
+        out = _one_col(spark, ["  a\t\nb  c ", "", None, "x"], clean_cell_col)
+        assert out == ["a b c", "", "", "x"]
+
+
+class TestCleanText:
+    def test_whitespace_and_charfilter(self, spark):
+        out = _one_col(
+            spark,
+            ["  Тест\nстрока\rx  ", "a b", "emoji☃! kept.,;:№-", None],
+            clean_text_col,
+        )
+        # \n -> space but \r is deleted outright (reference order), so \r glues words.
+        assert out[0] == "Тест строкаx"
+        assert out[1] == "a b"
+        assert out[2] == "emoji kept.,;:No-"  # NFKC decomposes № (U+2116) to "No" — reference does too
+        assert out[3] == ""
+
+    def test_nfkc_compatibility_forms(self, spark):
+        # ﬁ ligature -> fi, fullwidth Ａ -> A (then kept by the filter)
+        out = _one_col(spark, ["ﬁle", "Ａ"], clean_text_col)
+        assert out == ["file", "A"]
+
+
+class TestRegNum:
+    CASES = {
+        "№ 0 123/ТЗ": "0123/ТЗ",
+        "0124 – ТЗ": "0124-ТЗ",
+        "См.0125": "См. 0125",
+        " 0500 / ТЗ ": "0500/ТЗ",
+        "0001 -- 0002": "0001-0002",
+        "№0042": "0042",
+        "": "",
+    }
+
+    def test_reference_cases(self, spark):
+        out = _one_col(spark, list(self.CASES), normalize_reg_num_col)
+        assert out == list(self.CASES.values())
+
+
+class TestExcluded:
+    def test_word_boundary_and_spacing(self, spark):
+        rows = [
+            ("товар исключен из реестра", True),
+            ("ИСКЛЮЧЁН", True),
+            ("и с к л ю ч е н", True),
+            ("исключение из правил", False),
+            ("за исключением", False),
+            ("обычная строка", False),
+        ]
+        df = spark.createDataFrame([(t,) for t, _ in rows], "x string")
+        out = [r[0] for r in df.select(is_excluded_col("x").alias("y")).collect()]
+        assert out == [e for _, e in rows]
+
+
+class TestHeaders:
+    def test_dedup_names(self):
+        assert dedup_column_names(["a", "", "a", None, "b"]) == [
+            "a",
+            "Unnamed_1",
+            "a_1",
+            "Unnamed_2",
+            "b",
+        ]
+
+    def test_clean_column_name(self):
+        assert clean_column_name("Наименова\nние  товара") == "Наименование товара"
+        assert clean_column_name("код/класс") == "код или класс"
+
+    def test_promote_headers(self, spark):
+        rows = [
+            (0, "Рег. №", "Товар", "Товар"),
+            (1, "prolog", "junk", "junk"),
+            (2, "0001/ТЗ", "vals", "x"),
+            (3, "0002/ТЗ", "more", "y"),
+        ]
+        df = spark.createDataFrame(rows, "idx long, c1 string, c2 string, c3 string")
+        out = promote_headers(df, "idx", skip_rows=2)
+        assert out.columns == ["idx", "Рег. №", "Товар", "Товар_1"]
+        assert out.count() == 2
+
+    def test_pad_ragged(self, spark):
+        df = spark.createDataFrame([(["a"],), (["a", "b", "c"],)], "arr array<string>")
+        out = df.select(pad_ragged_rows(F.col("arr"), 3).alias("p")).collect()
+        assert out[0][0] == ["a", "", ""]
+        assert out[1][0] == ["a", "b", "c"]
+
+
+class TestMergeContinuation:
+    def test_reference_shape(self, spark):
+        rows = [
+            # leading continuation (no new-record marker yet) — kept as its own record
+            (0, "стартовый хвост", "v0"),
+            (1, "№0001/ТЗ", "a"),
+            (2, "продолжение", "b"),
+            (3, "Name: noise", "dropme"),
+            (4, "ещё хвост", "c"),
+            (5, "0002/ТЗ", "d"),
+            (6, "", "e"),
+        ]
+        df = spark.createDataFrame(rows, "idx long, reg string, val string")
+        out = merge_continuation_rows(df, key_col="reg", idx_col="idx").collect()
+        assert len(out) == 3
+        # record 0: the leading continuation alone
+        assert out[0]["reg"] == "стартовый хвост" and out[0]["val"] == "v0"
+        # record 1: №0001/ТЗ merged with rows 2 and 4 (Name: row dropped)
+        assert out[1]["reg"] == "№0001/ТЗ продолжение ещё хвост"
+        assert out[1]["val"] == "a b c"
+        # record 2: 0002/ТЗ merged with the empty-key row
+        assert out[2]["reg"] == "0002/ТЗ"
+        assert out[2]["val"] == "d e"

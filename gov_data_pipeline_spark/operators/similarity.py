@@ -1,0 +1,178 @@
+"""Vector similarity search over embedding columns (SURVEY L7).
+
+Two paths, same contract:
+
+- ``cosine_topk``: exact brute-force — broadcast the (small) query set
+  against the corpus, dot products via ``zip_with``/``aggregate``
+  (native, codegen'd), per-query top-k via window. Correctness
+  baseline and the right plan when |queries| is small.
+- ``hyperplane_lsh_buckets`` + ``ann_topk``: random-hyperplane LSH.
+  Each vector gets a b-bit signature (sign of dot with b pseudo-random
+  hyperplanes, derived deterministically from xxhash64 of
+  (plane, dim) — no stored model, reproducible on any cluster). ANN
+  search joins on bucket equality, so the corpus side is partitioned by
+  bucket and only same-bucket candidates are scored: the scale path for
+  large query sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (broadcast nested-loop).
+
+    Output: (query_id, neighbor_id, cosine_sim, rk). Ties break by
+    neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
+    scored = joined.select(
+        F.col("__qid").alias(query_id),
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def hyperplane_signature(vec: Column, bits: int = 16, plane_offset: int = 0) -> Column:
+    """b-bit random-hyperplane signature as a long.
+
+    Hyperplane p's component for dimension d is derived from
+    ``xxhash64(p, d)`` mapped to ±1 — deterministic, no model state,
+    identical on every executor. Sign of <v, h_p> sets bit p.
+    ``plane_offset`` selects a disjoint plane set per LSH table.
+    """
+    def plane_dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x.cast("double")
+                * F.when(F.xxhash64(p, d).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(plane_offset), F.lit(plane_offset + bits - 1)),
+            lambda p: F.when(
+                plane_dot(p) > 0,
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), p - F.lit(plane_offset)
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+    bits: int = 8,
+    tables: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket candidates.
+
+    Multi-table LSH: ``tables`` independent plane sets; a candidate is
+    any corpus vector sharing a bucket with the query in >=1 table
+    (candidates are dedup'd before scoring so each pair is scored
+    once). Recall for a pair at angle θ is 1-(1-p^bits)^tables with
+    p = 1-θ/π. The bucket join replaces the cross join, so cost scales
+    with bucket occupancy, not |corpus|×|queries|.
+    """
+
+    def with_buckets(df: DataFrame, idc: str, vecc: str, ida: str, veca: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(ida),
+            F.col(vecc).alias(veca),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            hyperplane_signature(
+                                F.col(vecc), bits, plane_offset=t * bits
+                            ).alias("b"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("__tb"),
+        ).select(ida, veca, F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
+
+    q = with_buckets(queries, query_id, query_vec, "__qid", "__qv")
+    c = with_buckets(corpus, corpus_id, corpus_vec, "neighbor_id", "__cv")
+    joined = c.join(q, ["__t", "__b"])
+    if exclude_self:
+        joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
+    cand = joined.select("__qid", "__qv", "neighbor_id", "__cv").distinct()
+    scored = cand.select(
+        F.col("__qid").alias(query_id),
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )

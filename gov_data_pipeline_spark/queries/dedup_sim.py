@@ -1,4 +1,418 @@
-"""Placeholder — filled in a later wave."""
+"""Dedup / similarity / text-analysis queries (SURVEY L5-L8).
 
-QUERIES = {}
-ORACLE = {}
+The fixture documents are all-distinct, so near-dup queries synthesize
+duplicates deterministically inside the query (a mutated union copy
+with offset ids) — both engines build the identical inputs, so exact
+methods (hash dedup, n-gram Jaccard, brute-force cosine) carry full
+DuckDB oracles. Sketch-based methods (MinHash-LSH, SimHash, hyperplane
+ANN) depend on xxhash64, which DuckDB doesn't implement, so they get
+the rows-only check — their correctness is pinned instead by unit
+tests against the exact methods (recall assertions in
+tests/test_dedup_sim.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gov_data_pipeline_spark.catalog import read_table as _t
+from gov_data_pipeline_spark.functions import (
+    lang_id_col,
+    n_tokens_col,
+    punct_ratio_col,
+    quality_score_col,
+    stopword_ratio_col,
+    word_fingerprint_col,
+)
+from gov_data_pipeline_spark.functions.textstats import n_words_col
+from gov_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+from gov_data_pipeline_spark.operators.similarity import ann_topk, cosine, cosine_topk
+
+_MUT_OFFSET = 1_000_000
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate mutants (every 5th doc, two appended
+    tokens, id offset) — the deterministic near-dup corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + _MUT_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        )
+    )
+    return docs.unionByName(mutants)
+
+
+_DOCS_DUPS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_MUT_OFFSET} AS doc_id, text || ' qq zz' AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+_EXACT_DUP_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_MUT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# L5 — exact dedup (hash-groupBy keep-one) over a corpus with real dups.
+# ---------------------------------------------------------------------------
+
+
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _MUT_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    return exact_dedup(corpus, ["text"], "doc_id").select("doc_id").orderBy("doc_id")
+
+
+_Q40_SQL = f"""
+WITH u AS ({_EXACT_DUP_SQL})
+SELECT min(doc_id) AS doc_id FROM u GROUP BY text ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# L6 (exact path) — n-gram Jaccard near-dup pairs via shingle inverted
+# index. Full oracle: DuckDB builds identical shingles and joins them.
+# ---------------------------------------------------------------------------
+
+
+def q41_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir).withColumn(
+        "shingles", word_shingles(F.col("text"), 3)
+    )
+    return jaccard_pairs(corpus, "doc_id", "shingles", threshold=0.5).orderBy(
+        "a_id", "b_id"
+    )
+
+
+_Q41_SQL = rf"""
+WITH u AS ({_DOCS_DUPS_SQL}),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id,
+       round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE inter / (sa.n + sb.n - inter) >= 0.5
+ORDER BY a_id, b_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# L6 (sketch path) — MinHash + banded LSH candidates, exact-Jaccard
+# verified. xxhash64-based -> rows-only driver check; recall vs the
+# exact pairs is asserted in tests/test_dedup_sim.py.
+# ---------------------------------------------------------------------------
+
+
+def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir).withColumn(
+        "shingles", word_shingles(F.col("text"), 3)
+    )
+    sigs = corpus.withColumn("sig", minhash_signature(F.col("shingles"), 32))
+    cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+    sh = corpus.select("doc_id", "shingles")
+    verified = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "a_id", "shingles": "sh_a"}), "a_id")
+        .join(sh.withColumnsRenamed({"doc_id": "b_id", "shingles": "sh_b"}), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# L6 (SimHash) — 64-bit fingerprints; near-dup pairs by 16-bit-chunk
+# blocking + hamming<=8 verify. rows-only (xxhash64-based).
+# ---------------------------------------------------------------------------
+
+
+def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.dedup import hamming64
+
+    corpus = _docs_with_dups(spark, sf_dir).withColumn(
+        "simhash", simhash64(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    )
+    chunks = corpus.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.call_function("shiftright", F.col("simhash"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )
+    return pairs.orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# L7 — exact brute-force cosine top-k (oracle: DuckDB
+# list_cosine_similarity) and hyperplane-LSH ANN (rows-only).
+# ---------------------------------------------------------------------------
+
+
+def q44_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+    ).orderBy("vec_id", "rk")
+
+
+_Q44_SQL = """
+WITH scored AS (
+  SELECT q.vec_id,
+         c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4) AS cosine_sim
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored)
+SELECT vec_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+ORDER BY vec_id, rk
+"""
+
+
+def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ann_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5, bits=6, tables=6
+    ).orderBy("vec_id", "rk")
+
+
+def q46_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)).alias(
+            "embedding"
+        ),
+    )
+    joined = mutants.alias("m").crossJoin(emb.alias("o"))
+    return (
+        joined.select(
+            F.col("m.vec_id").alias("a_id"),
+            F.col("o.vec_id").alias("b_id"),
+            F.round(cosine(F.col("m.embedding"), F.col("o.embedding")), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= 0.99)
+        .orderBy("a_id", "b_id")
+    )
+
+
+_Q46_SQL = f"""
+WITH mutants AS (
+  SELECT vec_id + {_MUT_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x * 1.01 + 0.002) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0)
+SELECT m.vec_id AS a_id, o.vec_id AS b_id,
+       round(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+                                    CAST(o.embedding AS DOUBLE[])), 4) AS cosine_sim
+FROM mutants m CROSS JOIN embeddings o
+WHERE list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+                             CAST(o.embedding AS DOUBLE[])) >= 0.99
+ORDER BY a_id, b_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# L8 — text statistics / quality / language-ID / fingerprint.
+# ---------------------------------------------------------------------------
+
+
+def q47_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars"),
+        n_words_col(t).alias("n_words"),
+        n_tokens_col(t).alias("n_tokens"),
+        F.round(punct_ratio_col(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio_col(t), 4).alias("stopword_ratio"),
+        quality_score_col(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_Q47_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS words,
+         CAST(length(text) AS DOUBLE) AS len_d
+  FROM documents),
+stats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) / greatest(len_d, 1.0) AS praw,
+         len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is')))
+           / greatest(CAST(len(words) AS DOUBLE), 1.0) AS sraw,
+         len_d
+  FROM base)
+SELECT doc_id, n_chars, n_words, n_tokens,
+       round(praw, 4) AS punct_ratio,
+       round(sraw, 4) AS stopword_ratio,
+       round(0.4 * least(len_d / 500.0, 1.0)
+           + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+           + 0.3 * least(sraw * 4.0, 1.0), 4) AS quality
+FROM stats
+ORDER BY doc_id
+"""
+
+
+def q48_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id_col(F.col("text")).alias("lang_guess"),
+    ).withColumn(
+        "agrees", (F.col("lang") == F.col("lang_guess")).cast("int")
+    ).orderBy("doc_id")
+
+
+_Q48_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS words
+  FROM documents),
+hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(words, x -> x IN ('the','and','of','to','is')))   AS n_en,
+         len(list_filter(words, x -> x IN ('der','die','und','nicht','ist'))) AS n_de,
+         len(list_filter(words, x -> x IN ('le','la','et','les','est')))   AS n_fr,
+         len(list_filter(words, x -> x IN ('el','la','los','es','de')))    AS n_es
+  FROM w),
+best AS (
+  SELECT doc_id, lang, greatest(n_en, n_de, n_fr, n_es) AS g,
+         n_en, n_de, n_fr, n_es
+  FROM hits)
+SELECT doc_id, lang,
+       CASE WHEN g = 0 THEN 'und'
+            WHEN n_fr = g THEN 'fr'
+            WHEN n_es = g THEN 'es'
+            WHEN n_en = g THEN 'en'
+            ELSE 'de' END AS lang_guess,
+       CAST(lang = (CASE WHEN g = 0 THEN 'und'
+                         WHEN n_fr = g THEN 'fr'
+                         WHEN n_es = g THEN 'es'
+                         WHEN n_en = g THEN 'en'
+                         ELSE 'de' END) AS INT) AS agrees
+FROM best
+ORDER BY doc_id
+"""
+
+
+def q49_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_fingerprint_col(F.col("text")).alias("fingerprint"),
+        F.md5(F.col("text")).alias("raw_md5"),
+    ).orderBy("doc_id")
+
+
+_Q49_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fingerprint,
+       md5(text) AS raw_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q40_exact_dedup": q40_exact_dedup,
+    "q41_jaccard_pairs": q41_jaccard_pairs,
+    "q42_minhash_lsh": q42_minhash_lsh,
+    "q43_simhash": q43_simhash,
+    "q44_cosine_topk": q44_cosine_topk,
+    "q45_ann_lsh": q45_ann_lsh,
+    "q46_cosine_neardup": q46_cosine_neardup,
+    "q47_text_stats": q47_text_stats,
+    "q48_lang_id": q48_lang_id,
+    "q49_fingerprint": q49_fingerprint,
+}
+
+ORACLE = {
+    "q40_exact_dedup": _Q40_SQL,
+    "q41_jaccard_pairs": _Q41_SQL,
+    "q44_cosine_topk": _Q44_SQL,
+    "q46_cosine_neardup": _Q46_SQL,
+    "q47_text_stats": _Q47_SQL,
+    "q48_lang_id": _Q48_SQL,
+    "q49_fingerprint": _Q49_SQL,
+}

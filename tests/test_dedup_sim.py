@@ -1,0 +1,66 @@
+"""Recall/consistency tests pinning the sketch-based operators (which
+have no SQL oracle) against their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gov_data_pipeline_spark.queries.dedup_sim import (
+    _MUT_OFFSET,
+    q41_jaccard_pairs,
+    q42_minhash_lsh,
+    q43_simhash,
+    q44_cosine_topk,
+    q45_ann_lsh,
+)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in q41_jaccard_pairs(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.8  # high-sim pairs: LSH recall ~1 here
+    }
+    lsh = {(r["a_id"], r["b_id"]) for r in q42_minhash_lsh(spark, sf_dir).collect()}
+    assert exact, "test corpus must contain high-similarity pairs"
+    missed = exact - lsh
+    assert len(missed) / len(exact) <= 0.02, f"LSH missed {len(missed)}/{len(exact)}"
+    # every original/mutant pair is a planted near-dup; LSH must find them
+    planted = {p for p in exact if p[1] - p[0] == _MUT_OFFSET}
+    assert planted and planted <= lsh
+
+
+def test_simhash_finds_planted_pairs(spark, sf_dir):
+    pairs = {(r["a_id"], r["b_id"]) for r in q43_simhash(spark, sf_dir).collect()}
+    planted_found = [p for p in pairs if p[1] - p[0] == _MUT_OFFSET]
+    # SimHash with hamming<=8 should catch most 2-token mutations
+    n_planted = len(
+        [r for r in pairs if r[1] >= _MUT_OFFSET]
+    )
+    assert len(planted_found) >= 1
+    assert n_planted >= len(planted_found)  # sanity: planted ⊆ found-with-mutant
+
+
+def test_ann_overlaps_exact_topk(spark, sf_dir):
+    exact = q44_cosine_topk(spark, sf_dir).collect()
+    approx = q45_ann_lsh(spark, sf_dir).collect()
+    exact_top = {}
+    for r in exact:
+        exact_top.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r["neighbor_id"] in exact_top.get(r["vec_id"], set()):
+            hit += 1
+    # 8-bit hyperplane LSH on random 64-dim vectors: expect meaningful
+    # but partial overlap; this is a smoke floor, not a quality bar.
+    assert total > 0
+    assert hit / total > 0.05
+
+
+def test_exact_dedup_removes_planted_dups(spark, sf_dir):
+    from gov_data_pipeline_spark.queries.dedup_sim import q40_exact_dedup
+
+    kept = [r["doc_id"] for r in q40_exact_dedup(spark, sf_dir).collect()]
+    assert all(k < _MUT_OFFSET for k in kept)  # originals always win
+    assert len(kept) == len(set(kept))

@@ -1,4 +1,154 @@
-"""Placeholder — filled in a later wave."""
+"""LLM-enrichment queries (SURVEY L1-L4) under the deterministic mock
+model — mock outputs are pure SQL-expressible functions of the inputs,
+so the full enrichment composition (exclusion gating, OCR gate +
+RECOG suffix, prompt cleaning, variant splicing, row correction) is
+hash-checked against a DuckDB oracle end-to-end.
 
-QUERIES = {}
-ORACLE = {}
+The synthesized registry table (from ``documents``):
+- every 3rd doc has a text brand;
+- every 3rd+1 doc has an empty brand and a data-URI "image" whose
+  base64 payload is a slice of the doc text (mock OCR = decode);
+- every 7th doc carries the word "исключен" -> excluded, no enrichment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gov_data_pipeline_spark.catalog import read_table as _t
+from gov_data_pipeline_spark.llm import MockLLMClient, enrich_table
+
+_PREFIX = "data:image/png;base64,"
+
+
+def _registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    brand = F.when(F.col("doc_id") % 3 == 0, F.substring("text", 1, 20)).otherwise(
+        F.lit("")
+    )
+    image = F.when(
+        F.col("doc_id") % 3 == 1,
+        F.concat(
+            F.lit(_PREFIX), F.base64(F.encode(F.substring("text", 21, 24), "UTF-8"))
+        ),
+    ).otherwise(F.lit(""))
+    note = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("запись исключена из реестра")
+    ).otherwise(F.lit("обычная запись"))
+    return docs.select(
+        "doc_id",
+        brand.alias("brand"),
+        image.alias("image"),
+        F.col("lang").alias("descr"),
+        note.alias("note"),
+    )
+
+
+_REGISTRY_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 20) ELSE '' END AS brand,
+         CASE WHEN doc_id % 3 = 1
+              THEN '{_PREFIX}' || base64(encode(substr(text, 21, 24)))
+              ELSE '' END AS image,
+         lang AS descr,
+         CASE WHEN doc_id % 7 = 0 THEN 'запись исключена из реестра'
+              ELSE 'обычная запись' END AS note
+  FROM documents
+"""
+
+# Exclusion predicate on the concatenated row (RE2 form, no lookbehind —
+# equivalent on this data; see textops q22 note).
+_EXCL_SQL = (
+    "regexp_matches(replace(lower(concat_ws(' ', CAST(doc_id AS VARCHAR), brand, image, "
+    "descr, note)), 'ё', 'е'), "
+    r"'(^|[^а-я])и\s*с\s*к\s*л\s*ю\s*ч\s*е\s*н($|[^а-я])')"
+)
+
+
+def q50_llm_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = _registry(spark, sf_dir)
+    out = enrich_table(
+        reg,
+        brand_col="brand",
+        image_col="image",
+        desc_col="descr",
+        client_factory=MockLLMClient,
+    )
+    return out.select(
+        "doc_id", "brand", "variants_en", "variants_ru", "excluded"
+    ).orderBy("doc_id")
+
+
+_Q50_SQL = rf"""
+WITH reg AS ({_REGISTRY_SQL}),
+flagged AS (
+  SELECT *, {_EXCL_SQL} AS excl FROM reg),
+ocr AS (
+  SELECT *,
+         CASE WHEN NOT excl AND trim(brand) = '' AND image <> ''
+              THEN decode(from_base64(replace(image, '{_PREFIX}', ''))) || ' (RECOG)'
+              ELSE brand END AS brand2
+  FROM flagged),
+prompts AS (
+  SELECT *,
+         trim(regexp_replace(replace(brand2, ' (RECOG)', ''), '^\s+|\s+$', '', 'g'))
+           AS plain
+  FROM ocr),
+cleaned AS (
+  SELECT *,
+         array_to_string(
+           list_filter(
+             string_split(
+               trim(regexp_replace(regexp_replace(
+                 CASE WHEN trim(descr) <> '' AND plain <> ''
+                      THEN plain || '. Description: ' || descr
+                      ELSE plain END,
+                 '\d+', '', 'g'), '\s+', ' ', 'g')), ' '),
+             t -> NOT regexp_matches(t, '^[!"#$%&''()*+,\-./:;<=>?@\[\]\^_`{{|}}~]+$')),
+           ' ') AS prompt
+  FROM prompts)
+SELECT doc_id,
+       brand2 AS brand,
+       CASE WHEN NOT excl AND plain <> '' THEN upper(prompt) ELSE '' END AS variants_en,
+       CASE WHEN NOT excl AND plain <> '' THEN lower(prompt) ELSE '' END AS variants_ru,
+       CASE WHEN excl THEN 'Да' ELSE 'Нет' END AS excluded
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
+def q51_llm_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    reg = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("  "), F.substring("text", 1, 30), F.lit("   x ")).alias(
+            "messy"
+        ),
+        F.col("lang").alias("lang"),
+    )
+    from gov_data_pipeline_spark.llm import correct_rows
+
+    out = correct_rows(reg, MockLLMClient)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "messy", "lang"
+    ).orderBy("doc_id")
+
+
+_Q51_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace('  ' || substr(text, 1, 30) || '   x ', '\s+', ' ', 'g')) AS messy,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q50_llm_enrich": q50_llm_enrich,
+    "q51_llm_correction": q51_llm_correction,
+}
+
+ORACLE = {
+    "q50_llm_enrich": _Q50_SQL,
+    "q51_llm_correction": _Q51_SQL,
+}

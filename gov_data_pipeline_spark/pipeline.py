@@ -1,0 +1,92 @@
+"""Pipeline registry/orchestration (SURVEY R28 —
+``handlers/__init__.py``'s HandlersManager re-thought for Spark).
+
+The reference discovers handler classes by introspection and runs them
+strictly sequentially on one thread. Here a pipeline is data: a named
+(source -> transforms -> sink) triple registered declaratively.
+``process_all`` submits each enabled pipeline; because every step is a
+lazy DataFrame plan, "running" a pipeline is one Spark job whose
+parallelism comes from the cluster, not from the orchestrator — the
+orchestrator's only jobs are config, ordering and error isolation
+(a failed pipeline yields None and doesn't stop the rest, matching
+``handlers/__init__.py:116-131``).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
+
+Source = Callable[[SparkSession, "PipelineConfig"], DataFrame]
+Transform = Callable[[DataFrame], DataFrame]
+Sink = Callable[[DataFrame, "PipelineConfig"], None]
+
+
+@dataclass
+class PipelineConfig:
+    """Per-pipeline runtime config (mirrors the reference's per-handler
+    pydantic settings, ``utils/settings.py:60-120``, minus secrets)."""
+
+    name: str
+    enabled: bool = True
+    correction: bool = False
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class Pipeline:
+    name: str
+    source: Source
+    transforms: list[Transform] = field(default_factory=list)
+    sink: Sink | None = None
+
+    def build(self, spark: SparkSession, config: PipelineConfig) -> DataFrame:
+        df = self.source(spark, config)
+        for t in self.transforms:
+            df = t(df)
+        return df
+
+
+class PipelineRegistry:
+    def __init__(self) -> None:
+        self._pipelines: dict[str, Pipeline] = {}
+
+    def register(self, pipeline: Pipeline) -> Pipeline:
+        if pipeline.name in self._pipelines:
+            raise ValueError(f"duplicate pipeline: {pipeline.name}")
+        self._pipelines[pipeline.name] = pipeline
+        return pipeline
+
+    def names(self) -> list[str]:
+        return sorted(self._pipelines)
+
+    def process_all(
+        self,
+        spark: SparkSession,
+        configs: dict[str, PipelineConfig] | None = None,
+    ) -> dict[str, DataFrame | None]:
+        """Run every enabled pipeline; a failure logs and yields None
+        without aborting the others (reference semantics)."""
+        results: dict[str, DataFrame | None] = {}
+        for name in self.names():
+            cfg = (configs or {}).get(name, PipelineConfig(name=name))
+            if not cfg.enabled:
+                continue
+            pipe = self._pipelines[name]
+            try:
+                df = pipe.build(spark, cfg)
+                if pipe.sink is not None:
+                    pipe.sink(df, cfg)
+                results[name] = df
+            except Exception:
+                logger.exception("pipeline %s failed", name)
+                results[name] = None
+        return results
+
+
+REGISTRY = PipelineRegistry()

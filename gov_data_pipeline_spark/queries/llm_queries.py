@@ -143,12 +143,60 @@ ORDER BY doc_id
 """
 
 
+def q52_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: pack document text bytes as a
+    media struct, extract features in mapInPandas (deterministic stub
+    decode), unpack natively. The oracle mirrors the stub arithmetic
+    (octet_length / sha256 / md5-char features), so the whole binary
+    round-trip is hash-checked."""
+    from gov_data_pipeline_spark.sources.multimodal import (
+        decode_media_features,
+        pack_media_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id",
+        pack_media_col(F.encode(F.col("text"), "UTF-8"), "image/png").alias("media"),
+    )
+    feat = decode_media_features(packed, "media")
+    return feat.select(
+        "doc_id",
+        F.col("media_features.n_bytes").alias("n_bytes"),
+        F.col("media_features.sha256").alias("digest"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("media_features.features"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+            ),
+            4,
+        ).alias("feat_norm"),
+    ).orderBy("doc_id")
+
+
+_Q52_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest,
+       round(sqrt(list_sum(list_transform(
+         string_split_regex(substr(md5(text), 1, 8), ''),
+         c -> CAST(ascii(c) AS DOUBLE) * ascii(c)))), 4) AS feat_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q50_llm_enrich": q50_llm_enrich,
     "q51_llm_correction": q51_llm_correction,
+    "q52_multimodal": q52_multimodal,
 }
 
 ORACLE = {
     "q50_llm_enrich": _Q50_SQL,
     "q51_llm_correction": _Q51_SQL,
+    "q52_multimodal": _Q52_SQL,
 }

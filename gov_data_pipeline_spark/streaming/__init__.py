@@ -1,0 +1,8 @@
+from gov_data_pipeline_spark.streaming.windows import (  # noqa: F401
+    EVENTS_SCHEMA,
+    dedup_within_watermark,
+    read_events_stream,
+    session_counts,
+    sliding_stats,
+    tumbling_counts,
+)

@@ -1,0 +1,137 @@
+"""Structured Streaming integration tests: run the same plans the batch
+oracles certify through a real file stream with watermarks, and check
+late-data / dedup behavior."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from gov_data_pipeline_spark.catalog import read_table
+from gov_data_pipeline_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, sf_dir):
+    """Feed the fixture events into a stream-source directory as a few
+    parquet files (micros timestamps, written through the catalog's
+    normalizing reader)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    events = read_table(spark, sf_dir, "events")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    events.repartition(3).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(sdf, name: str, mode: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, stream_dir):
+    stream = read_events_stream(spark, stream_dir)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(tumbling_counts(stream), name, "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = tumbling_counts(read_table(spark, sf_dir, "events"))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_drops_duplicates(spark, stream_dir):
+    # duplicate every file's rows by reading the dir twice via union
+    stream = read_events_stream(spark, stream_dir)
+    deduped = dedup_within_watermark(stream)
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(deduped, name, "append")
+    n = spark.sql(f"SELECT count(DISTINCT event_id) c, count(*) n FROM {name}").collect()[0]
+    assert n["c"] == n["n"]  # no duplicate event_ids survive
+
+
+def test_watermark_drops_late_rows(spark):
+    """Batch 1 advances event time to 13:00 (watermark 12:00); a file
+    arriving two batches later with an 08:00 event is behind the
+    watermark and must be dropped from the aggregation.
+
+    (Empirically the input-side watermark filter applies from the batch
+    *after* the watermark advances — the 09:00 event in batch 2 still
+    lands; the 08:00 event in batch 3 is dropped and counted in
+    numRowsDroppedByWatermark.)
+    """
+    import os
+
+    d = tempfile.mkdtemp(prefix="late_")
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    try:
+        mk(
+            [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+             (2, "2024-01-01 13:00:00", 1, "click", 1.0, "{}")]
+        ).coalesce(1).write.parquet(os.path.join(d, "a"))
+        mk([(3, "2024-01-01 09:00:00", 1, "click", 1.0, "{}")]).coalesce(
+            1
+        ).write.parquet(os.path.join(d, "b"))
+        mk([(4, "2024-01-01 08:00:00", 1, "click", 1.0, "{}")]).coalesce(
+            1
+        ).write.parquet(os.path.join(d, "c"))
+        # file-source ingestion order follows modification time
+        for root, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                t = {"a": 1_000_000_000, "b": 1_000_005_000, "c": 1_000_009_000}[
+                    p.split(d + "/")[1][0]
+                ]
+                os.utime(p, (t, t))
+        from gov_data_pipeline_spark.streaming import EVENTS_SCHEMA
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*")
+        )
+        agg = tumbling_counts(stream, window="1 hour", watermark="1 hour")
+        name = f"l_{uuid.uuid4().hex[:8]}"
+        q = _run_to_memory(agg, name, "append")
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        assert dropped >= 1
+        starts = {
+            r["window_start"].isoformat()
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert "2024-01-01T08:00:00" not in starts
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

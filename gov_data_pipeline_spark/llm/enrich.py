@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from gov_data_pipeline_spark.llm.client import LLMRequest
 from gov_data_pipeline_spark.llm.runtime import ClientFactory, llm_map
+from gov_data_pipeline_spark.util import qcol
 from gov_data_pipeline_spark.transforms.text import is_excluded_col
 
 # Python re's punctuation-only token pattern (gpt.py:293-297), Java-regex escaped.
@@ -85,9 +86,9 @@ def ocr_enrich(
     the request builder returning None (no network, no retry budget).
     """
     need = (
-        (F.col(brand_col).isNull() | (F.trim(F.col(brand_col)) == ""))
-        & F.col(image_col).isNotNull()
-        & (F.col(image_col) != "")
+        (qcol(brand_col).isNull() | (F.trim(qcol(brand_col)) == ""))
+        & qcol(image_col).isNotNull()
+        & (qcol(image_col) != "")
     )
     if gate is not None:
         need = need & gate
@@ -106,7 +107,7 @@ def ocr_enrich(
             & F.col("__ocr_text").isNotNull()
             & (F.col("__ocr_text") != ""),
             F.concat(F.col("__ocr_text"), F.lit(RECOG_SUFFIX)),
-        ).otherwise(F.col(brand_col)),
+        ).otherwise(qcol(brand_col)),
     ).drop("__need_ocr", "__ocr_text")
 
 
@@ -129,13 +130,13 @@ def brand_variants(
     prompt = cleaned(brand minus the RECOG suffix [+ description]);
     response JSON -> two comma-joined string columns."""
     plain = F.regexp_replace(
-        F.regexp_replace(F.col(brand_col), r"\Q (RECOG)\E", ""), r"^\s+|\s+$", ""
+        F.regexp_replace(qcol(brand_col), r"\Q (RECOG)\E", ""), r"^\s+|\s+$", ""
     )
     need = plain != ""
     if gate is not None:
         need = need & gate
     prompt = clean_brand_prompt_col(
-        plain, F.col(desc_col) if desc_col else None
+        plain, qcol(desc_col) if desc_col else None
     )
     flagged = df.withColumn("__need_brand", need).withColumn("__prompt", prompt)
 
@@ -187,7 +188,7 @@ def correct_rows(
     cols = df.columns
     need = gate if gate is not None else F.lit(True)
     flagged = df.withColumn("__need_corr", need).withColumn(
-        "__row_json", F.to_json(F.struct(*[F.col(c) for c in cols]))
+        "__row_json", F.to_json(F.struct(*[qcol(c).alias(c) for c in cols]))
     )
 
     def build(row: dict[str, Any]) -> LLMRequest | None:
@@ -213,7 +214,7 @@ def correct_rows(
                 F.col("__need_corr") & corrected.isNotNull(),
                 F.element_at(corrected, c),
             )
-            .otherwise(F.col(c).cast("string"))
+            .otherwise(qcol(c).cast("string"))
             .alias(c)
             for c in cols
         ]

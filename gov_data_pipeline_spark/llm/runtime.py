@@ -78,16 +78,29 @@ def llm_map(
     the executor (connection reuse across the batch); it must be
     picklable.
     """
+    # mapInPandas cannot resolve column names containing dots (registry
+    # columns like "Рег. №" do), so the UDF boundary runs under
+    # positional placeholder names; the mapper sees the real names.
+    orig = list(df.columns)
+    safe = [f"__c{i}" for i in range(len(orig))]
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(output_col, T.StringType(), True)]
+        [
+            T.StructField(s, f.dataType, f.nullable)
+            for s, f in zip(safe, df.schema.fields)
+        ]
+        + [T.StructField("__out", T.StringType(), True)]
     )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()
         for pdf in batches:
+            pdf = pdf.copy()
+            pdf.columns = orig
             results = _run_batch(
                 pdf, build_request, client, concurrency, max_retries, initial_delay
             )
-            yield pdf.assign(**{output_col: pd.Series(results, index=pdf.index, dtype="object")})
+            out = pdf.assign(__out=pd.Series(results, index=pdf.index, dtype="object"))
+            out.columns = safe + ["__out"]
+            yield out
 
-    return df.mapInPandas(mapper, schema=out_schema)
+    return df.toDF(*safe).mapInPandas(mapper, schema=out_schema).toDF(*orig, output_col)

@@ -614,6 +614,91 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T17 — distinct counting: exact (oracle-checked) and sketch-based
+# (approx_count_distinct / percentile_approx — HLL/KLL sketches have no
+# cross-engine-identical result, so the approx query takes the driver's
+# rows-only check; the unit bound lives in tests).
+# ---------------------------------------------------------------------------
+
+
+def q19_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q19_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(*)                   AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q26_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (rows-only check): HLL++ distinct counts and
+    approximate percentiles — the 100 TB path where exact distinct
+    would shuffle every key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
+                "price_p50_p95"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 — header promotion as an oracle-checked query: build an un-headered
+# table from documents (row 0 = header with a '/' needing repair, row 1
+# = prolog junk), promote, and compare against the directly-projected
+# oracle.
+# ---------------------------------------------------------------------------
+
+
+def q25_header_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.transforms import promote_headers
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.col("doc_id").alias("idx"),
+        F.when(F.col("doc_id") == 0, F.lit("источник/канал"))
+        .when(F.col("doc_id") == 1, F.lit("prolog"))
+        .otherwise(F.col("source"))
+        .alias("c1"),
+        F.when(F.col("doc_id") == 0, F.lit("язык  документа"))
+        .when(F.col("doc_id") == 1, F.lit("junk"))
+        .otherwise(F.col("lang"))
+        .alias("c2"),
+    )
+    return promote_headers(raw, "idx", skip_rows=2, repair=True).orderBy("idx")
+
+
+_Q25_SQL = """
+SELECT doc_id AS idx,
+       source AS "источник или канал",
+       lang   AS "язык документа"
+FROM documents
+WHERE doc_id >= 2
+ORDER BY idx
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -633,6 +718,9 @@ QUERIES = {
     "q16_except": q16_except,
     "q17_pivot": q17_pivot,
     "q18_row_index": q18_row_index,
+    "q19_count_distinct": q19_count_distinct,
+    "q25_header_promotion": q25_header_promotion,
+    "q26_approx_agg": q26_approx_agg,
 }
 
 ORACLE = {
@@ -654,4 +742,6 @@ ORACLE = {
     "q16_except": _Q16_SQL,
     "q17_pivot": _Q17_SQL,
     "q18_row_index": _Q18_SQL,
+    "q19_count_distinct": _Q19_SQL,
+    "q25_header_promotion": _Q25_SQL,
 }

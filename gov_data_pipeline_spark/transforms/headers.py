@@ -14,6 +14,8 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from gov_data_pipeline_spark.util import qcol
+
 
 def clean_column_name(name: str) -> str:
     """Kazakhstan header repair (``handlers/kazakhstan.py:139-148``):
@@ -79,7 +81,7 @@ def promote_headers(
     out = df.filter(F.col(idx_col) >= skip_rows)
     renamed = out.select(
         F.col(idx_col),
-        *[F.col(old).alias(new) for old, new in zip(data_cols, names)],
+        *[qcol(old).alias(new) for old, new in zip(data_cols, names)],
     )
     return renamed
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from gov_data_pipeline_spark.util import qcol
+
 NEW_RECORD_PATTERN = r"^(?:№?\d{4,})(/ТЗ.*)?"
 
 
@@ -50,15 +52,15 @@ def merge_continuation_rows(
     """
     value_cols = [c for c in df.columns if c not in (idx_col, partition_col)]
 
-    kept = df.filter(~F.trim(F.col(key_col).cast("string")).startswith("Name:"))
+    kept = df.filter(~F.trim(qcol(key_col).cast("string")).startswith("Name:"))
 
     part = [partition_col] if partition_col else []
-    w = W.partitionBy(*part).orderBy(F.col(idx_col).asc()) if part else W.orderBy(
-        F.col(idx_col).asc()
+    w = W.partitionBy(*part).orderBy(qcol(idx_col).asc()) if part else W.orderBy(
+        qcol(idx_col).asc()
     )
     flagged = kept.withColumn(
         "__gid",
-        F.sum(is_new_record_col(F.col(key_col)).cast("int")).over(
+        F.sum(is_new_record_col(qcol(key_col)).cast("int")).over(
             w.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
@@ -67,7 +69,7 @@ def merge_continuation_rows(
         # Ordered, empty-skipping concat: collect (idx, value) pairs,
         # sort by idx, keep non-empty trimmed values, join with " ".
         pairs = F.array_sort(
-            F.collect_list(F.struct(F.col(idx_col).alias("i"), F.trim(F.col(col)).alias("v")))
+            F.collect_list(F.struct(qcol(idx_col).alias("i"), F.trim(qcol(col)).alias("v")))
         )
         vals = F.filter(F.transform(pairs, lambda p: p["v"]), lambda v: v != "")
         return F.array_join(vals, " ").alias(col)

@@ -16,6 +16,8 @@ import unicodedata
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from gov_data_pipeline_spark.util import qcol
+
 # Python str.strip() removes all whitespace (\t\n\r\f\v), Spark's trim()
 # removes spaces only — so "strip" is expressed as a regex.
 _STRIP = r"^\s+|\s+$"
@@ -125,7 +127,7 @@ def is_excluded_col(*cols: Column | str) -> Column:
     concatenation). Lowercase approximates ``str.casefold`` exactly for
     the Cyrillic/Latin domain the reference handles.
     """
-    row_text = F.concat_ws(" ", *[F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit("")) for c in cols])
+    row_text = F.concat_ws(" ", *[F.coalesce(qcol(c) if isinstance(c, str) else c, F.lit("")) for c in cols])
     normalized = F.regexp_replace(F.lower(row_text), "ё", "е")
     return normalized.rlike(_EXCLUDED_PATTERN)
 
@@ -140,7 +142,7 @@ def strip_all_strings(df: DataFrame) -> DataFrame:
     """Trim every string column (reference ``handlers/belarus.py:117-119``)."""
     return df.select(
         *[
-            _strip(F.col(c)).alias(c) if isinstance(df.schema[c].dataType, T.StringType) else F.col(c)
+            _strip(qcol(c)).alias(c) if isinstance(df.schema[c].dataType, T.StringType) else qcol(c)
             for c in df.columns
         ]
     )
@@ -148,7 +150,7 @@ def strip_all_strings(df: DataFrame) -> DataFrame:
 
 def cast_all_string(df: DataFrame) -> DataFrame:
     """Force every column to string (reference ``handlers/kyrgyzstan.py:273-281``)."""
-    return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+    return df.select(*[qcol(c).cast("string").alias(c) for c in df.columns])
 
 
 def redact_long_col(col: Column, max_len: int = 100, keep: int = 50) -> Column:

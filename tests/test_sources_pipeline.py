@@ -158,3 +158,21 @@ class TestPipelineRegistry:
         assert results["bad"] is None
         rows = results["good"].collect()
         assert len(rows) == 2 and rows[0]["tag"] == "T"
+
+
+class TestDocumentIngestGating:
+    def test_codec_gated_functions_raise_clearly(self):
+        from gov_data_pipeline_spark.sources.documents import (
+            docx_tables,
+            extract_xlsx_images,
+            pdf_tables,
+        )
+
+        for fn, arg in [
+            (docx_tables, b""),
+            (pdf_tables, b""),
+        ]:
+            with pytest.raises(NotImplementedError):
+                fn(arg)
+        with pytest.raises(NotImplementedError):
+            extract_xlsx_images(b"", "belarus")

@@ -23,7 +23,8 @@ from gov_data_pipeline_spark.queries import all_queries  # noqa: E402
 from gov_data_pipeline_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family, weighted toward the ones whose
-# physical plan matters at scale (joins, windows, dedup, similarity).
+# physical plan matters at scale (joins, windows, dedup, similarity,
+# text analysis, LLM-gating, streaming-window semantics).
 HEADLINE = [
     "q01_pricing_summary",
     "q02_revenue_by_nation",
@@ -31,6 +32,12 @@ HEADLINE = [
     "q09_group_concat",
     "q10_window_rank",
     "q13_sessionize",
+    "q41_jaccard_pairs",
+    "q42_minhash_lsh",
+    "q44_cosine_topk",
+    "q47_text_stats",
+    "q50_llm_enrich",
+    "q60_tumbling",
 ]
 
 

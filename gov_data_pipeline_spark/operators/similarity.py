@@ -139,23 +139,35 @@ def ann_topk(
     """
 
     def with_buckets(df: DataFrame, idc: str, vecc: str, ida: str, veca: str) -> DataFrame:
-        return df.select(
-            F.col(idc).alias(ida),
-            F.col(vecc).alias(veca),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            hyperplane_signature(
-                                F.col(vecc), bits, plane_offset=t * bits
-                            ).alias("b"),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("__tb"),
-        ).select(ida, veca, F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
+        # Signatures via posexplode + codegen'd sum-aggregates (the
+        # interpreted higher-order-lambda version is ~10x slower at
+        # corpus scale): one shuffle on the vector id computes all
+        # tables*bits plane dot-products in a single hash-aggregate.
+        base = df.select(F.col(idc).alias(ida), F.col(vecc).alias(veca))
+        ex = base.select(ida, F.posexplode(veca).alias("__d", "__x"))
+        total = tables * bits
+        aggs = [
+            F.sum(
+                F.col("__x").cast("double")
+                * F.when(
+                    F.xxhash64(F.lit(p), F.col("__d")).bitwiseAND(F.lit(1)) == 1, 1.0
+                ).otherwise(-1.0)
+            ).alias(f"__p{p}")
+            for p in range(total)
+        ]
+        dots = ex.groupBy(ida).agg(*aggs)
+        bucket_exprs = []
+        for t in range(tables):
+            b = F.lit(0).cast("long")
+            for i in range(bits):
+                b = b + F.when(
+                    F.col(f"__p{t * bits + i}") > 0, F.lit(1 << i).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            bucket_exprs.append(F.struct(F.lit(t).alias("t"), b.alias("b")))
+        sigs = dots.select(
+            ida, F.explode(F.array(*bucket_exprs)).alias("__tb")
+        ).select(ida, F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
+        return base.join(sigs, ida)
 
     q = with_buckets(queries, query_id, query_vec, "__qid", "__qv")
     c = with_buckets(corpus, corpus_id, corpus_vec, "neighbor_id", "__cv")

@@ -27,11 +27,7 @@ from gov_data_pipeline_spark.functions import (
 from gov_data_pipeline_spark.functions.textstats import n_words_col
 from gov_data_pipeline_spark.operators.dedup import (
     exact_dedup,
-    jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signature,
-    simhash64,
-    word_shingles,
 )
 from gov_data_pipeline_spark.operators.similarity import ann_topk, cosine, cosine_topk
 
@@ -94,12 +90,12 @@ SELECT min(doc_id) AS doc_id FROM u GROUP BY text ORDER BY doc_id
 
 
 def q41_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _docs_with_dups(spark, sf_dir).withColumn(
-        "shingles", word_shingles(F.col("text"), 3)
-    )
-    return jaccard_pairs(corpus, "doc_id", "shingles", threshold=0.5).orderBy(
-        "a_id", "b_id"
-    )
+    from gov_data_pipeline_spark.operators.dedup import jaccard_pairs_text
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    return jaccard_pairs_text(
+        corpus, "doc_id", F.col("text"), n=3, threshold=0.5
+    ).orderBy("a_id", "b_id")
 
 
 _Q41_SQL = rf"""
@@ -137,30 +133,18 @@ ORDER BY a_id, b_id
 
 
 def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _docs_with_dups(spark, sf_dir).withColumn(
-        "shingles", word_shingles(F.col("text"), 3)
+    from gov_data_pipeline_spark.operators.dedup import (
+        minhash_from_shingle_rows,
+        shingle_rows,
+        verify_candidates_jaccard,
     )
-    sigs = corpus.withColumn("sig", minhash_signature(F.col("shingles"), 32))
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    ex = shingle_rows(corpus, "doc_id", F.col("text"), 3)
+    sigs = minhash_from_shingle_rows(ex, "doc_id", num_hashes=32)
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
-    sh = corpus.select("doc_id", "shingles")
-    verified = (
-        cands.join(sh.withColumnsRenamed({"doc_id": "a_id", "shingles": "sh_a"}), "a_id")
-        .join(sh.withColumnsRenamed({"doc_id": "b_id", "shingles": "sh_b"}), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / (
-                    F.size("sh_a")
-                    + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                ),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
-    return verified.select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
+    verified = verify_candidates_jaccard(cands, ex, "doc_id", threshold=0.5)
+    return verified.orderBy("a_id", "b_id")
 
 
 # ---------------------------------------------------------------------------
@@ -172,8 +156,12 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_data_pipeline_spark.operators.dedup import hamming64
 
-    corpus = _docs_with_dups(spark, sf_dir).withColumn(
-        "simhash", simhash64(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    from gov_data_pipeline_spark.operators.dedup import simhash64_df
+
+    corpus = simhash64_df(
+        _docs_with_dups(spark, sf_dir),
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
     )
     chunks = corpus.select(
         "doc_id",

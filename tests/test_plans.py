@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the scale properties the queries claim
+(pushdown, broadcast, top-k short-circuit, codegen) must be visible in
+the actual plan, not just intended. These tests pin them so a future
+refactor that silently de-optimizes a plan fails CI.
+"""
+
+from __future__ import annotations
+
+from gov_data_pipeline_spark.queries.relational import (
+    q01_pricing_summary,
+    q02_revenue_by_nation,
+    q14_topk_orders,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+class TestScanPushdown:
+    def test_q01_filter_and_projection_reach_parquet(self, spark, sf_dir):
+        plan = _formatted(q01_pricing_summary(spark, sf_dir))
+        # shipdate predicate pushed into the parquet scan
+        assert "PushedFilters" in plan
+        assert "LessThanOrEqual(l_shipdate" in plan
+        # column pruning: unused wide columns never read
+        assert "l_comment" not in plan  # not in fixture anyway, sanity
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "l_orderkey" not in read_schema  # pruned: not needed by Q1
+        assert "l_quantity" in read_schema
+
+    def test_q01_whole_stage_codegen(self, spark, sf_dir):
+        df = q01_pricing_summary(spark, sf_dir)
+        df.collect()  # AQE finalizes the plan only on execution
+        plan = _plan(df)
+        # '*(n)' prefixes mark whole-stage-codegen'd operators
+        assert "*(1)" in plan and "HashAggregate" in plan
+        # map-side partial aggregation before the shuffle
+        assert "partial_sum" in plan
+
+
+class TestJoinStrategies:
+    def test_q02_dims_broadcast_facts_shuffle(self, spark, sf_dir):
+        plan = _plan(q02_revenue_by_nation(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan  # nation/region side
+        # fact-fact joins shuffle (sort-merge or shuffled-hash, either is
+        # a key-shuffle plan; AQE may later demote to broadcast at tiny SF)
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            plan.count("BroadcastHashJoin") >= 3
+        )
+
+
+class TestTopK:
+    def test_q14_take_ordered_not_global_sort(self, spark, sf_dir):
+        plan = _plan(q14_topk_orders(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan

@@ -699,6 +699,108 @@ ORDER BY idx
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL surface — the engine's query language is Spark SQL over the
+# registered catalog views (SURVEY §3.4: no custom parser; Catalyst
+# produces the same plan as the DataFrame API). One query runs through
+# spark.sql end-to-end to pin that surface.
+# ---------------------------------------------------------------------------
+
+
+def q27_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*)                        AS n_orders,
+               round(sum(o_totalprice), 2)     AS total,
+               CAST(max(rk) AS BIGINT)         AS max_orders_per_cust
+        FROM (
+          SELECT o.o_custkey, o.o_totalprice, c.c_mktsegment,
+                 row_number() OVER (PARTITION BY o.o_custkey
+                                    ORDER BY o.o_orderdate, o.o_orderkey) AS rk
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+_Q27_SQL = """
+SELECT c_mktsegment,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(max(rk) AS BIGINT)     AS max_orders_per_cust
+FROM (
+  SELECT o.o_custkey, o.o_totalprice, c.c_mktsegment,
+         row_number() OVER (PARTITION BY o.o_custkey
+                            ORDER BY o.o_orderdate, o.o_orderkey) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# R30 — log-redaction projection (long values elided to head ... tail).
+# ---------------------------------------------------------------------------
+
+
+def q28_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.transforms.text import redact_long_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", redact_long_col(F.col("text"), 100, 50).alias("redacted")
+    ).orderBy("doc_id")
+
+
+_Q28_SQL = """
+SELECT doc_id,
+       CASE WHEN length(text) > 100
+            THEN substr(text, 1, 50) || ' ... '
+                 || substr(text, length(text) - 49, 50)
+            ELSE text END AS redacted
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skew pattern — salted two-phase aggregation. events.user_id has only
+# 15 distinct values: a direct groupBy lands all rows on 15 reducers no
+# matter the cluster size. Phase 1 aggregates on (key, salt) spreading
+# each hot key over N partitions; phase 2 combines the N partials.
+# Result provably identical to the direct groupBy (oracle-checked).
+# ---------------------------------------------------------------------------
+
+
+def q29_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    salted = events.withColumn("__salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("user_id", "__salt").agg(
+        F.count(F.lit(1)).alias("pc"), F.sum("value").alias("ps")
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.round(F.sum("ps"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q29_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -721,6 +823,9 @@ QUERIES = {
     "q19_count_distinct": q19_count_distinct,
     "q25_header_promotion": q25_header_promotion,
     "q26_approx_agg": q26_approx_agg,
+    "q27_sql_api": q27_sql_api,
+    "q28_redact": q28_redact,
+    "q29_salted_agg": q29_salted_agg,
 }
 
 ORACLE = {
@@ -744,4 +849,7 @@ ORACLE = {
     "q18_row_index": _Q18_SQL,
     "q19_count_distinct": _Q19_SQL,
     "q25_header_promotion": _Q25_SQL,
+    "q27_sql_api": _Q27_SQL,
+    "q28_redact": _Q28_SQL,
+    "q29_salted_agg": _Q29_SQL,
 }

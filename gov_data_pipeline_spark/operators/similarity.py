@@ -116,6 +116,89 @@ def hyperplane_signature(vec: Column, bits: int = 16, plane_offset: int = 0) -> 
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi
+    cells around ``n_centroids`` deterministic centroids (the lowest-id
+    corpus vectors — no training state, reproducible anywhere), then
+    search only the ``n_probe`` cells nearest to each query.
+
+    Cell assignment is codegen'd end-to-end: vectors posexplode into
+    (id, dim, x) rows, join the broadcast centroid-dimension table, and
+    one hash-aggregate computes every vector-centroid dot product; the
+    distance ranking uses ||v-c||^2 = ||v||^2 - 2<v,c> + ||c||^2 with
+    the ||v||^2 term dropped (constant per vector). Search cost scales
+    with cell occupancy x n_probe, not |corpus|.
+    """
+    cents = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(corpus_id).alias("cid"),
+            F.posexplode(F.col(corpus_vec)).alias("__d", "__c"),
+        )
+    )
+    cent_dims = cents.select("cid", "__d", F.col("__c").cast("double").alias("__c"))
+    cent_norms = cent_dims.groupBy("cid").agg(
+        F.sum(F.col("__c") * F.col("__c")).alias("c2")
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, ida: str, probes: int) -> DataFrame:
+        ex = df.select(
+            F.col(idc).alias(ida), F.posexplode(F.col(vecc)).alias("__d", "__x")
+        )
+        dots = (
+            ex.join(F.broadcast(cent_dims), "__d")
+            .groupBy(ida, "cid")
+            .agg(F.sum(F.col("__x").cast("double") * F.col("__c")).alias("dot"))
+        )
+        scored = dots.join(F.broadcast(cent_norms), "cid").withColumn(
+            "__dist", F.col("c2") - 2 * F.col("dot")
+        )
+        w = W.partitionBy(ida).orderBy(F.col("__dist").asc(), F.col("cid").asc())
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= probes)
+            .select(ida, "cid")
+        )
+
+    q_cells = assign(queries, query_id, query_vec, "__qid", n_probe)
+    c_cells = assign(corpus, corpus_id, corpus_vec, "neighbor_id", 1)
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    ).join(q_cells, "__qid")
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    ).join(c_cells, "neighbor_id")
+    joined = c.join(q, "cid")
+    if exclude_self:
+        joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
+    cand = joined.select("__qid", "__qv", "neighbor_id", "__cv").distinct()
+    scored = cand.select(
+        F.col("__qid").alias(query_id),
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cosine_sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id, "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

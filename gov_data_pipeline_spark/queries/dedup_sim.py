@@ -29,7 +29,7 @@ from gov_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
 )
-from gov_data_pipeline_spark.operators.similarity import ann_topk, cosine, cosine_topk
+from gov_data_pipeline_spark.operators.similarity import ann_topk, cosine, cosine_topk, ivf_topk
 
 _MUT_OFFSET = 1_000_000
 
@@ -382,6 +382,18 @@ ORDER BY doc_id
 """
 
 
+def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic centroids, n_probe=3 of 16
+    cells searched per query. rows-only driver check; recall vs the
+    exact top-k is asserted in tests/test_dedup_sim.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, n_centroids=16, n_probe=3,
+    ).orderBy("vec_id", "rk")
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q41_jaccard_pairs": q41_jaccard_pairs,
@@ -389,6 +401,7 @@ QUERIES = {
     "q43_simhash": q43_simhash,
     "q44_cosine_topk": q44_cosine_topk,
     "q45_ann_lsh": q45_ann_lsh,
+    "q55_ann_ivf": q55_ann_ivf,
     "q46_cosine_neardup": q46_cosine_neardup,
     "q47_text_stats": q47_text_stats,
     "q48_lang_id": q48_lang_id,

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from gov_data_pipeline_spark.util import qcol
 
-NEW_RECORD_PATTERN = r"^(?:№?\d{4,})(/ТЗ.*)?"
+# (?U) = Java UNICODE_CHARACTER_CLASS so \d matches Unicode digits
+# exactly like Python's re in the reference (found by property testing:
+# Arabic-Indic digits count as record numbers there).
+NEW_RECORD_PATTERN = r"(?U)^(?:№?\d{4,})(/ТЗ.*)?"
 
 
 def is_new_record_col(col) -> "F.Column":

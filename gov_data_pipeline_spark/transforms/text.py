@@ -20,7 +20,8 @@ from gov_data_pipeline_spark.util import qcol
 
 # Python str.strip() removes all whitespace (\t\n\r\f\v), Spark's trim()
 # removes spaces only — so "strip" is expressed as a regex.
-_STRIP = r"^\s+|\s+$"
+# (?U): Java UNICODE_CHARACTER_CLASS so \s/\d match like Python re
+_STRIP = r"(?U)^\s+|\s+$"
 
 
 def _strip(col: Column) -> Column:
@@ -34,7 +35,7 @@ def clean_cell_col(col: Column) -> Column:
     Null and empty collapse to ``""``; interior whitespace runs collapse
     to one space.
     """
-    cleaned = F.trim(F.regexp_replace(col, r"\s+", " "))
+    cleaned = F.trim(F.regexp_replace(col, r"(?U)\s+", " "))
     return F.coalesce(cleaned, F.lit(""))
 
 
@@ -79,7 +80,7 @@ def clean_text_col(col: Column) -> Column:
     t = _strip(col)
     t = F.regexp_replace(t, r"\n", " ")
     t = F.regexp_replace(t, r"\r", "")
-    t = F.regexp_replace(t, r"\s{2,}", " ")
+    t = F.regexp_replace(t, r"(?U)\s{2,}", " ")
     return F.coalesce(_nfkc_and_filter(t), F.lit(""))
 
 
@@ -94,16 +95,16 @@ def normalize_reg_num_col(col: Column) -> Column:
     """
     v = _strip(col)
     rules: list[tuple[str, str]] = [
-        (r"^№\s*", ""),
-        (r"\s*См\.\s*", " См. "),
-        (r"\s*[–—]\s*", "-"),
-        (r"\s*-\s*", "-"),
-        (r"\s*/\s*", "/"),
-        (r"\s*\.\s*", "."),
-        (r"(?<=\d)\s+(?=\d)", ""),
-        (r"(См\.)\s*(?=\S)", "$1 "),
+        (r"(?U)^№\s*", ""),
+        (r"(?U)\s*См\.\s*", " См. "),
+        (r"(?U)\s*[–—]\s*", "-"),
+        (r"(?U)\s*-\s*", "-"),
+        (r"(?U)\s*/\s*", "/"),
+        (r"(?U)\s*\.\s*", "."),
+        (r"(?U)(?<=\d)\s+(?=\d)", ""),
+        (r"(?U)(См\.)\s*(?=\S)", "$1 "),
         (r"-{2,}", "-"),
-        (r"\s+", " "),
+        (r"(?U)\s+", " "),
     ]
     out = v
     for pat, rep in rules:
@@ -117,7 +118,7 @@ def normalize_reg_num_col(col: Column) -> Column:
 # "исключен" as a standalone word: no Cyrillic letter directly before or
 # after (rejects "исключение"), arbitrary whitespace between letters,
 # ё folded to е, case-insensitive. Reference: utils/gpt.py:39-51.
-_EXCLUDED_PATTERN = r"(?<![а-я])" + r"\s*".join("исключен") + r"(?![а-я])"
+_EXCLUDED_PATTERN = r"(?U)(?<![а-я])" + r"\s*".join("исключен") + r"(?![а-я])"
 
 
 def is_excluded_col(*cols: Column | str) -> Column:

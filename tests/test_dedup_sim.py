@@ -64,3 +64,22 @@ def test_exact_dedup_removes_planted_dups(spark, sf_dir):
     kept = [r["doc_id"] for r in q40_exact_dedup(spark, sf_dir).collect()]
     assert all(k < _MUT_OFFSET for k in kept)  # originals always win
     assert len(kept) == len(set(kept))
+
+
+def test_ivf_overlaps_exact_topk(spark, sf_dir):
+    from gov_data_pipeline_spark.queries.dedup_sim import q55_ann_ivf
+
+    exact = q44_cosine_topk(spark, sf_dir).collect()
+    approx = q55_ann_ivf(spark, sf_dir).collect()
+    exact_top = {}
+    for r in exact:
+        exact_top.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r["neighbor_id"] in exact_top.get(r["vec_id"], set()):
+            hit += 1
+    assert total > 0
+    # random 64-dim vectors have weak cluster structure; this is a smoke
+    # floor proving the cells are not degenerate, not a quality bar
+    assert hit / total > 0.05

@@ -1,0 +1,165 @@
+"""Property-based tests (SURVEY §5.2-4): the Spark rewrites of the
+reference's stateful/scalar logic must agree with direct pure-Python
+ports of the reference algorithms on randomized inputs.
+
+The pure-Python models below re-implement the reference semantics
+(handlers/kyrgyzstan.py:169-236 merge/normalize, utils/gpt.py:39-51
+exclusion) row-for-row; hypothesis drives randomized row segmentations
+and messy strings through both paths.
+
+Alphabets are constrained to the reference's real input domain
+(ASCII digits, Cyrillic/Latin letters, registry punctuation). Known
+engine-level parity limit found by wider generation: Python 3.11 and
+Java 17 ship different Unicode tables, so astral-plane digits added in
+newer Unicode versions (e.g. U+16AC4) satisfy Python's \d but not
+Java's (?U)\d — BMP digits like Arabic-Indic ٠ agree (the (?U) flags
+in transforms exist for exactly that).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from gov_data_pipeline_spark.transforms import (
+    is_excluded_col,
+    merge_continuation_rows,
+    normalize_reg_num_col,
+)
+
+# --- pure-Python models of the reference semantics ---------------------
+
+
+def model_preprocess_reg_num(value: str) -> str:
+    val = value.strip()
+    if not val:
+        return val
+    val = re.sub(r"^№\s*", "", val)
+    val = re.sub(r"\s*См\.\s*", " См. ", val)
+    val = re.sub(r"\s*[–—]\s*", "-", val)
+    val = re.sub(r"\s*-\s*", "-", val)
+    val = re.sub(r"\s*/\s*", "/", val)
+    val = re.sub(r"\s*\.\s*", ".", val)
+    val = re.sub(r"(?<=\d)\s+(?=\d)", "", val)
+    val = re.sub(r"(См\.)\s*(?=\S)", r"\1 ", val)
+    val = re.sub(r"-{2,}", "-", val)
+    val = re.sub(r"\s+", " ", val)
+    return val.strip()
+
+
+def model_is_excluded(row_text: str) -> bool:
+    normalized = row_text.casefold().replace("ё", "е")
+    pattern = r"(?<![а-я])" + r"\s*".join("исключен") + r"(?![а-я])"
+    return re.search(pattern, normalized, flags=re.IGNORECASE) is not None
+
+
+def model_merge(rows: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Reference merge_continued_rows over (key, val) rows."""
+
+    def is_new(v: str) -> bool:
+        return bool(re.match(r"^(?:№?\d{4,})(/ТЗ.*)?", v.strip()))
+
+    merged: list[dict] = []
+    prev: dict | None = None
+    for key, val in rows:
+        if key.strip().startswith("Name:"):
+            continue
+        if is_new(key):
+            if prev is not None:
+                merged.append(prev)
+            prev = {"k": key, "v": val}
+        else:
+            if prev is not None:
+                for c, cur in (("k", key), ("v", val)):
+                    cur = cur.strip()
+                    if cur:
+                        old = prev[c].strip()
+                        prev[c] = (old + " " + cur).strip() if old else cur
+            else:
+                prev = {"k": key, "v": val}
+    if prev is not None:
+        merged.append(prev)
+    return [(m["k"].strip(), m["v"].strip()) for m in merged]
+
+
+# --- strategies --------------------------------------------------------
+
+reg_num_fragment = st.one_of(
+    st.just("№"),
+    st.just("См."),
+    st.just("/ТЗ"),
+    st.just("–"),
+    st.just("-"),
+    st.just("."),
+    st.from_regex(r"[0-9٠]{1,5}", fullmatch=True),
+    st.just(" "),
+    st.just("  "),
+    st.from_regex(r"[а-яa-z]{1,4}", fullmatch=True),
+)
+
+reg_nums = st.lists(reg_num_fragment, min_size=0, max_size=8).map("".join)
+
+key_cells = st.one_of(
+    st.from_regex(r"№?[0-9٠]{4,6}(/ТЗ)?", fullmatch=True),  # new-record keys
+    st.from_regex(r"[а-я ]{0,10}", fullmatch=True),      # continuations
+    st.just("Name: шум"),
+    st.just(""),
+)
+val_cells = st.from_regex(r"[a-zа-я ]{0,12}", fullmatch=True)
+
+
+@pytest.mark.usefixtures("spark")
+class TestProperties:
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(values=st.lists(reg_nums, min_size=1, max_size=30))
+    def test_reg_num_matches_reference_model(self, spark, values):
+        df = spark.createDataFrame([(v,) for v in values], "x string")
+        got = [
+            r[0]
+            for r in df.select(normalize_reg_num_col(F.col("x")).alias("y")).collect()
+        ]
+        want = [model_preprocess_reg_num(v) for v in values]
+        assert got == want
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(
+            st.from_regex(r"[а-яa-z ёЁ.,]{0,40}", fullmatch=True),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_exclusion_matches_reference_model(self, spark, texts):
+        df = spark.createDataFrame([(t,) for t in texts], "x string")
+        got = [r[0] for r in df.select(is_excluded_col("x").alias("y")).collect()]
+        want = [model_is_excluded(t) for t in texts]
+        assert got == want
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(st.tuples(key_cells, val_cells), min_size=1, max_size=25)
+    )
+    def test_merge_matches_reference_model(self, spark, rows):
+        df = spark.createDataFrame(
+            [(i, k, v) for i, (k, v) in enumerate(rows)],
+            "idx long, k string, v string",
+        )
+        out = merge_continuation_rows(df, key_col="k", idx_col="idx").collect()
+        got = [(r["k"], r["v"]) for r in out]
+        want = model_merge(rows)
+        assert got == want

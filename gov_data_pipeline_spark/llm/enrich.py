@@ -99,7 +99,7 @@ def ocr_enrich(
             return None
         return _ocr_request(row[image_col])
 
-    out = llm_map(flagged, build, "__ocr_text", client_factory)
+    out = llm_map(flagged, build, "__ocr_text", client_factory, gate=F.col("__need_ocr"))
     return out.withColumn(
         brand_col,
         F.when(
@@ -154,7 +154,7 @@ def brand_variants(
             response_format="json_object",
         )
 
-    out = llm_map(flagged, build, "__brand_json", client_factory)
+    out = llm_map(flagged, build, "__brand_json", client_factory, gate=F.col("__need_brand"))
     parsed = F.from_json(
         F.col("__brand_json"),
         "english_samples array<string>, russian_samples array<string>",
@@ -204,7 +204,7 @@ def correct_rows(
             response_format="json_object",
         )
 
-    out = llm_map(flagged, build, "__corr_json", client_factory)
+    out = llm_map(flagged, build, "__corr_json", client_factory, gate=F.col("__need_corr"))
     corrected = F.from_json(F.col("__corr_json"), "corrected_row map<string,string>")[
         "corrected_row"
     ]

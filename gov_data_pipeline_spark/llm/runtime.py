@@ -70,6 +70,7 @@ def llm_map(
     concurrency: int = 8,
     max_retries: int = 5,
     initial_delay: float = 2.0,
+    gate: "F.Column | None" = None,
 ) -> DataFrame:
     """Append ``output_col`` (string) = model completion per row.
 
@@ -77,7 +78,30 @@ def llm_map(
     to skip). ``client_factory`` is constructed once per partition on
     the executor (connection reuse across the batch); it must be
     picklable.
+
+    ``gate`` (native boolean Column): rows failing it bypass the Python
+    worker entirely — they get a null ``output_col`` via a filtered
+    union, never crossing the Arrow boundary. With sparse gates (the
+    usual case: only a fraction of rows need the model) this removes
+    most of the UDF serialization cost; ``build_request`` returning
+    ``None`` remains the row-level skip inside gated batches.
     """
+    if gate is not None:
+        need = df.filter(gate)
+        skip = df.filter(~F.coalesce(gate, F.lit(False))).withColumn(
+            output_col, F.lit(None).cast("string")
+        )
+        mapped = llm_map(
+            need,
+            build_request,
+            output_col,
+            client_factory,
+            concurrency,
+            max_retries,
+            initial_delay,
+            gate=None,
+        )
+        return mapped.unionByName(skip)
     # mapInPandas cannot resolve column names containing dots (registry
     # columns like "Рег. №" do), so the UDF boundary runs under
     # positional placeholder names; the mapper sees the real names.

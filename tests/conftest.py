@@ -12,9 +12,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from gov_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    wh = tempfile.mkdtemp(prefix="spark_wh_")
+    spark = get_spark(
+        app_name="tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield spark
 
 

@@ -102,11 +102,118 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series gap-fill + forward-fill (hypertable-rollup shape): hourly
+# buckets per user over each user's active span; empty buckets carry the
+# last observed value forward. Spark: sequence() to generate the dense
+# bucket spine (no driver-side loop), left join, last(ignorenulls).
+# ---------------------------------------------------------------------------
+
+
+def q64_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = _t(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("hour_value"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    joined = spine.join(hourly, ["user_id", "bucket"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        joined.withColumn("filled", F.last("hour_value", ignorenulls=True).over(w))
+        .withColumn("was_gap", F.col("hour_value").isNull().cast("int"))
+        .select("user_id", "bucket", "filled", "was_gap")
+        .orderBy("user_id", "bucket")
+    )
+
+
+_Q64_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         round(sum(value), 2) AS hour_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+  FROM hourly GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans),
+joined AS (
+  SELECT s.user_id, s.bucket, h.hour_value
+  FROM spine s LEFT JOIN hourly h
+    ON s.user_id = h.user_id AND s.bucket = h.bucket)
+SELECT user_id, bucket,
+       last_value(hour_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       CAST(hour_value IS NULL AS INT) AS was_gap
+FROM joined
+ORDER BY user_id, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling — the reproducible subsampling / train-test
+# split primitive for training corpora: membership is a pure function of
+# the stable id (md5 on both engines), so samples are stable across
+# runs, clusters, and engines; no RNG state, no reservoir.
+# ---------------------------------------------------------------------------
+
+
+def q65_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # first md5 byte of the id -> uniform 0..255; keep < 64 (25% sample)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    return (
+        docs.withColumn("hash_bucket", bucket)
+        .filter(F.col("hash_bucket") < 64)
+        .withColumn(
+            "split",
+            F.when(F.col("hash_bucket") < 16, F.lit("test")).otherwise(F.lit("train")),
+        )
+        .select("doc_id", "hash_bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+_Q65_SQL = """
+WITH hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS hash_bucket
+  FROM documents)
+SELECT doc_id, hash_bucket,
+       CASE WHEN hash_bucket < 16 THEN 'test' ELSE 'train' END AS split
+FROM hashed
+WHERE hash_bucket < 64
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q60_tumbling": q60_tumbling,
     "q61_sliding": q61_sliding,
     "q62_session_window": q62_session_window,
     "q63_stream_dedup": q63_stream_dedup,
+    "q64_gapfill": q64_gapfill,
+    "q65_hash_sample": q65_hash_sample,
 }
 
 ORACLE = {
@@ -114,4 +221,6 @@ ORACLE = {
     "q61_sliding": _Q61_SQL,
     "q62_session_window": _Q62_SQL,
     "q63_stream_dedup": _Q63_SQL,
+    "q64_gapfill": _Q64_SQL,
+    "q65_hash_sample": _Q65_SQL,
 }

@@ -116,6 +116,68 @@ def hyperplane_signature(vec: Column, bits: int = 16, plane_offset: int = 0) -> 
     )
 
 
+def cosine_pairs_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    threshold: float,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """All (query, corpus) pairs with cosine >= threshold, computed as
+    a numpy matrix product per Arrow batch.
+
+    This is the documented exception to "stay native": a dense
+    all-pairs similarity is a GEMM, and BLAS beats interpreted
+    expression evaluation by ~100x. The query side is collected and
+    broadcast (it must be the small side — thousands, not millions);
+    the corpus streams through ``mapInPandas``, so the scan stays
+    distributed and cost scales linearly with |corpus|. Output sims are
+    float64 rounded to 4 decimals, matching the exact operators'
+    convention (summation order differs from sequential evaluation by
+    ulps — use the exact path when bit-parity with an oracle matters).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    src = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+    )
+
+    def mapper(batches):
+        q_ids, q_norm = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array([list(v) for v in pdf["__cv"]], dtype=np.float64)
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ q_norm.T  # (n_corpus_batch, n_queries)
+            ci, qi = np.nonzero(sims >= threshold)
+            out = pd.DataFrame(
+                {
+                    "a_id": q_ids[qi],
+                    "b_id": pdf["__cid"].to_numpy()[ci],
+                    "cosine_sim": np.round(sims[ci, qi], 4),
+                }
+            )
+            if exclude_self:
+                out = out[out["a_id"] != out["b_id"]]
+            yield out
+
+    return src.mapInPandas(
+        mapper, schema="a_id long, b_id long, cosine_sim double"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

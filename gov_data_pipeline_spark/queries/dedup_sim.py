@@ -280,6 +280,25 @@ ORDER BY a_id, b_id
 # ---------------------------------------------------------------------------
 
 
+def q56_cosine_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM-backed variant of q46 (same planted mutants, same
+    threshold): broadcast query matrix, numpy matrix product per Arrow
+    batch. rows-only driver check; equality with the exact native
+    version is asserted in tests/test_dedup_sim.py."""
+    from gov_data_pipeline_spark.operators.similarity import cosine_pairs_gemm
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)).alias(
+            "embedding"
+        ),
+    )
+    return cosine_pairs_gemm(
+        mutants, emb, "vec_id", "vec_id", "embedding", "embedding", threshold=0.99
+    ).orderBy("a_id", "b_id")
+
+
 def q47_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -402,6 +421,7 @@ QUERIES = {
     "q44_cosine_topk": q44_cosine_topk,
     "q45_ann_lsh": q45_ann_lsh,
     "q55_ann_ivf": q55_ann_ivf,
+    "q56_cosine_neardup_gemm": q56_cosine_neardup_gemm,
     "q46_cosine_neardup": q46_cosine_neardup,
     "q47_text_stats": q47_text_stats,
     "q48_lang_id": q48_lang_id,

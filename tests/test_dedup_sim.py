@@ -83,3 +83,21 @@ def test_ivf_overlaps_exact_topk(spark, sf_dir):
     # random 64-dim vectors have weak cluster structure; this is a smoke
     # floor proving the cells are not degenerate, not a quality bar
     assert hit / total > 0.05
+
+
+def test_gemm_neardup_matches_exact(spark, sf_dir):
+    from gov_data_pipeline_spark.queries.dedup_sim import (
+        q46_cosine_neardup,
+        q56_cosine_neardup_gemm,
+    )
+
+    exact = {(r["a_id"], r["b_id"]): r["cosine_sim"]
+             for r in q46_cosine_neardup(spark, sf_dir).collect()}
+    gemm = {(r["a_id"], r["b_id"]): r["cosine_sim"]
+            for r in q56_cosine_neardup_gemm(spark, sf_dir).collect()}
+    # pair sets may differ only for sims within ulp of the threshold
+    only_exact = {p for p in exact if p not in gemm and abs(exact[p] - 0.99) > 1e-6}
+    only_gemm = {p for p in gemm if p not in exact and abs(gemm[p] - 0.99) > 1e-6}
+    assert not only_exact and not only_gemm
+    for p in exact.keys() & gemm.keys():
+        assert abs(exact[p] - gemm[p]) <= 1e-3

@@ -33,8 +33,8 @@ from gov_data_pipeline_spark.transforms import (
     merge_continuation_rows,
     normalize_reg_num_col,
     promote_headers,
+    strip_all_strings,
 )
-from gov_data_pipeline_spark.transforms.headers import clean_column_name
 
 # Reference column names (belarus.py:22-24, kazakhstan.py:26-28,
 # kyrgyzstan.py:284-296).
@@ -79,13 +79,9 @@ def belarus_pipeline(
     correction: bool = False,
 ) -> DataFrame:
     df = promote_headers(raw, idx_col, skip_rows=2, repair=False)
-    df = df.select(
-        F.col(idx_col),
-        *[
-            F.regexp_replace(qcol(c), r"^\s+|\s+$", "").alias(c)
-            for c in _strings(df, idx_col)
-        ],
-    )
+    # shared helper: replicates Python str.strip() incl. Unicode
+    # whitespace (NBSP etc.), which registry workbooks do contain
+    df = strip_all_strings(df)
     if images is not None:
         df = attach_images(df, images, idx_col, image_col)
     else:
@@ -109,10 +105,10 @@ def kazakhstan_pipeline(
     image_col: str = "Изображение",
     correction: bool = False,
 ) -> DataFrame:
-    df = promote_headers(raw, idx_col, skip_rows=2, repair=False)
-    df = df.withColumnsRenamed(
-        {c: clean_column_name(c) for c in _strings(df, idx_col)}
-    )
+    # repair=True: clean_column_name runs BEFORE dedup, so split-word
+    # headers that clean to the same name get disambiguated instead of
+    # colliding (kazakhstan's own repair case can produce collisions)
+    df = promote_headers(raw, idx_col, skip_rows=2, repair=True)
     # clean_text on every string column EXCEPT the image data-URI column
     # (the reference runs it before the image column exists).
     df = df.select(

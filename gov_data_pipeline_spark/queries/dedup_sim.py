@@ -148,8 +148,10 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L6 (SimHash) — 64-bit fingerprints; near-dup pairs by 16-bit-chunk
-# blocking + hamming<=8 verify. rows-only (xxhash64-based).
+# L6 (SimHash) — 64-bit fingerprints; near-dup pairs by 8-bit-chunk
+# blocking + hamming<=7 verify. With 8 chunks, any pair at hamming<=7
+# shares at least one identical chunk (pigeonhole), so blocking has
+# perfect recall for the verified threshold. rows-only (xxhash64).
 # ---------------------------------------------------------------------------
 
 
@@ -168,11 +170,11 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
+                F.sequence(F.lit(0), F.lit(7)),
                 lambda c: F.struct(
                     c.alias("chunk"),
-                    F.call_function("shiftright", F.col("simhash"), c * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.call_function("shiftright", F.col("simhash"), c * 8)
+                    .bitwiseAND(F.lit(0xFF))
                     .alias("val"),
                 ),
             )
@@ -192,7 +194,7 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= 7)
     )
     return pairs.orderBy("a_id", "b_id")
 

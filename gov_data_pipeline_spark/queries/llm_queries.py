@@ -86,6 +86,7 @@ flagged AS (
 ocr AS (
   SELECT *,
          CASE WHEN NOT excl AND trim(brand) = '' AND image <> ''
+                   AND decode(from_base64(replace(image, '{_PREFIX}', ''))) <> ''
               THEN decode(from_base64(replace(image, '{_PREFIX}', ''))) || ' (RECOG)'
               ELSE brand END AS brand2
   FROM flagged),

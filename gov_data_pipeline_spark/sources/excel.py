@@ -75,10 +75,10 @@ def write_excel(df: DataFrame, path_or_buf, max_rows: int = 1_048_576) -> None:
     never for datasets — large results go to ``write_parquet``.
     """
     _require_pandas_excel()
-    n = df.count()
-    if n > max_rows:
+    pdf = df.limit(max_rows + 1).toPandas()  # one job: collect + guard
+    if len(pdf) > max_rows:
         raise ValueError(
-            f"write_excel: {n} rows exceeds the Excel sheet limit "
+            f"write_excel: result exceeds the Excel sheet limit "
             f"({max_rows}); use write_parquet for datasets."
         )
-    df.toPandas().to_excel(path_or_buf, index=False)
+    pdf.to_excel(path_or_buf, index=False)

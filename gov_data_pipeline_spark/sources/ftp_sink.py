@@ -60,21 +60,41 @@ class FTPSink:
                 raise ConnectionError("FTP: could not (re)connect")
         return self._ftp
 
-    def _mkdirs(self, ftp: Any, path: str) -> None:
-        current = ""
+    def _mkdirs_and_enter(self, ftp: Any, path: str) -> None:
+        """cd into ``path`` from the login root, creating segments as
+        needed. One segment at a time, each cwd/mkd relative to the
+        directory just entered — cumulative relative paths (as in the
+        reference, utils/ftp.py:64-71) resolve wrongly once the first
+        cwd succeeds."""
         for part in path.strip("/").split("/"):
-            current = f"{current}/{part}" if current else part
+            if not part:
+                continue
             try:
-                ftp.cwd(current)
+                ftp.cwd(part)
             except Exception:
-                ftp.mkd(current)
-                ftp.cwd(current)
+                ftp.mkd(part)
+                ftp.cwd(part)
 
     def upload_bytes(self, file_bytes: bytes, file_name: str) -> None:
-        ftp = self._ensure()
-        remote_path = f"{self.remote_dir.rstrip('/')}/{file_name}"
-        self._mkdirs(ftp, self.remote_dir)
-        ftp.storbinary(f"STOR {remote_path}", io.BytesIO(file_bytes))
+        """Upload into remote_dir, creating it if needed. On a failed
+        transfer the cached session is dropped and one reconnect+retry
+        is attempted (lost-session recovery); the second failure
+        propagates."""
+        for attempt in (1, 2):
+            ftp = self._ensure()
+            try:
+                self._mkdirs_and_enter(ftp, self.remote_dir)
+                ftp.storbinary(f"STOR {file_name}", io.BytesIO(file_bytes))
+                return
+            except Exception:
+                # drop the (possibly dead) session; retry once fresh
+                try:
+                    ftp.quit()
+                except Exception:
+                    pass
+                self._ftp = None
+                if attempt == 2:
+                    raise
 
     def close(self) -> None:
         if self._ftp is not None:

@@ -32,11 +32,18 @@ def clean_column_name(name: str) -> str:
 def dedup_column_names(names: list[str | None]) -> list[str]:
     """Disambiguate empty/duplicate column names
     (``handlers/kyrgyzstan.py:255-267``): empty or repeated names become
-    ``{name or 'Unnamed'}_{i}`` with the first free counter."""
+    ``{name or 'Unnamed'}_{i}`` with the first free counter.
+
+    Deviation from the reference: membership is checked on the
+    *stripped* name. The reference compares unstripped but stores
+    stripped, so whitespace-variant headers (``'a'``, ``' a'``) slip
+    through as duplicates — which then crashes its DataFrame
+    construction anyway; deduping is the function's whole intent.
+    """
     unique: list[str] = []
     seen: set[str] = set()
     for col in names:
-        col = col or ""
+        col = (col or "").strip()
         if not col or col in seen:
             counter = 1
             new_col = f"{col or 'Unnamed'}_{counter}"
@@ -45,7 +52,7 @@ def dedup_column_names(names: list[str | None]) -> list[str]:
                 new_col = f"{col or 'Unnamed'}_{counter}"
             unique.append(new_col)
         else:
-            unique.append(col.strip())
+            unique.append(col)
         seen.add(unique[-1])
     return unique
 

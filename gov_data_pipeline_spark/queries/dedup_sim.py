@@ -406,6 +406,39 @@ ORDER BY doc_id
 """
 
 
+def q57_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash document fingerprinting,
+    L8): one row per (doc, fingerprint); shared fingerprints between
+    docs witness shared substrings of length >= w + k - 1 = 23."""
+    from gov_data_pipeline_spark.operators.dedup import winnowing_fingerprints_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints_df(docs, "doc_id", F.col("text"), k=8, w=16).orderBy(
+        "doc_id", "fp"
+    )
+
+
+_Q57_SQL = """
+WITH g AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 8 THEN
+           list_transform(range(1, length(t) - 6),
+             i -> CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 8)) AS BIGINT))
+         ELSE [CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)] END AS hs
+  FROM g),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 16 THEN
+           list_distinct(list_transform(range(1, len(hs) - 14),
+                                        j -> list_min(hs[j:j+15])))
+         ELSE [list_min(hs)] END AS fps
+  FROM grams)
+SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp
+"""
+
+
 def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic centroids, n_probe=3 of 16
     cells searched per query. rows-only driver check; recall vs the
@@ -431,9 +464,11 @@ QUERIES = {
     "q47_text_stats": q47_text_stats,
     "q48_lang_id": q48_lang_id,
     "q49_fingerprint": q49_fingerprint,
+    "q57_winnowing": q57_winnowing,
 }
 
 ORACLE = {
+    "q57_winnowing": _Q57_SQL,
     "q40_exact_dedup": _Q40_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q44_cosine_topk": _Q44_SQL,

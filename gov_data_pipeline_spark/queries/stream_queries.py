@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gov_data_pipeline_spark.catalog import read_table as _t
 from gov_data_pipeline_spark.streaming import (
+    cumulative_alerts,
     dedup_within_watermark,
     session_counts,
     sliding_stats,
@@ -207,6 +208,32 @@ ORDER BY doc_id
 """
 
 
+def q66_cumulative_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch execution of the custom stateful operator
+    (streaming/stateful.py): per-user running-total threshold alerts.
+    The streaming form (applyInPandasWithState) is asserted equal to
+    this plan in tests/test_streaming.py."""
+    events = _t(spark, sf_dir, "events")
+    return cumulative_alerts(events, threshold=1000.0).orderBy("user_id", "event_id")
+
+
+_Q66_SQL = """
+WITH cum AS (
+  SELECT user_id, event_id, ts,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         sum(CAST(value AS DECIMAL(18,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM events)
+SELECT user_id, event_id, ts,
+       CAST(c AS DOUBLE) AS cum_value,
+       CAST(floor(c / 1000.0) AS INT) AS level
+FROM cum
+WHERE floor(c / 1000.0) > floor((c - v) / 1000.0)
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "q60_tumbling": q60_tumbling,
     "q61_sliding": q61_sliding,
@@ -214,9 +241,11 @@ QUERIES = {
     "q63_stream_dedup": q63_stream_dedup,
     "q64_gapfill": q64_gapfill,
     "q65_hash_sample": q65_hash_sample,
+    "q66_cumulative_alerts": q66_cumulative_alerts,
 }
 
 ORACLE = {
+    "q66_cumulative_alerts": _Q66_SQL,
     "q60_tumbling": _Q60_SQL,
     "q61_sliding": _Q61_SQL,
     "q62_session_window": _Q62_SQL,

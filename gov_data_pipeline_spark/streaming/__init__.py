@@ -1,3 +1,7 @@
+from gov_data_pipeline_spark.streaming.stateful import (  # noqa: F401
+    ALERT_SCHEMA,
+    cumulative_alerts,
+)
 from gov_data_pipeline_spark.streaming.windows import (  # noqa: F401
     EVENTS_SCHEMA,
     dedup_within_watermark,

@@ -1,0 +1,134 @@
+"""Custom stateful streaming operator (SURVEY L9/L10 extension):
+per-key cumulative-threshold alerting via ``applyInPandasWithState``.
+
+This is the pattern for operators Spark's built-in windowed
+aggregations cannot express: arbitrary per-key running state updated in
+event order. The reference's closest ancestor is the sequential
+continuation-row scan (``handlers/kyrgyzstan.py:183-217``) — state
+carried across rows — but here the state lives in Spark's streaming
+state store, checkpointed and partitioned by key, instead of a Python
+loop over the whole table.
+
+Semantics (both modes identical): for each user, accumulate ``value``
+in ``(ts, event_id)`` order; emit one row per event that pushes the
+running total across a multiple of ``threshold`` ("alert"), with the
+truncated running total and the level index reached.
+
+- **Batch mode** expresses it as a window cumulative sum — fully
+  SQL-expressible, so this form carries the DuckDB oracle (q66).
+- **Streaming mode** keeps one long (integer cents) per user in
+  ``GroupState`` — O(distinct keys) state, never O(rows).
+
+All three executions (stream, batch twin, DuckDB oracle) use exact
+arithmetic — integer cents / DECIMAL(18,2) — because float cumsums are
+summation-order-dependent (DuckDB windows aggregate via segment tree,
+Spark sequentially) and disagree by ulps right at the floor boundary.
+
+Scale notes: state is one 8-byte double per key, partitioned by the
+shuffle on ``user_id`` — 10^9 users is 8 GB of state across the
+cluster, far below the state-store practical limits. Alerts stream out
+incrementally (append mode); nothing buffers unbounded. Event-time
+order across micro-batches is the caller's contract (upstream
+watermark + sorted replay); within a micro-batch the operator sorts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.window import Window as W
+
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("cum_value", T.DoubleType()),
+        T.StructField("level", T.IntegerType()),
+    ]
+)
+
+# State: running total in integer cents — exact arithmetic, so the
+# stream, the batch twin (decimal sums) and the DuckDB oracle agree
+# bit-for-bit. Float accumulation would not: engines disagree by ulps
+# when summation order differs (DuckDB windows sum via segment tree).
+_STATE_SCHEMA = T.StructType([T.StructField("cum_cents", T.LongType())])
+
+
+def _batch_cumulative_alerts(events: DataFrame, threshold: float) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    c = F.sum(v).over(w)
+    scored = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        v.alias("__v"),
+        c.alias("__c"),
+    )
+    crossed = F.floor(F.col("__c") / threshold) > F.floor(
+        (F.col("__c") - F.col("__v")) / threshold
+    )
+    return scored.filter(crossed).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("__c").cast("double").alias("cum_value"),
+        F.floor(F.col("__c") / threshold).cast("int").alias("level"),
+    )
+
+
+def cumulative_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
+    """Emit an alert row whenever a user's running ``value`` total
+    crosses a multiple of ``threshold``.
+
+    Streaming input -> ``applyInPandasWithState`` (state: one double per
+    user). Batch input -> the window-cumsum twin with identical
+    semantics (the oracle-checked form, q66).
+    """
+    if not events.isStreaming:
+        return _batch_cumulative_alerts(events, threshold)
+
+    import pandas as pd  # local: executors import lazily
+
+    thr_cents = int(round(threshold * 100))
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: Any
+    ) -> Iterator["pd.DataFrame"]:
+        cum = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        out: list[tuple[Any, ...]] = []
+        for row in batch.itertuples(index=False):
+            prev = cum
+            cum = cum + int(round(float(row.value) * 100))
+            if cum // thr_cents > prev // thr_cents:
+                out.append(
+                    (
+                        key[0],
+                        int(row.event_id),
+                        row.ts,
+                        cum / 100.0,
+                        int(cum // thr_cents),
+                    )
+                )
+        state.update((cum,))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts", "cum_value", "level"]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

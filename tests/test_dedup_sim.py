@@ -101,3 +101,42 @@ def test_gemm_neardup_matches_exact(spark, sf_dir):
     assert not only_exact and not only_gemm
     for p in exact.keys() & gemm.keys():
         assert abs(exact[p] - gemm[p]) <= 1e-3
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length
+    >= w + k - 1 (= 23 at k=8, w=16) share at least one fingerprint;
+    unrelated docs share none (md5 collision odds ~0)."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.operators.dedup import winnowing_fingerprints_df
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 chars
+    rows = [
+        (1, "PREFIX one " + shared + " SUFFIX alpha"),
+        (2, "totally different start " + shared + " other ending"),
+        (3, "no overlap here at all, completely unrelated content xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints_df(df, "doc_id", F.col("text")).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 44-char substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_docs(spark):
+    """Docs shorter than a window (or a gram) still fingerprint."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.operators.dedup import winnowing_fingerprints_df
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "twelve chars"), (3, "x" * 30)],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints_df(df, "doc_id", F.col("text")).collect()
+    docs = {r["doc_id"] for r in fps}
+    assert docs == {1, 2, 3}

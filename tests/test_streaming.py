@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from gov_data_pipeline_spark.catalog import read_table
 from gov_data_pipeline_spark.streaming import (
+    cumulative_alerts,
     dedup_within_watermark,
     read_events_stream,
     tumbling_counts,
@@ -68,6 +69,45 @@ def test_stream_dedup_drops_duplicates(spark, stream_dir):
     _run_to_memory(deduped, name, "append")
     n = spark.sql(f"SELECT count(DISTINCT event_id) c, count(*) n FROM {name}").collect()[0]
     assert n["c"] == n["n"]  # no duplicate event_ids survive
+
+
+def test_stateful_alerts_match_batch(spark, sf_dir):
+    """The applyInPandasWithState form must emit exactly the rows the
+    batch window-cumsum twin (the oracle-checked q66 plan) produces.
+    Feed files split by time range, in event-time order, so the state
+    updates see events in the same order the batch window sorts them."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="alerts_stream_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        # 3 time-range files, mtime-ordered => micro-batches in event-time order
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 3
+        cuts = [lo + span, lo + 2 * span]
+        ranges = [
+            F.col("ts") < cuts[0],
+            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+            F.col("ts") >= cuts[1],
+        ]
+        for i, cond in enumerate(ranges):
+            path = os.path.join(d, f"part{i}")
+            events.filter(cond).coalesce(1).write.parquet(path)
+            for root, _, files in os.walk(path):
+                for f in files:
+                    t = 1_000_000_000 + i * 5_000
+                    os.utime(os.path.join(root, f), (t, t))
+        stream = read_events_stream(spark, d + "/*")
+        name = f"s_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(cumulative_alerts(stream, threshold=1000.0), name, "append")
+        got = {
+            tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        want = {tuple(r) for r in cumulative_alerts(events, threshold=1000.0).collect()}
+        assert got == want
+        assert len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_watermark_drops_late_rows(spark):

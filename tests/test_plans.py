@@ -60,3 +60,33 @@ class TestTopK:
     def test_q14_take_ordered_not_global_sort(self, spark, sf_dir):
         plan = _plan(q14_topk_orders(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan
+
+
+class TestNewOperatorPlans:
+    def test_q57_winnowing_stays_jvm_side(self, spark, sf_dir):
+        """The winnowing pipeline must never enter a Python worker:
+        gram hashing and the sliding min are codegen'd / JVM-side."""
+        from gov_data_pipeline_spark.queries.dedup_sim import q57_winnowing
+
+        df = q57_winnowing(spark, sf_dir)
+        df.collect()  # AQE finalizes the plan only on execution
+        plan = _plan(df)
+        assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython
+        assert "*(1)" in plan  # whole-stage-codegen'd spans present
+
+    def test_q66_batch_alerts_single_shuffle(self, spark, sf_dir):
+        """The batch twin of the stateful alert op needs exactly one
+        exchange: the window partitioning on user_id (plus the final
+        orderBy's range exchange); the filter must not add more."""
+        from gov_data_pipeline_spark.queries.stream_queries import (
+            q66_cumulative_alerts,
+        )
+
+        plan = _plan(q66_cumulative_alerts(spark, sf_dir))
+        assert "EvalPython" not in plan
+        # hashpartitioning on user_id for the window; rangepartitioning
+        # for the deterministic output order; nothing else.
+        import re
+
+        exchanges = re.findall(r"Exchange (\w+)", plan)
+        assert len(exchanges) <= 2, exchanges

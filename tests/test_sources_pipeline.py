@@ -217,3 +217,36 @@ class TestDocumentIngestGating:
                 fn(arg)
         with pytest.raises(NotImplementedError):
             extract_xlsx_images(b"", "belarus")
+
+
+class TestFileFormats:
+    """T1 beyond parquet: CSV and JSON scans round-trip typed data with
+    explicit schemas (inference is opt-in only)."""
+
+    def test_csv_roundtrip_explicit_schema(self, spark, sf_dir, tmp_path):
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.sources.files import read_csv
+
+        nation = read_table(spark, sf_dir, "nation")
+        path = str(tmp_path / "nation_csv")
+        nation.coalesce(1).write.option("header", "true").csv(path)
+        back = read_csv(
+            spark,
+            path,
+            schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+        )
+        assert sorted(back.collect()) == sorted(
+            nation.select("n_nationkey", "n_name", "n_regionkey").collect()
+        )
+
+    def test_json_roundtrip_and_schema_pruning(self, spark, sf_dir, tmp_path):
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.sources.files import read_json
+
+        region = read_table(spark, sf_dir, "region")
+        path = str(tmp_path / "region_json")
+        region.coalesce(1).write.json(path)
+        back = read_json(spark, path, schema="r_regionkey bigint, r_name string")
+        assert sorted(back.collect()) == sorted(
+            region.select("r_regionkey", "r_name").collect()
+        )

@@ -439,6 +439,60 @@ SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp
 """
 
 
+def q58_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pair detection via winnowing fingerprints: pairs
+    of documents sharing >= 3 fingerprints, i.e. overlapping substrings
+    (quotes / boilerplate / containment) — the case Jaccard-style
+    whole-document dedup misses, because a short quote barely moves the
+    whole-document similarity. Inverted-index join on fp: only
+    co-fingerprinted pairs materialize, never the pair space."""
+    from gov_data_pipeline_spark.operators.dedup import winnowing_fingerprints_df
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    fps = winnowing_fingerprints_df(corpus, "doc_id", F.col("text"), k=8, w=16)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("a_id", "b_id")
+    )
+
+
+_Q58_SQL = f"""
+WITH u AS ({_DOCS_DUPS_SQL}),
+g AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM u),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 8 THEN
+           list_transform(range(1, length(t) - 6),
+             i -> CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 8)) AS BIGINT))
+         ELSE [CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)] END AS hs
+  FROM g),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 16 THEN
+           list_distinct(list_transform(range(1, len(hs) - 14),
+                                        j -> list_min(hs[j:j+15])))
+         ELSE [list_min(hs)] END AS fps
+  FROM grams),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+ORDER BY a_id, b_id
+"""
+
+
 def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic centroids, n_probe=3 of 16
     cells searched per query. rows-only driver check; recall vs the
@@ -465,10 +519,12 @@ QUERIES = {
     "q48_lang_id": q48_lang_id,
     "q49_fingerprint": q49_fingerprint,
     "q57_winnowing": q57_winnowing,
+    "q58_overlap_pairs": q58_overlap_pairs,
 }
 
 ORACLE = {
     "q57_winnowing": _Q57_SQL,
+    "q58_overlap_pairs": _Q58_SQL,
     "q40_exact_dedup": _Q40_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q44_cosine_topk": _Q44_SQL,

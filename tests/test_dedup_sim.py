@@ -140,3 +140,38 @@ def test_winnowing_short_docs(spark):
     fps = winnowing_fingerprints_df(df, "doc_id", F.col("text")).collect()
     docs = {r["doc_id"] for r in fps}
     assert docs == {1, 2, 3}
+
+
+def test_stop_shingle_cap_kills_boilerplate_pairs(spark):
+    """Stop-shingle capping: a boilerplate header shared by ALL docs
+    must not generate candidate pairs once capped, while a genuine
+    near-dup pair (sharing rare shingles) still surfaces."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.operators.dedup import jaccard_pairs_text
+
+    header = (
+        "standard government form header please read carefully before signing "
+        "this document is the property of the issuing authority and must be "
+        "returned upon request do not detach any pages"
+    )
+    bodies = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu one two three four",
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet extra",  # near-dup of 0
+    ]
+    df = spark.createDataFrame(
+        [(i, f"{header} {b}") for i, b in enumerate(bodies)],
+        "doc_id long, text string",
+    )
+    uncapped = jaccard_pairs_text(df, "doc_id", F.col("text"), n=3, threshold=0.3)
+    capped = jaccard_pairs_text(
+        df, "doc_id", F.col("text"), n=3, threshold=0.3, max_doc_freq=3
+    )
+    un_pairs = {(r["a_id"], r["b_id"]) for r in uncapped.collect()}
+    cap_pairs = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    # boilerplate makes every pair look >=0.3 similar uncapped
+    assert len(un_pairs) == 6
+    # capped: only the genuine near-dup survives
+    assert cap_pairs == {(0, 3)}

@@ -163,3 +163,48 @@ class TestProperties:
         got = [(r["k"], r["v"]) for r in out]
         want = model_merge(rows)
         assert got == want
+
+
+# --- winnowing fingerprints vs pure-Python model -----------------------
+
+
+def model_winnowing(text: str, k: int = 8, w: int = 16) -> set[int]:
+    """Direct implementation of Schleimer et al. winnowing with the
+    engine's gram hash (first 8 hex chars of md5, as unsigned int)."""
+    import hashlib
+
+    t = text.strip().lower()
+    gh = lambda g: int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)  # noqa: E731
+    if len(t) < k:
+        return {gh(t)}
+    hs = [gh(t[i : i + k]) for i in range(len(t) - k + 1)]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcdefghij ABCXYZ0123 .,-№абвгд")
+            ),
+            min_size=0,
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_winnowing_matches_model(spark, texts):
+    from gov_data_pipeline_spark.operators.dedup import winnowing_fingerprints_df
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set[int]] = {i: set() for i in range(len(texts))}
+    for r in winnowing_fingerprints_df(df, "doc_id", F.col("text")).collect():
+        got[r["doc_id"]].add(r["fp"])
+    want = {i: model_winnowing(t) for i, t in enumerate(texts)}
+    assert got == want

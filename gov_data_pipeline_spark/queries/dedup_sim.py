@@ -143,7 +143,10 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = _docs_with_dups(spark, sf_dir)
-    ex = shingle_rows(corpus, "doc_id", F.col("text"), 3)
+    # widen=False: ex fans out into sig/band/verify consumers that
+    # share AQE-planned exchanges; a pinned-width repartition here
+    # breaks that reuse (measured 2-6x slower).
+    ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False)
     sigs = minhash_from_shingle_rows(ex, "doc_id", num_hashes=32)
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
     verified = verify_candidates_jaccard(cands, ex, "doc_id", threshold=0.5)

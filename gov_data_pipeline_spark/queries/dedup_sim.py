@@ -409,6 +409,39 @@ ORDER BY doc_id
 """
 
 
+def q59_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 incremental form: dedup a new batch (odd doc_ids plus planted
+    copies of already-seen texts) against the ingested corpus (even
+    doc_ids) — only never-seen content survives, one winner per text."""
+    from gov_data_pipeline_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    replayed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _MUT_OFFSET).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(replayed)
+    return (
+        incremental_exact_dedup(new, seen, ["text"], "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_Q59_SQL = f"""
+WITH seen AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_MUT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0),
+fresh AS (
+  SELECT * FROM new WHERE text NOT IN (SELECT text FROM seen))
+SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text ORDER BY doc_id
+"""
+
+
 def q57_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling-hash document fingerprinting,
     L8): one row per (doc, fingerprint); shared fingerprints between
@@ -523,11 +556,13 @@ QUERIES = {
     "q49_fingerprint": q49_fingerprint,
     "q57_winnowing": q57_winnowing,
     "q58_overlap_pairs": q58_overlap_pairs,
+    "q59_incremental_dedup": q59_incremental_dedup,
 }
 
 ORACLE = {
     "q57_winnowing": _Q57_SQL,
     "q58_overlap_pairs": _Q58_SQL,
+    "q59_incremental_dedup": _Q59_SQL,
     "q40_exact_dedup": _Q40_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q44_cosine_topk": _Q44_SQL,

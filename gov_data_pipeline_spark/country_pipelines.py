@@ -143,8 +143,12 @@ def kyrgyzstan_pipeline(
         F.col(idx_col), *[clean_cell_col(qcol(c)).alias(c) for c in cols]
     )
     df = df.withColumnsRenamed({k: v for k, v in KG_RENAMES.items() if k in df.columns})
-    if KG_KEY in df.columns:
-        df = df.withColumn(KG_KEY, normalize_reg_num_col(qcol(KG_KEY)))
+    if KG_KEY not in df.columns:
+        raise ValueError(
+            f"kyrgyzstan_pipeline: key column {KG_KEY!r} missing after renames; "
+            f"got columns {df.columns}"
+        )
+    df = df.withColumn(KG_KEY, normalize_reg_num_col(qcol(KG_KEY)))
     df = merge_continuation_rows(df, key_col=KG_KEY, idx_col=idx_col)
     return enrich_table(
         df.drop(idx_col),

@@ -55,9 +55,15 @@ def _run_batch(
                     initial_delay=initial_delay,
                 )
 
-        return await asyncio.gather(
-            *[one(r) for r in pdf.to_dict(orient="records")]
+        results = await asyncio.gather(
+            *[one(r) for r in pdf.to_dict(orient="records")],
+            return_exceptions=True,
         )
+        # A request that exhausted its retries (or hit a non-retryable
+        # error) yields a null cell instead of failing the Spark task —
+        # otherwise one bad row replays the whole partition, re-sending
+        # every other row's request to the model endpoint.
+        return [None if isinstance(r, BaseException) else r for r in results]
 
     return asyncio.run(run())
 

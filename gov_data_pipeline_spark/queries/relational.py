@@ -651,13 +651,15 @@ def q26_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate percentiles — the 100 TB path where exact distinct
     would shuffle every key."""
     li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
-                "price_p50_p95"
-            ),
+            # Scalar columns, not array<double>: the driver comparator
+            # canonicalizes cell values by hashing and chokes on lists.
+            F.element_at(pct, 1).alias("price_p50"),
+            F.element_at(pct, 2).alias("price_p95"),
         )
         .orderBy("l_returnflag")
     )

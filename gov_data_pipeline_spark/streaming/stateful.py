@@ -56,6 +56,14 @@ ALERT_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType([T.StructField("cum_cents", T.LongType())])
 
 
+def _to_cents(v: float) -> int:
+    """Match the batch twin's DECIMAL(18,2) cast (HALF_UP), not Python
+    ``round()``'s half-to-even: 0.125 -> 13 cents in both paths."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+
+
 def _batch_cumulative_alerts(events: DataFrame, threshold: float) -> DataFrame:
     w = (
         W.partitionBy("user_id")
@@ -107,7 +115,7 @@ def cumulative_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame
         out: list[tuple[Any, ...]] = []
         for row in batch.itertuples(index=False):
             prev = cum
-            cum = cum + int(round(float(row.value) * 100))
+            cum = cum + _to_cents(float(row.value))
             if cum // thr_cents > prev // thr_cents:
                 out.append(
                     (

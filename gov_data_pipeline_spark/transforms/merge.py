@@ -52,6 +52,17 @@ def merge_continuation_rows(
     window is global — correct, but single-task in the ordering step,
     which is the honest cost of a total order (the reference pays the
     same cost by being sequential).
+
+    Input contract: cells must be pre-cleaned with ``clean_cell_col``
+    (trimmed, whitespace-collapsed, null→"") — exactly what the
+    reference guarantees by running ``clean_cell`` on every column
+    before ``merge_continued_rows`` (``kyrgyzstan.py:273-281,309``).
+    On pre-cleaned input this window+concat form is value-identical to
+    the reference's sequential fold. On raw input it differs for
+    standalone records: the reference leaves their cells untouched
+    (``prev = row`` keeps raw whitespace) while this operator always
+    trims; pre-clean first, as every shipped pipeline here does
+    (``country_pipelines.kyrgyzstan_pipeline``).
     """
     value_cols = [c for c in df.columns if c not in (idx_col, partition_col)]
 

@@ -63,6 +63,33 @@ class TestLlmMap:
         rows = {r["id"]: r["resp"] for r in out.collect()}
         assert rows == {1: "alpha", 2: None, 3: "gamma"}
 
+    def test_failed_request_nulls_row_not_partition(self, spark):
+        """A request that exhausts retries yields a null cell; the other
+        rows in the same partition still get their completions and the
+        task does not fail/replay (ADVICE r1: gather(return_exceptions))."""
+
+        class FlakyClient(MockLLMClient):
+            async def complete(self, request):
+                text = request.messages[-1]["content"]
+                if text == "boom":
+                    from gov_data_pipeline_spark.llm.client import RateLimitError
+
+                    raise RateLimitError("permanent 429")
+                return await super().complete(request)
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "boom"), (3, "gamma")], "id long, txt string"
+        ).coalesce(1)
+
+        def build(row):
+            return LLMRequest(messages=[{"role": "user", "content": row["txt"]}])
+
+        out = llm_map(
+            df, build, "resp", FlakyClient, max_retries=2, initial_delay=0.0
+        )
+        rows = {r["id"]: r["resp"] for r in out.collect()}
+        assert rows == {1: "alpha", 2: None, 3: "gamma"}
+
 
 class TestEnrichPieces:
     def test_ocr_gate_and_suffix(self, spark):

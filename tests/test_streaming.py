@@ -175,3 +175,19 @@ def test_watermark_drops_late_rows(spark):
         assert "2024-01-01T08:00:00" not in starts
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_cents_rounding_matches_batch_decimal_cast(spark):
+    """The streaming state update and the batch twin's DECIMAL(18,2)
+    cast must round identically at half-boundaries (ADVICE r1): Python
+    round() is half-to-even (0.125 -> 12) but Spark's decimal cast is
+    HALF_UP (0.125 -> 13); _to_cents must follow the latter."""
+    from gov_data_pipeline_spark.streaming.stateful import _to_cents
+
+    vals = [0.125, 0.135, 2.675, 1.005, 999.995, 0.994999, 10.0, 0.0]
+    rows = spark.createDataFrame(
+        [(v,) for v in vals], "value double"
+    ).selectExpr("value", "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS cents")
+    for r in rows.collect():
+        assert _to_cents(r["value"]) == r["cents"], r["value"]
+    assert _to_cents(0.125) == 13  # the half-to-even trap the fix targets

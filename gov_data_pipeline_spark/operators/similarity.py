@@ -279,6 +279,7 @@ def ann_topk(
     bits: int = 8,
     tables: int = 4,
     exclude_self: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket candidates.
 
@@ -288,6 +289,12 @@ def ann_topk(
     once). Recall for a pair at angle θ is 1-(1-p^bits)^tables with
     p = 1-θ/π. The bucket join replaces the cross join, so cost scales
     with bucket occupancy, not |corpus|×|queries|.
+
+    ``hash_family="md5"`` derives the ±1 plane components from
+    ``md5(dim ',' plane)`` via a tiny broadcast sign table (one digest
+    per (dim, plane), not per row) — reproducible in any md5-capable
+    engine, so q45 carries a full DuckDB oracle. The xxhash64 default
+    computes signs inline per row; both stay entirely JVM-side.
     """
 
     def with_buckets(df: DataFrame, idc: str, vecc: str, ida: str, veca: str) -> DataFrame:
@@ -298,15 +305,53 @@ def ann_topk(
         base = df.select(F.col(idc).alias(ida), F.col(vecc).alias(veca))
         ex = base.select(ida, F.posexplode(veca).alias("__d", "__x"))
         total = tables * bits
-        aggs = [
-            F.sum(
-                F.col("__x").cast("double")
-                * F.when(
-                    F.xxhash64(F.lit(p), F.col("__d")).bitwiseAND(F.lit(1)) == 1, 1.0
-                ).otherwise(-1.0)
-            ).alias(f"__p{p}")
-            for p in range(total)
-        ]
+        if hash_family == "md5":
+            # Broadcast (dim -> 1 sign per plane) table: tables*bits
+            # digests per distinct dimension, zero per-row hashing.
+            signs = F.transform(
+                F.sequence(F.lit(0), F.lit(total - 1)),
+                lambda p: F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    F.col("__d").cast("string"),
+                                    p.cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("int")
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            )
+            dim_signs = ex.select("__d").distinct().select("__d", signs.alias("__sg"))
+            ex = ex.join(F.broadcast(dim_signs), "__d")
+            aggs = [
+                F.sum(
+                    F.col("__x").cast("double") * F.element_at(F.col("__sg"), p + 1)
+                ).alias(f"__p{p}")
+                for p in range(total)
+            ]
+        elif hash_family == "xxhash64":
+            aggs = [
+                F.sum(
+                    F.col("__x").cast("double")
+                    * F.when(
+                        F.xxhash64(F.lit(p), F.col("__d")).bitwiseAND(F.lit(1)) == 1, 1.0
+                    ).otherwise(-1.0)
+                ).alias(f"__p{p}")
+                for p in range(total)
+            ]
+        else:
+            raise ValueError(f"unknown hash_family: {hash_family!r}")
         dots = ex.groupBy(ida).agg(*aggs)
         bucket_exprs = []
         for t in range(tables):

@@ -130,8 +130,11 @@ ORDER BY a_id, b_id
 
 # ---------------------------------------------------------------------------
 # L6 (sketch path) — MinHash + banded LSH candidates, exact-Jaccard
-# verified. xxhash64-based -> rows-only driver check; recall vs the
-# exact pairs is asserted in tests/test_dedup_sim.py.
+# verified. The md5-derived hash family (h1 + i*h2 double hashing) is
+# bit-reproducible in DuckDB, so the whole sketch pipeline — signatures,
+# banding, candidate join, verify — carries a full value-hash oracle.
+# (The xxhash64 family remains the scale default in the operator; recall
+# vs the exact pairs is additionally asserted in tests/test_dedup_sim.py.)
 # ---------------------------------------------------------------------------
 
 
@@ -147,36 +150,98 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share AQE-planned exchanges; a pinned-width repartition here
     # breaks that reuse (measured 2-6x slower).
     ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False)
-    sigs = minhash_from_shingle_rows(ex, "doc_id", num_hashes=32)
+    sigs = minhash_from_shingle_rows(
+        ex, "doc_id", num_hashes=32, hash_family="md5"
+    )
     cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
     verified = verify_candidates_jaccard(cands, ex, "doc_id", threshold=0.5)
     return verified.orderBy("a_id", "b_id")
 
 
+# The oracle joins band slices on their joined-string value; Spark joins
+# on xxhash64 of the same string — identical pairs barring a 2^-64
+# string-hash collision. Everything else (md5 double-hash family, min
+# aggregation, band slicing, exact-Jaccard verify) is replicated
+# value-for-value.
+_Q42_SQL = rf"""
+WITH u AS ({_DOCS_DUPS_SQL}),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hs AS (
+  SELECT doc_id,
+         s,
+         ('0x' || substr(md5(s), 1, 13))::BIGINT  AS h1,
+         ('0x' || substr(md5(s), 14, 13))::BIGINT AS h2
+  FROM ex),
+sig AS (
+  SELECT doc_id, i, min(h1 + i * h2) AS m
+  FROM hs CROSS JOIN range(32) t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, (i // 4)::INT AS band,
+         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM sig GROUP BY doc_id, (i // 4)::INT),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.a_id
+  JOIN ex b ON b.doc_id = c.b_id AND b.s = a.s
+  GROUP BY 1, 2)
+SELECT i.a_id, i.b_id,
+       round(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+ORDER BY a_id, b_id
+"""
+
+
 # ---------------------------------------------------------------------------
-# L6 (SimHash) — 64-bit fingerprints; near-dup pairs by 8-bit-chunk
-# blocking + hamming<=7 verify. With 8 chunks, any pair at hamming<=7
-# shares at least one identical chunk (pigeonhole), so blocking has
-# perfect recall for the verified threshold. rows-only (xxhash64).
+# L6 (SimHash) — 56-bit md5-family fingerprints; near-dup pairs by
+# 8-bit-chunk blocking + hamming<=6 verify. With 7 chunks, any pair at
+# hamming<=6 shares at least one identical chunk (pigeonhole), so
+# blocking has perfect recall for the verified threshold. The md5
+# token-hash makes every fingerprint bit reproducible in DuckDB — full
+# value-hash oracle. (64-bit xxhash64 stays the scale default via
+# ``simhash64_df``.)
 # ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 56
+_SIMHASH_CHUNKS = _SIMHASH_BITS // 8
+_SIMHASH_MAX_HAMMING = _SIMHASH_CHUNKS - 1
 
 
 def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gov_data_pipeline_spark.operators.dedup import hamming64
+    from gov_data_pipeline_spark.operators.dedup import hamming64, simhash_df
 
-    from gov_data_pipeline_spark.operators.dedup import simhash64_df
-
-    corpus = simhash64_df(
+    corpus = simhash_df(
         _docs_with_dups(spark, sf_dir),
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        bits=_SIMHASH_BITS,
+        hash_family="md5",
     )
     chunks = corpus.select(
         "doc_id",
         "simhash",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
+                F.sequence(F.lit(0), F.lit(_SIMHASH_CHUNKS - 1)),
                 lambda c: F.struct(
                     c.alias("chunk"),
                     F.call_function("shiftright", F.col("simhash"), c * 8)
@@ -200,9 +265,42 @@ def q43_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 7)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
     )
     return pairs.orderBy("a_id", "b_id")
+
+
+_Q43_SQL = rf"""
+WITH u AS ({_DOCS_DUPS_SQL}),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM u),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 14))::BIGINT AS h FROM tok),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range({_SIMHASH_BITS}) b(b)
+  GROUP BY doc_id, b.b),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, simhash, c.c AS chunk, (simhash >> (8 * c.c)) & 255 AS val
+  FROM fp CROSS JOIN range({_SIMHASH_CHUNKS}) c(c)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+              AND a.doc_id < b.doc_id)
+SELECT a_id, b_id, hamming FROM pairs
+WHERE hamming <= {_SIMHASH_MAX_HAMMING}
+ORDER BY a_id, b_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -239,11 +337,64 @@ ORDER BY vec_id, rk
 
 
 def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with the md5 plane family (6 tables x 6 bits):
+    every plane sign, bucket id, candidate set, and rerank score is
+    reproduced by the DuckDB oracle below — full value-hash check."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return ann_topk(
-        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5, bits=6, tables=6
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, bits=6, tables=6, hash_family="md5",
     ).orderBy("vec_id", "rk")
+
+
+# Plane component for (dim d, plane p) = ±1 from the low bit of the
+# first hex char of md5('d,p') — identical arithmetic to ann_topk's
+# broadcast sign table. Buckets: plane p belongs to table p // 6, bit
+# p % 6. Dot sums differ from Spark only by float ulps; a bucket-bit
+# flip would need |dot| < ~1e-12, absent from the fixture data.
+_Q45_SQL = """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dims AS (SELECT DISTINCT d FROM ex),
+planes AS (
+  SELECT dims.d, p.p AS p,
+         CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
+                                   1, 1))::INT & 1 = 1
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM dims CROSS JOIN range(36) p(p)),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  FROM ex e JOIN planes pl ON pl.d = e.d
+  GROUP BY e.vec_id, pl.p),
+buckets AS (
+  SELECT vec_id, (p // 6)::INT AS t,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 6)) ELSE 0 END)::BIGINT AS b
+  FROM dots GROUP BY vec_id, (p // 6)::INT),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM buckets q
+  JOIN buckets c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+scored AS (
+  SELECT cand.qid AS vec_id, cand.nid AS neighbor_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ce ON ce.vec_id = cand.nid),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored)
+SELECT vec_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+ORDER BY vec_id, rk
+"""
 
 
 def q46_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,15 +681,70 @@ ORDER BY a_id, b_id
 
 
 def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: deterministic centroids, n_probe=3 of 16
-    cells searched per query. rows-only driver check; recall vs the
-    exact top-k is asserted in tests/test_dedup_sim.py."""
+    """IVF (inverted-file) ANN: deterministic centroids (16 lowest-id
+    vectors), n_probe=3 cells searched per query. Hash-free and fully
+    deterministic, so the Voronoi assignment + probe + rerank pipeline
+    carries a complete DuckDB oracle; recall vs the exact top-k is
+    additionally asserted in tests/test_dedup_sim.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(
         queries, emb, "vec_id", "vec_id", "embedding", "embedding",
         k=5, n_centroids=16, n_probe=3,
     ).orderBy("vec_id", "rk")
+
+
+# Distances use the same ||c||^2 - 2<v,c> form as ivf_topk; the rerank
+# rounds to 4 decimals like q44. Float sums differ from Spark's partial
+# aggregation only by ulps — the cell ranking would need two centroid
+# distances within ~1e-9 to diverge, which the fixture data doesn't have.
+_Q55_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+q_assign AS (
+  SELECT e.vec_id AS qid, c.cid,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < 20),
+q_cells AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cid ASC) AS rn
+    FROM q_assign)
+  WHERE rn <= 3),
+c_assign AS (
+  SELECT e.vec_id AS nid, c.cid,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+  FROM embeddings e CROSS JOIN cents c),
+c_cells AS (
+  SELECT nid, cid FROM (
+    SELECT nid, cid,
+           row_number() OVER (PARTITION BY nid ORDER BY dist ASC, cid ASC) AS rn
+    FROM c_assign)
+  WHERE rn = 1),
+cand AS (
+  SELECT DISTINCT q.qid, c.nid
+  FROM q_cells q JOIN c_cells c ON q.cid = c.cid
+  WHERE q.qid <> c.nid),
+scored AS (
+  SELECT cand.qid AS vec_id, cand.nid AS neighbor_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ce ON ce.vec_id = cand.nid),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored)
+SELECT vec_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+ORDER BY vec_id, rk
+"""
 
 
 QUERIES = {
@@ -560,6 +766,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q42_minhash_lsh": _Q42_SQL,
+    "q43_simhash": _Q43_SQL,
+    # The GEMM path computes the same float64 cosines as the exact
+    # native q46 plan (equality asserted in tests/test_dedup_sim.py),
+    # so it shares q46's oracle SQL.
+    "q45_ann_lsh": _Q45_SQL,
+    "q55_ann_ivf": _Q55_SQL,
+    "q56_cosine_neardup_gemm": _Q46_SQL,
     "q57_winnowing": _Q57_SQL,
     "q58_overlap_pairs": _Q58_SQL,
     "q59_incremental_dedup": _Q59_SQL,

@@ -1,14 +1,14 @@
-"""Dedup / similarity / text-analysis queries (SURVEY L5-L8).
+"""Dedup / similarity / text-analysis / search queries (SURVEY L5-L8).
 
 The fixture documents are all-distinct, so near-dup queries synthesize
 duplicates deterministically inside the query (a mutated union copy
-with offset ids) — both engines build the identical inputs, so exact
+with offset ids) — both engines build the identical inputs. Exact
 methods (hash dedup, n-gram Jaccard, brute-force cosine) carry full
-DuckDB oracles. Sketch-based methods (MinHash-LSH, SimHash, hyperplane
-ANN) depend on xxhash64, which DuckDB doesn't implement, so they get
-the rows-only check — their correctness is pinned instead by unit
-tests against the exact methods (recall assertions in
-tests/test_dedup_sim.py).
+DuckDB oracles directly; sketch methods (MinHash-LSH, SimHash,
+hyperplane ANN) run here on md5-derived hash families that DuckDB
+reproduces bit-for-bit, so they are oracle-checked too (xxhash64
+remains each operator's scale-default family; recall vs the exact
+methods is additionally unit-asserted in tests/test_dedup_sim.py).
 """
 
 from __future__ import annotations
@@ -747,8 +747,196 @@ ORDER BY vec_id, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# L5/L6 downstream — duplicate-cluster labeling: near-dup pairs ->
+# connected components (large-star/small-star) -> per-doc cluster id +
+# canonical flag. Oracle: DuckDB recursive CTE (min reachable id).
+# ---------------------------------------------------------------------------
+
+
+def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.dedup import jaccard_pairs_text
+    from gov_data_pipeline_spark.operators.graph import dedup_clusters
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs_text(corpus, "doc_id", F.col("text"), n=3, threshold=0.5)
+    return (
+        dedup_clusters(pairs, corpus.select("doc_id"), "doc_id")
+        .select("doc_id", "component", "is_canonical")
+        .orderBy("doc_id")
+    )
+
+
+_Q67_SQL = rf"""
+WITH RECURSIVE
+u AS ({_DOCS_DUPS_SQL}),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+edges AS (
+  SELECT a_id AS eu, b_id AS ev FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT eu, eu FROM edges
+  UNION
+  SELECT e.eu, w.comp FROM edges e JOIN walk w ON w.node = e.ev),
+labels AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+SELECT u.doc_id,
+       coalesce(l.component, u.doc_id) AS component,
+       coalesce(l.component, u.doc_id) = u.doc_id AS is_canonical
+FROM u LEFT JOIN labels l ON l.node = u.doc_id
+ORDER BY u.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# L8 extension — keyword relevance (BM25), stratified sampling, and
+# frequent-terms (exact-mode sketch). All full-oracle.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["vector", "stream", "dup"]
+
+
+def q68_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.search import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = bm25_scores(docs, "doc_id", F.col("text"), _BM25_TERMS)
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 25)
+        .orderBy("rk")
+    )
+
+
+_Q68_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ('vector', 'stream', 'dup')
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+agg AS (
+  SELECT doc_id, round(sum(part), 4) AS bm25 FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, bm25,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rk
+  FROM agg)
+SELECT doc_id, bm25, rk FROM ranked WHERE rk <= 25 ORDER BY rk
+"""
+
+
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic hash sampling: different keep-rates per
+    language (the corpus-rebalancing primitive — downsample dominant
+    languages, keep the tail). Membership is a pure function of the id
+    (md5), so the sample is reproducible on any engine, any cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    # keep-rate by stratum: en 25%, zh 50%, everything else 100%
+    cut = (
+        F.when(F.col("lang") == "en", F.lit(64))
+        .when(F.col("lang") == "zh", F.lit(128))
+        .otherwise(F.lit(256))
+    )
+    return (
+        docs.withColumn("hash_bucket", bucket)
+        .filter(F.col("hash_bucket") < cut)
+        .select("doc_id", "lang", "hash_bucket")
+        .orderBy("doc_id")
+    )
+
+
+_Q69_SQL = """
+WITH hashed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS hash_bucket
+  FROM documents)
+SELECT doc_id, lang, hash_bucket
+FROM hashed
+WHERE hash_bucket < CASE WHEN lang = 'en' THEN 64
+                         WHEN lang = 'zh' THEN 128
+                         ELSE 256 END
+ORDER BY doc_id
+"""
+
+
+def q70_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent terms via the native approx_top_k sketch, run in its
+    exact regime (maxItemsTracked >> vocabulary) and reduced to the
+    deterministic set {term: count >= 100} — the sketch mirrors what a
+    100 TB vocabulary scan would use, the threshold filter makes the
+    result order-independent and oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    )
+    topk = toks.select(
+        F.expr("approx_top_k(term, 100, 100000)").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    return (
+        topk.select(
+            F.col("e.item").alias("term"), F.col("e.count").alias("cnt")
+        )
+        .filter(F.col("cnt") >= 100)
+        .orderBy("term")
+    )
+
+
+_Q70_SQL = r"""
+SELECT term, count(*) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents)
+GROUP BY term
+HAVING count(*) >= 100
+ORDER BY term
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
+    "q67_dedup_clusters": q67_dedup_clusters,
+    "q68_bm25": q68_bm25,
+    "q69_stratified_sample": q69_stratified_sample,
+    "q70_frequent_terms": q70_frequent_terms,
     "q41_jaccard_pairs": q41_jaccard_pairs,
     "q42_minhash_lsh": q42_minhash_lsh,
     "q43_simhash": q43_simhash,
@@ -773,6 +961,10 @@ ORACLE = {
     # so it shares q46's oracle SQL.
     "q45_ann_lsh": _Q45_SQL,
     "q55_ann_ivf": _Q55_SQL,
+    "q67_dedup_clusters": _Q67_SQL,
+    "q68_bm25": _Q68_SQL,
+    "q69_stratified_sample": _Q69_SQL,
+    "q70_frequent_terms": _Q70_SQL,
     "q56_cosine_neardup_gemm": _Q46_SQL,
     "q57_winnowing": _Q57_SQL,
     "q58_overlap_pairs": _Q58_SQL,

@@ -175,3 +175,84 @@ def test_stop_shingle_cap_kills_boilerplate_pairs(spark):
     assert len(un_pairs) == 6
     # capped: only the genuine near-dup survives
     assert cap_pairs == {(0, 3)}
+
+
+class TestConnectedComponents:
+    def test_chain_star_and_isolated(self, spark):
+        """Chain 1-2-3-4, separate pair 10-11, and a hub 20-{21,22,23};
+        component = min member; isolated corpus docs label themselves."""
+        from gov_data_pipeline_spark.operators.graph import (
+            connected_components,
+            dedup_clusters,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (20, 23)],
+            "a_id long, b_id long",
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                        20: 20, 21: 20, 22: 20, 23: 20}
+
+        corpus = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 23, 99]],
+            "doc_id long",
+        )
+        lab = dedup_clusters(pairs, corpus, "doc_id").collect()
+        by_id = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in lab}
+        assert by_id[99] == (99, True)  # isolated doc is its own canonical
+        assert by_id[4] == (1, False)
+        assert sum(1 for c, canon in by_id.values() if canon) == 4
+
+    def test_two_cliques_merge_via_bridge(self, spark):
+        from gov_data_pipeline_spark.operators.graph import connected_components
+
+        edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        edges += [(10 + i, 10 + j) for i in range(5) for j in range(i + 1, 5)]
+        edges += [(4, 10)]  # bridge
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+        comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert set(comp.values()) == {0}
+        assert len(comp) == 10
+
+
+class TestSearch:
+    def test_bm25_rare_term_dominates(self, spark):
+        """A doc containing only the rare query term outscores docs with
+        many hits on a ubiquitous term (the idf property)."""
+        from gov_data_pipeline_spark.operators.search import (
+            bm25_scores,
+            tfidf_scores,
+        )
+        import pyspark.sql.functions as F
+
+        rows = [(1, "rare common common"), (2, "common common common common")]
+        rows += [(i, "common filler words here") for i in range(3, 20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bm = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores(
+                docs, "doc_id", F.col("text"), ["rare", "common"]
+            ).collect()
+        }
+        assert bm[1] > bm[2]
+        tf = {
+            r["doc_id"]: r["tfidf"]
+            for r in tfidf_scores(
+                docs, "doc_id", F.col("text"), ["rare", "common"]
+            ).collect()
+        }
+        assert tf[1] > tf[2]
+
+    def test_bm25_omits_nonmatching_docs(self, spark):
+        from gov_data_pipeline_spark.operators.search import bm25_scores
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+        )
+        out = bm25_scores(docs, "doc_id", F.col("text"), ["alpha"]).collect()
+        assert [r["doc_id"] for r in out] == [1]

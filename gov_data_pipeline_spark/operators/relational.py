@@ -137,3 +137,67 @@ def sessionize(
         session_col,
         F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: value-identical to ``big.join(small, on,
+    how)`` but immune to hot keys.
+
+    The big side scatters each row into one of ``salt`` buckets (a
+    deterministic hash of the whole row — no RNG state, so retries and
+    speculative tasks agree); the small side replicates every row into
+    all ``salt`` buckets. Joining on ``on + [salt]`` splits a hot key's
+    rows across ``salt`` reducers instead of one straggler task.
+
+    Use when a specific join is known-skewed and AQE's skew-join
+    (which splits oversized partitions at runtime) isn't available —
+    e.g. under a required sort-merge bucketing layout, or for the
+    build side of a shuffled hash join. Cost: the small side shuffles
+    ``salt``x its size, so keep it the dimension side.
+
+    Supported ``how``: inner / left (semantics preserved because every
+    big-side row lands in exactly one bucket and every small-side key
+    exists in all buckets).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast(
+        "int"
+    )
+    b = big.withColumn("__salt", bucket)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return b.join(s, on + ["__salt"], how).drop("__salt")
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Latest-wins upsert (MERGE INTO / SCD-type-1 semantics as a pure
+    batch operator): union base and updates, keep the row with the
+    highest ``order_col`` per key (ties go to the update side when the
+    caller encodes it in ``order_col``, e.g. a version or load
+    timestamp).
+
+    One shuffle on the key. At warehouse scale the same plan runs
+    incrementally: ``base`` is the bucketed/partitioned table, and only
+    the partitions containing updated keys need rewriting (partition
+    pruning via a semi-join of affected partition values).
+    """
+    allr = base.unionByName(updates)
+    w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        allr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -803,8 +803,122 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T22 (range frames) — interval-bounded moving aggregate: per-user
+# 6-hour moving sum/count over event time. Complements q12's row-frame
+# running sum: RANGE frames include all value-peers and express
+# "trailing N hours" independent of event density.
+# ---------------------------------------------------------------------------
+
+
+def q71_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = _t(spark, sf_dir, "events")
+    hours6 = 6 * 3600 * 1_000_000  # microseconds
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-hours6, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("sum_6h"),
+        F.count(F.lit(1)).over(w).alias("n_6h"),
+    ).orderBy("event_id")
+
+
+_Q71_SQL = """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER w, 2) AS sum_6h,
+       count(*) OVER w AS n_6h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Latest-wins upsert (MERGE INTO / SCD-1 as a batch operator): a
+# deterministic update batch (10%-repriced orders) merged over the base
+# table; highest version per key survives.
+# ---------------------------------------------------------------------------
+
+
+def q72_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.relational import upsert_latest
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    base = orders.withColumn("version", F.lit(0))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("version", F.lit(1))
+    )
+    return upsert_latest(base, updates, ["o_orderkey"], "version").orderBy(
+        "o_orderkey"
+    )
+
+
+_Q72_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+         0 AS version
+  FROM orders),
+updates AS (
+  SELECT o_orderkey, o_custkey, round(round(o_totalprice, 2) * 1.1, 2) AS o_totalprice,
+         1 AS version
+  FROM orders WHERE o_orderkey % 7 = 0),
+merged AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+SELECT o_orderkey, o_custkey, o_totalprice, version
+FROM merged WHERE rn = 1
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted join: value-identical to the plain customer⋈orders
+# equi-join (which is exactly what the oracle runs) but each customer
+# key's rows scatter over 16 reducers.
+# ---------------------------------------------------------------------------
+
+
+def q73_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.relational import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    joined = salted_join(orders, customer, ["o_custkey"], salt=16)
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("c_nationkey")
+    )
+
+
+_Q73_SQL = """
+SELECT c.c_nationkey AS c_nationkey, count(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q71_range_window": q71_range_window,
+    "q72_upsert_latest": q72_upsert_latest,
+    "q73_salted_join": q73_salted_join,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_semi_join": q03_semi_join,
     "q04_anti_join": q04_anti_join,
@@ -832,6 +946,9 @@ QUERIES = {
 
 ORACLE = {
     "q01_pricing_summary": _Q01_SQL,
+    "q71_range_window": _Q71_SQL,
+    "q72_upsert_latest": _Q72_SQL,
+    "q73_salted_join": _Q73_SQL,
     "q02_revenue_by_nation": _Q02_SQL,
     "q03_semi_join": _Q03_SQL,
     "q04_anti_join": _Q04_SQL,

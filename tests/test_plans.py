@@ -90,3 +90,41 @@ class TestNewOperatorPlans:
 
         exchanges = re.findall(r"Exchange (\w+)", plan)
         assert len(exchanges) <= 2, exchanges
+
+
+class TestNewOperatorPlans:
+    def test_q68_bm25_broadcasts_stats(self, spark, sf_dir):
+        """df/corpus-stats sides of the BM25 scoring join are broadcast;
+        the token stream never shuffles for them."""
+        from gov_data_pipeline_spark.queries.dedup_sim import q68_bm25
+
+        plan = _plan(q68_bm25(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_q73_salted_join_key_includes_salt(self, spark, sf_dir):
+        """The equi-join key must be (custkey, salt) so hot keys scatter
+        across reducers."""
+        from gov_data_pipeline_spark.queries.relational import q73_salted_join
+
+        plan = _plan(q73_salted_join(spark, sf_dir))
+        assert "__salt" in plan
+
+    def test_q71_range_window_single_window_exchange(self, spark, sf_dir):
+        """One window operator, partitioned by user_id — no extra
+        exchanges beyond the window's own hash partitioning and the
+        final order."""
+        from gov_data_pipeline_spark.queries.relational import q71_range_window
+
+        plan = _plan(q71_range_window(spark, sf_dir))
+        assert plan.count("Window") >= 1
+        # the window's shuffle + the output sort: no other exchanges
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+    def test_connected_components_no_array_aggregation(self, spark):
+        """CC rounds must stay in the edge domain: no collect_set/
+        collect_list in the plan (a giant component would OOM a task)."""
+        from gov_data_pipeline_spark.operators.graph import _star_round
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+        plan = _plan(_star_round(edges, large=True))
+        assert "collect_set" not in plan and "collect_list" not in plan

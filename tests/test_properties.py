@@ -208,3 +208,52 @@ def test_winnowing_matches_model(spark, texts):
         got[r["doc_id"]].add(r["fp"])
     want = {i: model_winnowing(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Large-star/small-star must agree with a sequential union-find on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from gov_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+
+    uf = _UnionFind()
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            uf.union(a, b)
+            nodes.update((a, b))
+    # canonical label = min of each component
+    want = {}
+    roots = {}
+    for n in sorted(nodes):
+        r = uf.find(n)
+        roots.setdefault(r, n)
+        want[n] = roots[r]
+    assert got == want

@@ -100,3 +100,64 @@ def frame_sample(df: DataFrame, media_col: str, every_n: int = 30) -> DataFrame:
         "frame_sample needs a video decoder (ffmpeg/PyAV) which is not "
         "present in this runtime; see module docstring for the contract."
     )
+
+
+def resize_media(
+    df: DataFrame,
+    media_col: str,
+    width: int,
+    height: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Image resize over the media struct. Output replaces (or appends,
+    when ``out_col`` is given) a media struct whose ``meta`` records the
+    target geometry.
+
+    With PIL present the payload is actually decoded, resized and
+    re-encoded; otherwise a clearly-marked deterministic fallback keeps
+    the bytes opaque and only stamps the metadata — the Spark-side
+    contract (struct schema, Arrow batching, partition behavior) is
+    identical in both modes, so pipelines built on it don't change when
+    the codec lands.
+    """
+    target = out_col or media_col
+    out_fields = [f for f in df.schema.fields if f.name != target]
+    out_schema = T.StructType(out_fields + [T.StructField(target, MEDIA_TYPE)])
+
+    try:  # pragma: no cover - runtime lacks PIL; fallback path is tested
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except Exception:
+        have_pil = False
+
+    def _resize_real(data: bytes) -> bytes:  # pragma: no cover
+        import io
+
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(data)).resize((width, height))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media in pdf[media_col]:
+                if media is None:
+                    out.append(None)
+                    continue
+                data = bytes(media["data"]) if media["data"] is not None else b""
+                meta = dict(media["meta"] or {})
+                meta.update({"width": str(width), "height": str(height)})
+                if have_pil:
+                    data = _resize_real(data)  # pragma: no cover
+                else:
+                    meta["resize"] = "stub"  # STUB: bytes passed through
+                out.append({"mime": media["mime"], "data": data, "meta": meta})
+            cols = {f.name: pdf[f.name] for f in out_fields}
+            cols[target] = pd.Series(out, index=pdf.index, dtype="object")
+            yield pd.DataFrame(cols, index=pdf.index)
+
+    return df.mapInPandas(mapper, schema=out_schema)

@@ -164,6 +164,30 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             frame_sample(df, "media")
 
+    def test_resize_stamps_geometry_and_keeps_schema(self, spark):
+        from gov_data_pipeline_spark.sources.multimodal import (
+            pack_media_col,
+            resize_media,
+        )
+
+        df = spark.createDataFrame([(1, "hello"), (2, None)], "id long, txt string")
+        packed = df.select(
+            "id",
+            F.when(
+                F.col("txt").isNotNull(),
+                pack_media_col(F.encode("txt", "UTF-8"), "image/png"),
+            ).alias("media"),
+        )
+        out = resize_media(packed, "media", 224, 224)
+        assert out.schema["media"].dataType.fieldNames() == ["mime", "data", "meta"]
+        rows = {r["id"]: r["media"] for r in out.collect()}
+        assert rows[1]["meta"]["width"] == "224"
+        assert rows[1]["meta"]["height"] == "224"
+        assert rows[1]["mime"] == "image/png"
+        assert rows[2] is None
+        # stub mode passes payload through untouched
+        assert bytes(rows[1]["data"]) == b"hello"
+
 
 class TestPipelineRegistry:
     def test_process_all_isolation_and_config(self, spark):

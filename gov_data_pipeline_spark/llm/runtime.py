@@ -27,10 +27,27 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from gov_data_pipeline_spark.llm.client import LLMRequest, call_with_retry
+from gov_data_pipeline_spark.llm.client import (
+    AuthError,
+    LLMRequest,
+    RateLimitError,
+    TransientAPIError,
+    call_with_retry,
+)
 
 ClientFactory = Callable[[], Any]
 RequestBuilder = Callable[[dict[str, Any]], LLMRequest | None]
+
+# Error types that null the row instead of failing the task: the
+# request-level failures a model endpoint emits. Programming errors
+# (KeyError, AttributeError, ...) propagate and fail the task.
+NONFATAL_ERRORS: tuple[type[Exception], ...] = (
+    RateLimitError,
+    AuthError,
+    TransientAPIError,
+    TimeoutError,
+    ConnectionError,
+)
 
 
 def _run_batch(
@@ -40,6 +57,7 @@ def _run_batch(
     concurrency: int,
     max_retries: int,
     initial_delay: float,
+    nonfatal_errors: tuple[type[Exception], ...] = NONFATAL_ERRORS,
 ) -> list[str | None]:
     async def run() -> list[str | None]:
         sem = asyncio.Semaphore(concurrency)
@@ -59,11 +77,22 @@ def _run_batch(
             *[one(r) for r in pdf.to_dict(orient="records")],
             return_exceptions=True,
         )
-        # A request that exhausted its retries (or hit a non-retryable
-        # error) yields a null cell instead of failing the Spark task —
-        # otherwise one bad row replays the whole partition, re-sending
-        # every other row's request to the model endpoint.
-        return [None if isinstance(r, BaseException) else r for r in results]
+        # A request that exhausted its retries yields a null cell
+        # instead of failing the Spark task — otherwise one bad row
+        # replays the whole partition, re-sending every other row's
+        # request to the model endpoint. Only the declared request
+        # error types are nulled: a programming error (KeyError in
+        # build_request, a typo'd attribute) or a cancellation must
+        # still fail loudly, not ship as silent nulls.
+        out: list[str | None] = []
+        for r in results:
+            if isinstance(r, nonfatal_errors):
+                out.append(None)
+            elif isinstance(r, BaseException):
+                raise r
+            else:
+                out.append(r)
+        return out
 
     return asyncio.run(run())
 
@@ -77,6 +106,7 @@ def llm_map(
     max_retries: int = 5,
     initial_delay: float = 2.0,
     gate: "F.Column | None" = None,
+    nonfatal_errors: tuple[type[Exception], ...] = NONFATAL_ERRORS,
 ) -> DataFrame:
     """Append ``output_col`` (string) = model completion per row.
 
@@ -106,6 +136,7 @@ def llm_map(
             max_retries,
             initial_delay,
             gate=None,
+            nonfatal_errors=nonfatal_errors,
         )
         return mapped.unionByName(skip)
     # mapInPandas cannot resolve column names containing dots (registry
@@ -127,7 +158,13 @@ def llm_map(
             pdf = pdf.copy()
             pdf.columns = orig
             results = _run_batch(
-                pdf, build_request, client, concurrency, max_retries, initial_delay
+                pdf,
+                build_request,
+                client,
+                concurrency,
+                max_retries,
+                initial_delay,
+                nonfatal_errors,
             )
             out = pdf.assign(__out=pd.Series(results, index=pdf.index, dtype="object"))
             out.columns = safe + ["__out"]

@@ -84,6 +84,7 @@ def connected_components(
         .distinct()
     )
     edges = edges.checkpoint() if reliable_checkpoint else edges.localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
         after = _star_round(_star_round(edges, large=True), large=False)
         # Cut lineage every round: iterative plans double otherwise and
@@ -91,8 +92,16 @@ def connected_components(
         after = after.checkpoint() if reliable_checkpoint else after.localCheckpoint()
         if after.count() == edges.count() and after.exceptAll(edges).isEmpty():
             edges = after
+            converged = True
             break
         edges = after
+    if not converged:
+        # Unconverged stars would yield multiple labels per true
+        # component — silently wrong dedup. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "raise max_rounds (convergence is O(log^2 n) rounds)"
+        )
     # Fixpoint edges are (member -> component-min) stars.
     comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component"))

@@ -855,9 +855,19 @@ def q72_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
     base = orders.withColumn("version", F.lit(0))
+    # Reprice in exact DECIMAL arithmetic: round(double * 1.1, 2) is a
+    # half-boundary trap (Spark rounds the shortest decimal repr,
+    # DuckDB the binary value — they disagree on e.g. 283256.85 * 1.1).
+    reprice = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,2)"),
+            2,
+        )
+    ).cast("double")
     updates = (
         orders.filter(F.col("o_orderkey") % 7 == 0)
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_totalprice", reprice)
         .withColumn("version", F.lit(1))
     )
     return upsert_latest(base, updates, ["o_orderkey"], "version").orderBy(
@@ -871,7 +881,9 @@ WITH base AS (
          0 AS version
   FROM orders),
 updates AS (
-  SELECT o_orderkey, o_custkey, round(round(o_totalprice, 2) * 1.1, 2) AS o_totalprice,
+  SELECT o_orderkey, o_custkey,
+         CAST(round(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))
+                    * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS o_totalprice,
          1 AS version
   FROM orders WHERE o_orderkey % 7 = 0),
 merged AS (

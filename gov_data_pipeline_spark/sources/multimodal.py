@@ -124,13 +124,6 @@ def resize_media(
     out_fields = [f for f in df.schema.fields if f.name != target]
     out_schema = T.StructType(out_fields + [T.StructField(target, MEDIA_TYPE)])
 
-    try:  # pragma: no cover - runtime lacks PIL; fallback path is tested
-        from PIL import Image  # noqa: F401
-
-        have_pil = True
-    except Exception:
-        have_pil = False
-
     def _resize_real(data: bytes) -> bytes:  # pragma: no cover
         import io
 
@@ -142,6 +135,14 @@ def resize_media(
         return buf.getvalue()
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Probe for the codec where the code actually runs: the
+        # executor's environment, not the driver's (they can differ).
+        try:  # pragma: no cover - runtime lacks PIL; stub path tested
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except Exception:
+            have_pil = False
         for pdf in batches:
             out = []
             for media in pdf[media_col]:
@@ -151,11 +152,13 @@ def resize_media(
                 data = bytes(media["data"]) if media["data"] is not None else b""
                 meta = dict(media["meta"] or {})
                 meta.update({"width": str(width), "height": str(height)})
-                if have_pil:
-                    data = _resize_real(data)  # pragma: no cover
+                mime = media["mime"]
+                if have_pil:  # pragma: no cover
+                    data = _resize_real(data)
+                    mime = "image/png"  # payload is re-encoded as PNG
                 else:
                     meta["resize"] = "stub"  # STUB: bytes passed through
-                out.append({"mime": media["mime"], "data": data, "meta": meta})
+                out.append({"mime": mime, "data": data, "meta": meta})
             cols = {f.name: pdf[f.name] for f in out_fields}
             cols[target] = pd.Series(out, index=pdf.index, dtype="object")
             yield pd.DataFrame(cols, index=pdf.index)

@@ -90,6 +90,20 @@ class TestLlmMap:
         rows = {r["id"]: r["resp"] for r in out.collect()}
         assert rows == {1: "alpha", 2: None, 3: "gamma"}
 
+    def test_programming_error_fails_task(self, spark):
+        """A bug in build_request (not a request failure) must fail the
+        job, not ship silent nulls."""
+        df = spark.createDataFrame([(1, "alpha")], "id long, txt string")
+
+        def build(row):
+            return LLMRequest(
+                messages=[{"role": "user", "content": row["missing_col"]}]
+            )
+
+        out = llm_map(df, build, "resp", MockLLMClient, initial_delay=0.0)
+        with pytest.raises(Exception, match="missing_col|KeyError|PythonException"):
+            out.collect()
+
 
 class TestEnrichPieces:
     def test_ocr_gate_and_suffix(self, spark):

@@ -92,7 +92,7 @@ class TestNewOperatorPlans:
         assert len(exchanges) <= 2, exchanges
 
 
-class TestNewOperatorPlans:
+class TestRound2OperatorPlans:
     def test_q68_bm25_broadcasts_stats(self, spark, sf_dir):
         """df/corpus-stats sides of the BM25 scoring join are broadcast;
         the token stream never shuffles for them."""

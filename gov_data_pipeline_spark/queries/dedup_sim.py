@@ -936,9 +936,74 @@ ORDER BY term
 """
 
 
+def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup end-to-end: cosine near-dup pairs (the q46
+    construction — planted mutants at >= 0.99) -> connected components
+    -> per-vector cluster id + canonical flag. The semantic twin of
+    q67's lexical clustering; at scale the pair stage swaps in the
+    LSH/IVF/GEMM candidate generators, the clustering stage is
+    unchanged."""
+    from gov_data_pipeline_spark.operators.graph import dedup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(mutants)
+    joined = mutants.alias("m").crossJoin(emb.alias("o"))
+    pairs = (
+        joined.select(
+            F.col("m.vec_id").alias("a_id"),
+            F.col("o.vec_id").alias("b_id"),
+            cosine(F.col("m.embedding"), F.col("o.embedding")).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.99)
+        .select("a_id", "b_id")
+    )
+    return (
+        dedup_clusters(pairs, corpus.select("vec_id"), "vec_id")
+        .select("vec_id", "component", "is_canonical")
+        .orderBy("vec_id")
+    )
+
+
+_Q74_SQL = f"""
+WITH RECURSIVE
+mutants AS (
+  SELECT vec_id + {_MUT_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x * 1.01 + 0.002) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0),
+corpus AS (
+  SELECT vec_id FROM embeddings UNION ALL SELECT vec_id FROM mutants),
+pairs AS (
+  SELECT m.vec_id AS a_id, o.vec_id AS b_id
+  FROM mutants m CROSS JOIN embeddings o
+  WHERE list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+                               CAST(o.embedding AS DOUBLE[])) >= 0.99),
+edges AS (
+  SELECT a_id AS eu, b_id AS ev FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT eu, eu FROM edges
+  UNION
+  SELECT e.eu, w.comp FROM edges e JOIN walk w ON w.node = e.ev),
+labels AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+SELECT c.vec_id,
+       coalesce(l.component, c.vec_id) AS component,
+       coalesce(l.component, c.vec_id) = c.vec_id AS is_canonical
+FROM corpus c LEFT JOIN labels l ON l.node = c.vec_id
+ORDER BY c.vec_id
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q67_dedup_clusters": q67_dedup_clusters,
+    "q74_semantic_clusters": q74_semantic_clusters,
     "q68_bm25": q68_bm25,
     "q69_stratified_sample": q69_stratified_sample,
     "q70_frequent_terms": q70_frequent_terms,
@@ -964,6 +1029,7 @@ ORACLE = {
     "q45_ann_lsh": _Q45_SQL,
     "q55_ann_ivf": _Q55_SQL,
     "q67_dedup_clusters": _Q67_SQL,
+    "q74_semantic_clusters": _Q74_SQL,
     "q68_bm25": _Q68_SQL,
     "q69_stratified_sample": _Q69_SQL,
     "q70_frequent_terms": _Q70_SQL,

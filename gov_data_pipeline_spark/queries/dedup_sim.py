@@ -1024,10 +1024,136 @@ ORDER BY c.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Capstone composition — the full corpus-curation pipeline as one
+# oracle-checked query: near-dup detection (MinHash-LSH, md5 family) ->
+# duplicate clustering (connected components) -> keep canonical docs ->
+# quality filter -> per-language stratified sample. Every stage is an
+# operator verified on its own elsewhere; this pins the COMPOSITION.
+# ---------------------------------------------------------------------------
+
+
+def q75_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.dedup import (
+        minhash_from_shingle_rows,
+        shingle_rows,
+        verify_candidates_jaccard,
+    )
+    from gov_data_pipeline_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    mutants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _MUT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        "lang",
+    )
+    corpus = docs.unionByName(mutants)
+
+    # near-dup pairs (the q42 sketch pipeline, md5 family)
+    ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False)
+    sigs = minhash_from_shingle_rows(ex, "doc_id", num_hashes=32, hash_family="md5")
+    cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+    pairs = verify_candidates_jaccard(cands, ex, "doc_id", threshold=0.5)
+
+    # cluster + keep one representative per duplicate group
+    labeled = dedup_clusters(pairs.select("a_id", "b_id"), corpus, "doc_id")
+    kept = labeled.filter(F.col("is_canonical"))
+
+    # quality gate + deterministic per-language downsampling
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    cut = F.when(F.col("lang") == "en", F.lit(128)).otherwise(F.lit(256))
+    return (
+        kept.withColumn("n_words", n_words)
+        .filter(F.col("n_words") >= 10)
+        .withColumn("hash_bucket", bucket)
+        .filter(F.col("hash_bucket") < cut)
+        .select("doc_id", "lang", "n_words", "hash_bucket")
+        .orderBy("doc_id")
+    )
+
+
+_Q75_SQL = rf"""
+WITH RECURSIVE
+u AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {_MUT_OFFSET} AS doc_id, text || ' qq zz' AS text, lang
+  FROM documents WHERE doc_id % 5 = 0),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hs AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(s), 1, 13))::BIGINT  AS h1,
+         ('0x' || substr(md5(s), 14, 13))::BIGINT AS h2
+  FROM ex),
+sig AS (
+  SELECT doc_id, i, min(h1 + i * h2) AS m
+  FROM hs CROSS JOIN range(32) t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, (i // 4)::INT AS band,
+         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM sig GROUP BY doc_id, (i // 4)::INT),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.a_id
+  JOIN ex b ON b.doc_id = c.b_id AND b.s = a.s
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT i.a_id, i.b_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a_id
+  JOIN sizes sb ON sb.doc_id = i.b_id
+  WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5),
+edges AS (
+  SELECT a_id AS eu, b_id AS ev FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT eu, eu FROM edges
+  UNION
+  SELECT e.eu, w.comp FROM edges e JOIN walk w ON w.node = e.ev),
+labels AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+kept AS (
+  SELECT u.doc_id, u.text, u.lang
+  FROM u LEFT JOIN labels l ON l.node = u.doc_id
+  WHERE coalesce(l.component, u.doc_id) = u.doc_id),
+gated AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS hash_bucket
+  FROM kept)
+SELECT doc_id, lang, n_words, hash_bucket
+FROM gated
+WHERE n_words >= 10
+  AND hash_bucket < CASE WHEN lang = 'en' THEN 128 ELSE 256 END
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q67_dedup_clusters": q67_dedup_clusters,
     "q74_semantic_clusters": q74_semantic_clusters,
+    "q75_corpus_pipeline": q75_corpus_pipeline,
     "q68_bm25": q68_bm25,
     "q69_stratified_sample": q69_stratified_sample,
     "q70_frequent_terms": q70_frequent_terms,
@@ -1054,6 +1180,7 @@ ORACLE = {
     "q55_ann_ivf": _Q55_SQL,
     "q67_dedup_clusters": _Q67_SQL,
     "q74_semantic_clusters": _Q74_SQL,
+    "q75_corpus_pipeline": _Q75_SQL,
     "q68_bm25": _Q68_SQL,
     "q69_stratified_sample": _Q69_SQL,
     "q70_frequent_terms": _Q70_SQL,

@@ -47,3 +47,54 @@ class TestUpsertLatest:
             for r in upsert_latest(base, updates, ["k"], "version").collect()
         }
         assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+class TestDegenerateInputs:
+    """Operators must not blow up on empty or single-row relations —
+    the shapes that appear at the tail of a filtered 100 TB pipeline."""
+
+    def test_connected_components_empty(self, spark):
+        from gov_data_pipeline_spark.operators.graph import connected_components
+
+        pairs = spark.createDataFrame([], "a_id long, b_id long")
+        assert connected_components(pairs).count() == 0
+
+    def test_dedup_clusters_no_pairs(self, spark):
+        from gov_data_pipeline_spark.operators.graph import dedup_clusters
+
+        pairs = spark.createDataFrame([], "a_id long, b_id long")
+        corpus = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        rows = {r["doc_id"]: r for r in dedup_clusters(pairs, corpus, "doc_id").collect()}
+        assert all(r["is_canonical"] for r in rows.values())
+
+    def test_bm25_empty_corpus(self, spark):
+        from gov_data_pipeline_spark.operators.search import bm25_scores
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert bm25_scores(docs, "doc_id", F.col("text"), ["x"]).count() == 0
+
+    def test_salted_join_empty_sides(self, spark):
+        from gov_data_pipeline_spark.operators.relational import salted_join
+
+        empty = spark.createDataFrame([], "k long, v string")
+        one = spark.createDataFrame([(1, "a")], "k long, v string")
+        assert salted_join(empty, one, ["k"]).count() == 0
+        assert salted_join(one, empty.withColumnRenamed("v", "w"), ["k"]).count() == 0
+
+    def test_minhash_single_doc(self, spark):
+        from gov_data_pipeline_spark.operators.dedup import (
+            minhash_from_shingle_rows,
+        )
+
+        ex = spark.createDataFrame([(1, "a b c")], "doc_id long, s string")
+        for fam in ("xxhash64", "md5"):
+            sig = minhash_from_shingle_rows(ex, "doc_id", 8, hash_family=fam).collect()
+            assert len(sig) == 1 and len(sig[0]["sig"]) == 8
+
+    def test_upsert_latest_empty_updates(self, spark):
+        from gov_data_pipeline_spark.operators.relational import upsert_latest
+
+        base = spark.createDataFrame([(1, "a", 0)], "k long, v string, version int")
+        updates = spark.createDataFrame([], "k long, v string, version int")
+        assert upsert_latest(base, updates, ["k"], "version").count() == 1

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gov_data_pipeline_spark.catalog import read_table as _t
 from gov_data_pipeline_spark.streaming import (
+    click_purchase_join,
     cumulative_alerts,
     dedup_within_watermark,
     session_counts,
@@ -234,8 +235,39 @@ ORDER BY user_id, event_id
 """
 
 
+def q76_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch execution of the stream-stream interval join (attribution:
+    purchases matched to the same user's clicks within the prior 30
+    minutes). The streaming form adds watermarks on both sides; the
+    stream-equals-batch test runs the identical lineage through file
+    streams."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return click_purchase_join(clicks, purchases).orderBy(
+        "purchase_id", "click_id"
+    )
+
+
+_Q76_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_micros
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ORDER BY purchase_id, click_id
+"""
+
+
 QUERIES = {
     "q60_tumbling": q60_tumbling,
+    "q76_stream_join": q76_stream_join,
     "q61_sliding": q61_sliding,
     "q62_session_window": q62_session_window,
     "q63_stream_dedup": q63_stream_dedup,
@@ -246,6 +278,7 @@ QUERIES = {
 
 ORACLE = {
     "q66_cumulative_alerts": _Q66_SQL,
+    "q76_stream_join": _Q76_SQL,
     "q60_tumbling": _Q60_SQL,
     "q61_sliding": _Q61_SQL,
     "q62_session_window": _Q62_SQL,

@@ -4,6 +4,7 @@ from gov_data_pipeline_spark.streaming.stateful import (  # noqa: F401
 )
 from gov_data_pipeline_spark.streaming.windows import (  # noqa: F401
     EVENTS_SCHEMA,
+    click_purchase_join,
     dedup_within_watermark,
     read_events_stream,
     session_counts,

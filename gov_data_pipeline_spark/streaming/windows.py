@@ -119,3 +119,51 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream (or batch-batch — same code) event-time interval
+    join: each purchase matches the same user's clicks in the preceding
+    ``max_gap`` (attribution). Inner join, so Spark needs watermarks on
+    BOTH sides plus the time-range predicate to bound join state: each
+    side buffers only rows younger than watermark + gap, and state is
+    evicted as the watermark advances. Without the range predicate the
+    state store would hold both full streams forever — the unbounded
+    mistake this operator exists to encode correctly once.
+
+    Output: (user_id, click_id, purchase_id, click_ts, purchase_ts,
+    gap_seconds).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("gap_micros"),
+    )

@@ -191,3 +191,50 @@ def test_stream_cents_rounding_matches_batch_decimal_cast(spark):
     for r in rows.collect():
         assert _to_cents(r["value"]) == r["cents"], r["value"]
     assert _to_cents(0.125) == 13  # the half-to-even trap the fix targets
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch twin's attribution pairs (inner join: results emit as matches
+    arrive; the watermark only bounds state)."""
+    import os
+
+    from gov_data_pipeline_spark.streaming import click_purchase_join
+
+    d = tempfile.mkdtemp(prefix="ssjoin_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 3
+        cuts = [lo + span, lo + 2 * span]
+        ranges = [
+            F.col("ts") < cuts[0],
+            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+            F.col("ts") >= cuts[1],
+        ]
+        for i, cond in enumerate(ranges):
+            path = os.path.join(d, f"part{i}")
+            events.filter(cond).coalesce(1).write.parquet(path)
+            for root, _, files in os.walk(path):
+                for f in files:
+                    t = 1_000_000_000 + i * 5_000
+                    os.utime(os.path.join(root, f), (t, t))
+        stream = read_events_stream(spark, d + "/*")
+        sj = click_purchase_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+        )
+        name = f"j_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(sj, name, "append")
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {
+            tuple(r)
+            for r in click_purchase_join(
+                events.filter(F.col("event_type") == "click"),
+                events.filter(F.col("event_type") == "purchase"),
+            ).collect()
+        }
+        assert got == want
+        assert len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

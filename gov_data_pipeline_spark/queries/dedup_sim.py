@@ -1149,9 +1149,65 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Entity resolution — blocked fuzzy join (edit distance <= 2 with
+# prefix + length-band blocking). Typos are planted deterministically:
+# every 10th customer name gets its last character doubled and (every
+# 20th) a vowel appended, so both engines build identical dirty data.
+# ---------------------------------------------------------------------------
+
+
+def q77_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity names are md5-derived hex strings (fixture c_name values
+    share a 17-char literal prefix, which would defeat any prefix
+    blocker — real names don't look like that); the dirty side doubles
+    the last character and every other dirty row appends one more.
+    Blocking on a 4-hex prefix spreads the block space ~65k ways, so
+    the candidate join is near-linear and the exact levenshtein verify
+    touches only same-block pairs."""
+    from gov_data_pipeline_spark.operators.dedup import fuzzy_join_blocked
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.md5(F.col("c_custkey").cast("string")).alias("name")
+    )
+    dirty = base.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + _MUT_OFFSET).alias("c_custkey"),
+        F.concat(
+            F.col("name"),
+            F.substring(F.col("name"), -1, 1),
+            F.when(F.col("c_custkey") % 20 == 0, F.lit("z")).otherwise(F.lit("")),
+        ).alias("name"),
+    )
+    return fuzzy_join_blocked(
+        dirty, base, "c_custkey", "c_custkey",
+        F.col("name"), F.col("name"),
+        max_distance=2, prefix_len=4,
+    ).orderBy("a_id", "b_id")
+
+
+_Q77_SQL = f"""
+WITH base AS (
+  SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS name FROM customer),
+dirty AS (
+  SELECT c_custkey + {_MUT_OFFSET} AS c_custkey,
+         name || substr(name, -1, 1) ||
+           CASE WHEN c_custkey % 20 = 0 THEN 'z' ELSE '' END AS name
+  FROM base WHERE c_custkey % 10 = 0)
+SELECT d.c_custkey AS a_id, b.c_custkey AS b_id,
+       levenshtein(d.name, b.name) AS distance
+FROM dirty d
+JOIN base b
+  ON substr(d.name, 1, 4) = substr(b.name, 1, 4)
+ AND abs(length(d.name) - length(b.name)) <= 2
+WHERE levenshtein(d.name, b.name) <= 2
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q67_dedup_clusters": q67_dedup_clusters,
+    "q77_fuzzy_join": q77_fuzzy_join,
     "q74_semantic_clusters": q74_semantic_clusters,
     "q75_corpus_pipeline": q75_corpus_pipeline,
     "q68_bm25": q68_bm25,
@@ -1181,6 +1237,7 @@ ORACLE = {
     "q67_dedup_clusters": _Q67_SQL,
     "q74_semantic_clusters": _Q74_SQL,
     "q75_corpus_pipeline": _Q75_SQL,
+    "q77_fuzzy_join": _Q77_SQL,
     "q68_bm25": _Q68_SQL,
     "q69_stratified_sample": _Q69_SQL,
     "q70_frequent_terms": _Q70_SQL,

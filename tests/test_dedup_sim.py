@@ -256,3 +256,42 @@ class TestSearch:
         )
         out = bm25_scores(docs, "doc_id", F.col("text"), ["alpha"]).collect()
         assert [r["doc_id"] for r in out] == [1]
+
+
+class TestFuzzyJoin:
+    def test_matches_within_distance_and_blocks(self, spark):
+        from gov_data_pipeline_spark.operators.dedup import fuzzy_join_blocked
+        import pyspark.sql.functions as F
+
+        left = spark.createDataFrame(
+            [(1, "abcdef"), (2, "abcxyz"), (3, "zzzzzz")],
+            "id long, name string",
+        )
+        right = spark.createDataFrame(
+            [(10, "abcdeg"), (11, "abcxyzzz"), (12, "qqqqqq")],
+            "id long, name string",
+        )
+        out = {
+            (r["a_id"], r["b_id"]): r["distance"]
+            for r in fuzzy_join_blocked(
+                left, right, "id", "id", F.col("name"), F.col("name"),
+                max_distance=2, prefix_len=3,
+            ).collect()
+        }
+        assert out == {(1, 10): 1, (2, 11): 2}  # zzzzzz/qqqqqq: no block
+
+    def test_prefix_edit_escapes_block_documented(self, spark):
+        """An edit inside the blocking prefix is missed — the documented
+        trade-off of single-pass prefix blocking."""
+        from gov_data_pipeline_spark.operators.dedup import fuzzy_join_blocked
+        import pyspark.sql.functions as F
+
+        left = spark.createDataFrame([(1, "Xbcdef")], "id long, name string")
+        right = spark.createDataFrame([(10, "abcdef")], "id long, name string")
+        assert (
+            fuzzy_join_blocked(
+                left, right, "id", "id", F.col("name"), F.col("name"),
+                max_distance=2, prefix_len=3,
+            ).count()
+            == 0
+        )

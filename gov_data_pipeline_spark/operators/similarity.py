@@ -189,11 +189,15 @@ def cosine_pairs_gemm(
             cmat = np.array([list(v) for v in pdf["__cv"]], dtype=np.float64)
             cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
             sims = cmat @ q_norm.T  # (n_corpus_batch, n_queries)
-            ci, qi = np.nonzero(sims >= threshold)
-            picked = sims[ci, qi]
-            # HALF_UP (round half away from zero) to match F.round —
-            # np.round is half-to-even and diverges on .00005 boundaries
-            rounded = np.sign(picked) * np.floor(np.abs(picked) * 1e4 + 0.5) / 1e4
+            # Round BEFORE thresholding (HALF_UP, matching F.round —
+            # np.round is half-to-even and diverges on .00005
+            # boundaries): the exact operators and the differential
+            # oracle filter on the rounded value, so the kept set is
+            # identical across engines instead of diverging for sims
+            # in [threshold - 5e-5, threshold).
+            sims_r = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            ci, qi = np.nonzero(sims_r >= threshold)
+            rounded = sims_r[ci, qi]
             out = pd.DataFrame(
                 {
                     "a_id": q_ids[qi],
@@ -221,6 +225,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 2,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi
     cells around ``n_centroids`` deterministic centroids (the lowest-id
@@ -278,7 +283,8 @@ def ivf_topk(
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
     cand = joined.select("__qid", "__qv", "neighbor_id", "__cv").distinct()
-    dim = embedding_dim(corpus, corpus_vec)
+    if dim is None:
+        dim = embedding_dim(corpus, corpus_vec)
     scored = cand.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
@@ -306,6 +312,7 @@ def ann_topk(
     tables: int = 4,
     exclude_self: bool = True,
     hash_family: str = "xxhash64",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket candidates.
 
@@ -398,7 +405,8 @@ def ann_topk(
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
     cand = joined.select("__qid", "__qv", "neighbor_id", "__cv").distinct()
-    dim = embedding_dim(corpus, corpus_vec)
+    if dim is None:
+        dim = embedding_dim(corpus, corpus_vec)
     scored = cand.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",

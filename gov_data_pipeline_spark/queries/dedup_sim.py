@@ -34,6 +34,25 @@ from gov_data_pipeline_spark.operators.similarity import ann_topk, cosine, cosin
 _MUT_OFFSET = 1_000_000
 
 
+def _mutant_embeddings(emb):
+    """Planted near-duplicate vectors: every 5th embedding scaled
+    x*1.01 + 0.002, id offset — the single definition both q46/q56 and
+    q74 (and their oracles via _MUTANTS_SQL) share."""
+    return emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)).alias(
+            "embedding"
+        ),
+    )
+
+
+_MUTANTS_SQL = f"""
+  SELECT vec_id + {_MUT_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x * 1.01 + 0.002) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-duplicate mutants (every 5th doc, two appended
     tokens, id offset) — the deterministic near-dup corpus."""
@@ -398,13 +417,12 @@ ORDER BY vec_id, rk
 
 
 def q46_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold filter runs on the 4-decimal-ROUNDED similarity in
+    BOTH engines (the oracle's WHERE mirrors it): comparing raw floats
+    against 0.99 would let a pair in [0.98995, 0.99) pass one engine's
+    filter and fail the other's."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    mutants = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)).alias(
-            "embedding"
-        ),
-    )
+    mutants = _mutant_embeddings(emb)
     from gov_data_pipeline_spark.operators.similarity import embedding_dim
 
     dim = embedding_dim(emb, "embedding")
@@ -423,16 +441,13 @@ def q46_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q46_SQL = f"""
-WITH mutants AS (
-  SELECT vec_id + {_MUT_OFFSET} AS vec_id,
-         list_transform(embedding, x -> x * 1.01 + 0.002) AS embedding
-  FROM embeddings WHERE vec_id % 5 = 0)
+WITH mutants AS ({_MUTANTS_SQL})
 SELECT m.vec_id AS a_id, o.vec_id AS b_id,
        round(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
                                     CAST(o.embedding AS DOUBLE[])), 4) AS cosine_sim
 FROM mutants m CROSS JOIN embeddings o
-WHERE list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
-                             CAST(o.embedding AS DOUBLE[])) >= 0.99
+WHERE round(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+                                   CAST(o.embedding AS DOUBLE[])), 4) >= 0.99
 ORDER BY a_id, b_id
 """
 
@@ -450,12 +465,7 @@ def q56_cosine_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_data_pipeline_spark.operators.similarity import cosine_pairs_gemm
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    mutants = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)).alias(
-            "embedding"
-        ),
-    )
+    mutants = _mutant_embeddings(emb)
     return cosine_pairs_gemm(
         mutants, emb, "vec_id", "vec_id", "embedding", "embedding", threshold=0.99
     ).orderBy("a_id", "b_id")
@@ -965,24 +975,22 @@ def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH/IVF/GEMM candidate generators, the clustering stage is
     unchanged."""
     from gov_data_pipeline_spark.operators.graph import dedup_clusters
-
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    mutants = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + _MUT_OFFSET).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.01) + F.lit(0.002)).alias(
-            "embedding"
-        ),
-    )
     from gov_data_pipeline_spark.operators.similarity import embedding_dim
 
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutants = _mutant_embeddings(emb)
     dim = embedding_dim(emb, "embedding")
     corpus = emb.unionByName(mutants)
     joined = mutants.alias("m").crossJoin(emb.alias("o"))
+    # threshold on the ROUNDED similarity, mirrored by the oracle —
+    # raw-float thresholds can disagree across engines by ulps
     pairs = (
         joined.select(
             F.col("m.vec_id").alias("a_id"),
             F.col("o.vec_id").alias("b_id"),
-            cosine(F.col("m.embedding"), F.col("o.embedding"), dim).alias("sim"),
+            F.round(
+                cosine(F.col("m.embedding"), F.col("o.embedding"), dim), 4
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.99)
         .select("a_id", "b_id")
@@ -996,17 +1004,14 @@ def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q74_SQL = f"""
 WITH RECURSIVE
-mutants AS (
-  SELECT vec_id + {_MUT_OFFSET} AS vec_id,
-         list_transform(embedding, x -> x * 1.01 + 0.002) AS embedding
-  FROM embeddings WHERE vec_id % 5 = 0),
+mutants AS ({_MUTANTS_SQL}),
 corpus AS (
   SELECT vec_id FROM embeddings UNION ALL SELECT vec_id FROM mutants),
 pairs AS (
   SELECT m.vec_id AS a_id, o.vec_id AS b_id
   FROM mutants m CROSS JOIN embeddings o
-  WHERE list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
-                               CAST(o.embedding AS DOUBLE[])) >= 0.99),
+  WHERE round(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+                                     CAST(o.embedding AS DOUBLE[])), 4) >= 0.99),
 edges AS (
   SELECT a_id AS eu, b_id AS ev FROM pairs
   UNION

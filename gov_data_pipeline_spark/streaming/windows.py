@@ -137,7 +137,7 @@ def click_purchase_join(
     mistake this operator exists to encode correctly once.
 
     Output: (user_id, click_id, purchase_id, click_ts, purchase_ts,
-    gap_seconds).
+    gap_micros).
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"),

@@ -22,10 +22,13 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product. With ``dim`` (the known vector width), unrolls into
-    a flat codegen'd expression — 3x faster than the interpreted
-    higher-order ``aggregate`` fold and BIT-IDENTICAL to it (same
-    left-to-right float summation order; verified 0 differing values
-    over 800k pairs). Without ``dim`` falls back to the generic fold."""
+    a flat codegen'd expression — 3x faster EXECUTION than the
+    interpreted higher-order ``aggregate`` fold and BIT-IDENTICAL to it
+    (same left-to-right float summation order; verified 0 differing
+    values over 800k pairs). The unrolled tree costs ~1 s of extra
+    Catalyst analysis per fresh plan, so it is strictly opt-in: pass
+    ``dim`` when the pair count is large (the q46/q74 cross joins),
+    leave it None for small reranks where analysis would dominate."""
     if dim is not None:
         e = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
         for i in range(2, dim + 1):
@@ -89,8 +92,6 @@ def cosine_topk(
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
-    if dim is None:
-        dim = embedding_dim(corpus, corpus_vec)
     scored = joined.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
@@ -283,8 +284,6 @@ def ivf_topk(
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
     cand = joined.select("__qid", "__qv", "neighbor_id", "__cv").distinct()
-    if dim is None:
-        dim = embedding_dim(corpus, corpus_vec)
     scored = cand.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
@@ -405,8 +404,6 @@ def ann_topk(
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
     cand = joined.select("__qid", "__qv", "neighbor_id", "__cv").distinct()
-    if dim is None:
-        dim = embedding_dim(corpus, corpus_vec)
     scored = cand.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",

@@ -34,6 +34,22 @@ from gov_data_pipeline_spark.operators.similarity import ann_topk, cosine, cosin
 _MUT_OFFSET = 1_000_000
 
 
+_EMB_DIM_CACHE: dict[str, int | None] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int | None:
+    """Embedding width for a fixture dir, memoized per process: the
+    first()-row probe is one tiny job, but inside a timed/looped query
+    it would otherwise re-run on every invocation."""
+    if sf_dir not in _EMB_DIM_CACHE:
+        from gov_data_pipeline_spark.operators.similarity import embedding_dim
+
+        _EMB_DIM_CACHE[sf_dir] = embedding_dim(
+            _t(spark, sf_dir, "embeddings"), "embedding"
+        )
+    return _EMB_DIM_CACHE[sf_dir]
+
+
 def _mutant_embeddings(emb):
     """Planted near-duplicate vectors: every 5th embedding scaled
     x*1.01 + 0.002, id offset — the single definition both q46/q56 and
@@ -423,9 +439,7 @@ def q46_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter and fail the other's."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mutants = _mutant_embeddings(emb)
-    from gov_data_pipeline_spark.operators.similarity import embedding_dim
-
-    dim = embedding_dim(emb, "embedding")
+    dim = _emb_dim(spark, sf_dir)
     joined = mutants.alias("m").crossJoin(emb.alias("o"))
     return (
         joined.select(
@@ -975,11 +989,10 @@ def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH/IVF/GEMM candidate generators, the clustering stage is
     unchanged."""
     from gov_data_pipeline_spark.operators.graph import dedup_clusters
-    from gov_data_pipeline_spark.operators.similarity import embedding_dim
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mutants = _mutant_embeddings(emb)
-    dim = embedding_dim(emb, "embedding")
+    dim = _emb_dim(spark, sf_dir)
     corpus = emb.unionByName(mutants)
     joined = mutants.alias("m").crossJoin(emb.alias("o"))
     # threshold on the ROUNDED similarity, mirrored by the oracle —

@@ -257,3 +257,49 @@ def test_connected_components_matches_union_find(spark, edges):
         roots.setdefault(r, n)
         want[n] = roots[r]
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    names=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fuzzy_join_matches_blocked_brute_force(spark, names):
+    """fuzzy_join_blocked must return exactly the pairs a brute-force
+    scan finds among same-block (shared 2-prefix, length within 2)
+    candidates at levenshtein <= 2 — the operator's documented
+    contract, including the prefix-escape exclusion."""
+    import pyspark.sql.functions as F
+
+    from gov_data_pipeline_spark.operators.dedup import fuzzy_join_blocked
+
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["a_id"], r["b_id"], r["distance"])
+        for r in fuzzy_join_blocked(
+            df, df, "id", "id", F.col("name"), F.col("name"),
+            max_distance=2, prefix_len=2,
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if a[:2] == b[:2] and abs(len(a) - len(b)) <= 2 and lev(a, b) <= 2
+    }
+    assert got == want

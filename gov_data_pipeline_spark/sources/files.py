@@ -64,3 +64,33 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (Spark's
+    native vectorized ORC reader), for lakes standardized on ORC."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented (or whole-file, ``whole=True``) text scan — the
+    raw-corpus entry point: one string column ``value``, one row per
+    line/file; pair with the text-stats and dedup operators."""
+    return spark.read.option("wholetext", str(whole).lower()).text(path)

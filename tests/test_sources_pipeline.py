@@ -274,3 +274,38 @@ class TestFileFormats:
         assert sorted(back.collect()) == sorted(
             region.select("r_regionkey", "r_name").collect()
         )
+
+
+class TestOrcAndText:
+    def test_orc_round_trip_preserves_values(self, spark, tmp_path):
+        from gov_data_pipeline_spark.sources.files import read_orc, write_orc
+
+        df = spark.createDataFrame(
+            [(1, "alpha", 1.5), (2, "beta", -2.25)], "id long, s string, x double"
+        )
+        path = str(tmp_path / "t.orc")
+        write_orc(df, path)
+        back = read_orc(spark, path)
+        assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    def test_orc_partitioned_layout_prunes(self, spark, tmp_path):
+        from gov_data_pipeline_spark.sources.files import read_orc, write_orc
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(10)], "id long, part string"
+        )
+        path = str(tmp_path / "p.orc")
+        write_orc(df, path, partition_by=["part"])
+        pruned = read_orc(spark, path).filter("part = 'a'")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert pruned.count() == 5
+        # partition filter visible in the scan, not applied post-hoc
+        assert "PartitionFilters" in plan or "part#" in plan
+
+    def test_text_lines(self, spark, tmp_path):
+        from gov_data_pipeline_spark.sources.files import read_text
+
+        f = tmp_path / "doc.txt"
+        f.write_text("line one\nline two\n")
+        rows = [r["value"] for r in read_text(spark, str(tmp_path)).collect()]
+        assert sorted(rows) == ["line one", "line two"]

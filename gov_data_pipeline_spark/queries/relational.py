@@ -926,9 +926,81 @@ ORDER BY c_nationkey
 """
 
 
+def q78_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    totals by (status, priority), by status alone, and the grand total —
+    but NOT by priority alone, which cube would emit. Uses the SQL
+    surface, as grouping sets has no first-class DataFrame method."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+_Q78_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+ORDER BY status, priority
+"""
+
+
+def q79_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile binning + percent_rank over order value per priority —
+    the distribution-aware window pair (T20 family) used for
+    quantile-bucketed sampling and outlier triage."""
+    from pyspark.sql.window import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .orderBy("o_orderkey")
+    )
+
+
+_Q79_SQL = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC))
+SELECT o_orderkey, o_orderpriority, CAST(quartile AS INT) AS quartile, pct_rank
+FROM ranked
+WHERE o_orderkey % 50 = 0
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q71_range_window": q71_range_window,
+    "q78_grouping_sets": q78_grouping_sets,
+    "q79_ntile": q79_ntile,
     "q72_upsert_latest": q72_upsert_latest,
     "q73_salted_join": q73_salted_join,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -959,6 +1031,8 @@ QUERIES = {
 ORACLE = {
     "q01_pricing_summary": _Q01_SQL,
     "q71_range_window": _Q71_SQL,
+    "q78_grouping_sets": _Q78_SQL,
+    "q79_ntile": _Q79_SQL,
     "q72_upsert_latest": _Q72_SQL,
     "q73_salted_join": _Q73_SQL,
     "q02_revenue_by_nation": _Q02_SQL,

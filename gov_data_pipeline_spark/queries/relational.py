@@ -929,21 +929,26 @@ ORDER BY c_nationkey
 def q78_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form rollup/cube specialize):
     totals by (status, priority), by status alone, and the grand total —
-    but NOT by priority alone, which cube would emit. Uses the SQL
-    surface, as grouping sets has no first-class DataFrame method."""
+    but NOT by priority alone, which cube would emit. Uses the
+    first-class ``DataFrame.groupingSets`` API (Spark 4.0+)."""
     orders = _t(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__orders_gs")
-    return spark.sql(
-        """
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
-               count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
-        FROM __orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), ())
-        ORDER BY status, priority
-        """
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("status", "priority")
     )
 
 

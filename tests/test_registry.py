@@ -4,34 +4,19 @@ silently drop a query from the driver's correctness sweep."""
 
 import re
 
-from gov_data_pipeline_spark.queries import all_oracles, all_queries
-
-
-def _module_dicts():
-    from gov_data_pipeline_spark.queries import (
-        dedup_sim,
-        llm_queries,
-        relational,
-        scalar,
-        stream_queries,
-        textops,
-    )
-
-    mods = [relational, scalar, textops, dedup_sim, llm_queries, stream_queries]
-    return mods
+from gov_data_pipeline_spark.queries import _MODULES, all_oracles, all_queries
 
 
 def test_no_duplicate_query_keys_across_modules():
-    mods = _module_dicts()
-    total = sum(len(m.QUERIES) for m in mods)
-    assert len(all_queries()) == total, "duplicate query name across modules"
-    total_o = sum(len(m.ORACLE) for m in mods)
-    assert len(all_oracles()) == total_o, "duplicate oracle name across modules"
-
-
-def test_every_oracle_has_a_query():
-    qs, os_ = set(all_queries()), set(all_oracles())
-    assert os_ <= qs, f"oracles without queries: {os_ - qs}"
+    total = sum(len(m.QUERIES) for m in _MODULES)
+    assert len(all_queries()) == total, (
+        "merged registry smaller than the sum of module registries: "
+        "two modules define the same query name"
+    )
+    total_o = sum(len(m.ORACLE) for m in _MODULES)
+    assert len(all_oracles()) == total_o, (
+        "merged oracle registry smaller than the sum of module oracles"
+    )
 
 
 def test_query_naming_convention_and_callables():

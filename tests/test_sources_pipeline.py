@@ -299,8 +299,11 @@ class TestOrcAndText:
         pruned = read_orc(spark, path).filter("part = 'a'")
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert pruned.count() == 5
-        # partition filter visible in the scan, not applied post-hoc
-        assert "PartitionFilters" in plan or "part#" in plan
+        # the predicate must appear INSIDE the scan's PartitionFilters
+        # clause (post-scan Filter nodes would still mention part#)
+        assert "PartitionFilters: [" in plan
+        inside = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "part" in inside
 
     def test_text_lines(self, spark, tmp_path):
         from gov_data_pipeline_spark.sources.files import read_text

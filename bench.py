@@ -72,11 +72,11 @@ def main() -> None:
     for name in names:
         registry[name](spark, sf_dir).collect()  # codegen/JIT warm-up
         best = float("inf")
-        # best-of-2: the harness VM shows one-sided wall-clock noise
+        # best-of-3: the harness VM shows one-sided wall-clock noise
         # (host throttling waves invisible to guest steal accounting);
-        # the minimum of two full executions is the robust estimate of
-        # what the plan actually costs.
-        for _ in range(2):
+        # the minimum of three full executions is the robust estimate
+        # of what the plan actually costs.
+        for _ in range(3):
             spark.catalog.clearCache()  # data caches must not carry over
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).collect()

@@ -57,9 +57,9 @@ def main() -> None:
     gated = kept.withColumn("n_words", n_words).filter(F.col("n_words") >= 10)
     print(f"after quality gate (>= 10 words): {gated.count()}")
 
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+
+    bucket = hash_bucket_col(F.col("doc_id"))
     cut = F.when(F.col("lang") == "en", F.lit(128)).otherwise(F.lit(256))
     sampled = gated.withColumn("hash_bucket", bucket).filter(F.col("hash_bucket") < cut)
     print("final sample by language:")

@@ -28,7 +28,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from gov_data_pipeline_spark.llm.client import (
-    AuthError,
     LLMRequest,
     RateLimitError,
     TransientAPIError,
@@ -40,10 +39,13 @@ RequestBuilder = Callable[[dict[str, Any]], LLMRequest | None]
 
 # Error types that null the row instead of failing the task: the
 # request-level failures a model endpoint emits. Programming errors
-# (KeyError, AttributeError, ...) propagate and fail the task.
+# (KeyError, AttributeError, ...) propagate and fail the task — and so
+# does AuthError: bad credentials are a global, deterministic failure
+# (every row would null silently otherwise), so after its R25 retries
+# exhaust it fails the job loudly rather than shipping an all-null
+# column.
 NONFATAL_ERRORS: tuple[type[Exception], ...] = (
     RateLimitError,
-    AuthError,
     TransientAPIError,
     TimeoutError,
     ConnectionError,

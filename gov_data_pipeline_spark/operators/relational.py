@@ -145,15 +145,23 @@ def salted_join(
     on: list[str],
     salt: int = 16,
     how: str = "inner",
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: value-identical to ``big.join(small, on,
     how)`` but immune to hot keys.
 
     The big side scatters each row into one of ``salt`` buckets (a
-    deterministic hash of the whole row — no RNG state, so retries and
+    deterministic hash of ``salt_on`` — no RNG state, so retries and
     speculative tasks agree); the small side replicates every row into
     all ``salt`` buckets. Joining on ``on + [salt]`` splits a hot key's
     rows across ``salt`` reducers instead of one straggler task.
+
+    ``salt_on`` defaults to all big-side columns; pass a UNIQUE column
+    (a row id) when hot keys can repeat with identical payloads —
+    identical rows hash identically, so a whole-row salt would send
+    all copies of a duplicated hot row to one bucket. (A random salt
+    would scatter those too, but breaks retry/speculation determinism;
+    a unique id gives both.)
 
     Use when a specific join is known-skewed and AQE's skew-join
     (which splits oversized partitions at runtime) isn't available —
@@ -167,7 +175,8 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast(
+    salt_cols = salt_on if salt_on is not None else list(big.columns)
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt)).cast(
         "int"
     )
     b = big.withColumn("__salt", bucket)

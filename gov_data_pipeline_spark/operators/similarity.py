@@ -30,11 +30,17 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     ``dim`` when the pair count is large (the q46/q74 cross joins),
     leave it None for small reranks where analysis would dominate."""
     if dim is not None:
-        e = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+        # try_element_at: a ragged/truncated vector yields null (which
+        # propagates to a null cosine and drops at the threshold) —
+        # plain element_at would THROW under ANSI mode, failing the job
+        # on one malformed row. Well-formed vectors are unaffected.
+        e = F.try_element_at(a, F.lit(1)).cast("double") * F.try_element_at(
+            b, F.lit(1)
+        ).cast("double")
         for i in range(2, dim + 1):
-            e = e + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
-                "double"
-            )
+            e = e + F.try_element_at(a, F.lit(i)).cast("double") * F.try_element_at(
+                b, F.lit(i)
+            ).cast("double")
         return e
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

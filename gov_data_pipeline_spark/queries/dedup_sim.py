@@ -912,10 +912,10 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     language (the corpus-rebalancing primitive — downsample dominant
     languages, keep the tail). Membership is a pure function of the id
     (md5), so the sample is reproducible on any engine, any cluster."""
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+
     docs = _t(spark, sf_dir, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
+    bucket = hash_bucket_col(F.col("doc_id"))
     # keep-rate by stratum: en 25%, zh 50%, everything else 100%
     cut = (
         F.when(F.col("lang") == "en", F.lit(64))
@@ -959,13 +959,19 @@ def q70_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
     )
-    topk = toks.select(
-        F.expr("approx_top_k(term, 10000, 10000)").alias("tk")
-    ).select(F.explode("tk").alias("e"))
+    sketch = toks.select(F.expr("approx_top_k(term, 10000, 10000)").alias("tk"))
+    topk = sketch.select(F.size("tk").alias("__n"), F.explode("tk").alias("e"))
+    # Exact-regime guard, load-bearing in the output column (a separate
+    # assert column gets pruned by the optimizer): if the sketch
+    # returned exactly k items the vocabulary may exceed k and counts
+    # are no longer exact — fail loudly instead of flaking the oracle.
+    cnt = F.when(F.col("__n") < 10000, F.col("e.count")).otherwise(
+        F.raise_error(
+            F.lit("q70: approx_top_k truncated - vocabulary >= k")
+        ).cast("long")
+    )
     return (
-        topk.select(
-            F.col("e.item").alias("term"), F.col("e.count").alias("cnt")
-        )
+        topk.select(F.col("e.item").alias("term"), cnt.alias("cnt"))
         .filter(F.col("cnt") >= 100)
         .orderBy("term")
     )
@@ -1078,10 +1084,10 @@ def q75_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = labeled.filter(F.col("is_canonical"))
 
     # quality gate + deterministic per-language downsampling
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+
     n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
+    bucket = hash_bucket_col(F.col("doc_id"))
     cut = F.when(F.col("lang") == "en", F.lit(128)).otherwise(F.lit(256))
     return (
         kept.withColumn("n_words", n_words)

@@ -910,7 +910,9 @@ def q73_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
     )
-    joined = salted_join(orders, customer, ["o_custkey"], salt=16)
+    joined = salted_join(
+        orders, customer, ["o_custkey"], salt=16, salt_on=["o_orderkey"]
+    )
     return (
         joined.groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))

@@ -179,11 +179,11 @@ ORDER BY user_id, bucket
 
 
 def q65_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+
     docs = _t(spark, sf_dir, "documents")
     # first md5 byte of the id -> uniform 0..255; keep < 64 (25% sample)
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
-        "int"
-    )
+    bucket = hash_bucket_col(F.col("doc_id"))
     return (
         docs.withColumn("hash_bucket", bucket)
         .filter(F.col("hash_bucket") < 64)

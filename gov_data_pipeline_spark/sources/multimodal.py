@@ -149,16 +149,29 @@ def resize_media(
                 if media is None:
                     out.append(None)
                     continue
-                data = bytes(media["data"]) if media["data"] is not None else b""
+                data = media["data"]
                 meta = dict(media["meta"] or {})
+                mime = media["mime"] or ""
+                decodable = (
+                    have_pil and data is not None and mime.startswith("image/")
+                )
                 meta.update({"width": str(width), "height": str(height)})
-                mime = media["mime"]
-                if have_pil:  # pragma: no cover
-                    data = _resize_real(data)
+                if decodable:  # pragma: no cover
+                    data = _resize_real(bytes(data))
                     mime = "image/png"  # payload is re-encoded as PNG
                 else:
-                    meta["resize"] = "stub"  # STUB: bytes passed through
-                out.append({"mime": mime, "data": data, "meta": meta})
+                    # null payloads stay null; non-image mimes (and the
+                    # no-codec runtime) pass bytes through untouched
+                    meta["resize"] = "stub"
+                out.append(
+                    {
+                        "mime": media["mime"],
+                        "data": bytes(data) if data is not None else None,
+                        "meta": meta,
+                    }
+                    if not decodable
+                    else {"mime": mime, "data": data, "meta": meta}
+                )
             cols = {f.name: pdf[f.name] for f in out_fields}
             cols[target] = pd.Series(out, index=pdf.index, dtype="object")
             yield pd.DataFrame(cols, index=pdf.index)

@@ -104,6 +104,26 @@ class TestLlmMap:
         with pytest.raises(Exception, match="missing_col|KeyError|PythonException"):
             out.collect()
 
+    def test_auth_error_fails_task_not_silent_nulls(self, spark):
+        """Bad credentials are a global failure: after retries exhaust,
+        the job fails loudly instead of shipping an all-null column."""
+        from gov_data_pipeline_spark.llm.client import AuthError
+
+        class BadKeyClient(MockLLMClient):
+            async def complete(self, request):
+                raise AuthError("401 bad key")
+
+        df = spark.createDataFrame([(1, "alpha")], "id long, txt string")
+
+        def build(row):
+            return LLMRequest(messages=[{"role": "user", "content": row["txt"]}])
+
+        out = llm_map(
+            df, build, "resp", BadKeyClient, max_retries=2, initial_delay=0.0
+        )
+        with pytest.raises(Exception, match="AuthError|401|PythonException"):
+            out.collect()
+
 
 class TestEnrichPieces:
     def test_ocr_gate_and_suffix(self, spark):

@@ -188,6 +188,24 @@ class TestMultimodal:
         # stub mode passes payload through untouched
         assert bytes(rows[1]["data"]) == b"hello"
 
+    def test_resize_preserves_null_payload(self, spark):
+        """A media struct with a null payload (failed fetch) must keep
+        data null — not become empty bytes that a decoder would choke
+        on."""
+        from gov_data_pipeline_spark.sources.multimodal import resize_media
+
+        df = spark.createDataFrame([(1,)], "id long").select(
+            "id",
+            F.struct(
+                F.lit("image/png").alias("mime"),
+                F.lit(None).cast("binary").alias("data"),
+                F.create_map().cast("map<string,string>").alias("meta"),
+            ).alias("media"),
+        )
+        row = resize_media(df, "media", 64, 64).collect()[0]["media"]
+        assert row["data"] is None
+        assert row["meta"]["width"] == "64"
+
 
 class TestPipelineRegistry:
     def test_process_all_isolation_and_config(self, spark):

@@ -193,11 +193,11 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("a_id", "b_id")
 
 
-# The oracle joins band slices on their joined-string value; Spark joins
-# on xxhash64 of the same string — identical pairs barring a 2^-64
-# string-hash collision. Everything else (md5 double-hash family, min
-# aggregation, band slicing, exact-Jaccard verify) is replicated
-# value-for-value.
+# The oracle joins band slices on their string_agg'd values; Spark
+# joins on xxhash64 of the slice ARRAY — either way bucket equality is
+# slice-value equality barring a 2^-64 hash collision. Everything else
+# (md5 double-hash family, min aggregation, band slicing, exact-Jaccard
+# verify) is replicated value-for-value.
 _Q42_SQL = rf"""
 WITH u AS ({_DOCS_DUPS_SQL}),
 words AS (

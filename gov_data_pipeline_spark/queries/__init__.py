@@ -30,14 +30,53 @@ from gov_data_pipeline_spark.queries import (
 
 _MODULES = (relational, scalar, textops, dedup_sim, llm_queries, stream_queries)
 
+# The driver's per-round correctness run samples the FIRST 50 entries of
+# ``queries()`` (insertion order).  Queries that have never had a driver
+# CORRECTNESS row — or whose last sample predates their oracle — are listed
+# here so they enumerate first; everything else (already driver-green in
+# r01/r02) follows in module order.  New queries added in a round should be
+# appended here until they earn a green row.
+_PRIORITY: tuple[str, ...] = (
+    # never driver-sampled (0 CORRECTNESS rows through r02)
+    "q50_llm_enrich",
+    "q51_llm_correction",
+    "q52_multimodal",
+    "q58_overlap_pairs",
+    "q59_incremental_dedup",
+    "q60_tumbling",
+    "q61_sliding",
+    "q62_session_window",
+    "q63_stream_dedup",
+    "q64_gapfill",
+    "q65_hash_sample",
+    "q66_cumulative_alerts",
+    "q76_stream_join",
+    # sampled in r01 before gaining their md5 value-hash oracles
+    "q42_minhash_lsh",
+    "q43_simhash",
+    "q45_ann_lsh",
+    "q55_ann_ivf",
+    "q56_cosine_neardup_gemm",
+    # new in round 3
+    "q80_semantic_clusters_lsh",
+    "q81_xlsx_image_extract",
+    "q82_docx_ingest",
+    "q83_row_index_ingest",
+)
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
-        overlap = out.keys() & mod.QUERIES.keys()
+        overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(mod.QUERIES)
+        merged.update(mod.QUERIES)
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _PRIORITY:
+        if name in merged:
+            out[name] = merged.pop(name)
+    out.update(merged)
     return out
 
 

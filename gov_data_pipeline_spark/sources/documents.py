@@ -72,20 +72,47 @@ def xlsx_image_anchor_row(anchor_row: int, row_off_emu: int, source_offset: int)
     return row - source_offset
 
 
-def extract_xlsx_images(workbook_bytes: bytes, source: str) -> list[tuple[int, str]]:
-    """R18: pull embedded images out of a workbook as
-    (dataframe_row_idx, base64_png_data_uri). Requires openpyxl (+ a
-    PNG transcoder); gated until present in the runtime."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "extract_xlsx_images needs openpyxl, which is not in this "
-            "runtime. The anchor math is implemented and tested in "
-            "xlsx_image_anchor_row; wire the extraction loop when the "
-            "library is available."
-        ) from e
-    raise NotImplementedError("openpyxl extraction loop not yet wired")
+def extract_xlsx_images(
+    workbook_bytes: bytes, skip_rows: int = 0, sheet: int = 0
+) -> list[tuple[int, str]]:
+    """R18 extraction loop (reference ``handlers/base.py:221-249``):
+    embedded workbook images -> ``[(row_idx, data_uri)]``.
+
+    ``skip_rows`` must equal the read-time skip used when the SAME
+    workbook was ingested (``sources.excel.read_excel(skip_rows=...)``)
+    so the returned indexes join on the ingest-order ``row_idx`` —
+    ``promote_headers`` preserves that column, which is why no separate
+    per-source ROW_OFFSET is needed here (the reference re-derives its
+    offset per country because its image splice happens positionally
+    *after* promotion; a key join makes that bookkeeping vanish).
+
+    Pure stdlib: anchors come from the xlsx zip's ``xl/drawings`` parts
+    (``sources.xlsx_zip``) — no openpyxl in this runtime. Multiple
+    images anchored to one row are space-joined, as in the reference.
+    """
+    from gov_data_pipeline_spark.sources.png_codec import image_to_data_uri
+    from gov_data_pipeline_spark.sources.xlsx_zip import iter_xlsx_images
+
+    by_row: dict[int, list[str]] = {}
+    for img in iter_xlsx_images(workbook_bytes, sheet=sheet):
+        row_idx = xlsx_image_anchor_row(img.row, img.row_off_emu, skip_rows)
+        uri = image_to_data_uri(img.data)
+        if uri:
+            by_row.setdefault(row_idx, []).append(uri)
+    return sorted((r, " ".join(uris).strip()) for r, uris in by_row.items())
+
+
+def images_to_df(
+    spark: SparkSession,
+    images: list[tuple[int, str]],
+    idx_col: str = "row_idx",
+    image_col: str = "Изображение",
+) -> DataFrame:
+    """Lift ``extract_xlsx_images`` output into the join input of
+    ``attach_images``. Empty extraction -> empty two-column frame."""
+    return spark.createDataFrame(
+        images, f"{idx_col} long, `{image_col}` string"
+    )
 
 
 def attach_images(
@@ -107,27 +134,54 @@ def attach_images(
 
 
 def docx_tables(docx_bytes: bytes) -> list[list[list[str]]]:
-    """R7: DOCX -> list of tables (rows of cell strings). Requires
-    python-docx; gated until present."""
+    """R7: DOCX -> list of tables (rows of stripped cell strings),
+    matching the reference's python-docx walk
+    (``handlers/kyrgyzstan.py:239-247``). Uses python-docx when
+    importable; otherwise the stdlib OOXML parser
+    (``sources.docx_zip``), which replicates python-docx's text and
+    merged-cell semantics."""
     try:
-        import docx  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "docx_tables needs python-docx, which is not in this "
-            "runtime. Downstream assembly (assemble_rows) is implemented "
-            "and tested against list-of-rows input."
-        ) from e
-    raise NotImplementedError("python-docx table loop not yet wired")
+        import docx
+    except ImportError:
+        from gov_data_pipeline_spark.sources.docx_zip import read_docx_tables
+
+        return read_docx_tables(docx_bytes)
+    from io import BytesIO  # pragma: no cover - python-docx absent here
+
+    document = docx.Document(BytesIO(docx_bytes))
+    return [
+        [[cell.text.strip() for cell in row.cells] for row in table.rows]
+        for table in document.tables
+    ]
 
 
 def pdf_tables(pdf_bytes: bytes) -> list[list[list[str]]]:
     """R6 (re-designed): PDF -> tables with a *local* parser instead of
-    the reference's external conversion service. Requires pdfplumber;
-    gated until present."""
+    the reference's external pdf2docx web service
+    (``utils/pdf2docx.py:54-212`` — a remote dependency this engine
+    deliberately removes from the data path).
+
+    pdfplumber is preferred when importable (real layout analysis);
+    otherwise the stdlib extractor (``sources.pdf_text``) handles the
+    simple text-PDF profile — Flate/plain streams, positioned Tj/TJ
+    runs clustered into a grid. Scanned or CID-font PDFs need the
+    library path; the profile limits are documented in
+    ``pdf_text``'s module docstring, not hidden.
+    """
     try:
-        import pdfplumber  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "pdf_tables needs pdfplumber, which is not in this runtime."
-        ) from e
-    raise NotImplementedError("pdfplumber extraction loop not yet wired")
+        import pdfplumber
+    except ImportError:
+        from gov_data_pipeline_spark.sources.pdf_text import pdf_table
+
+        table = pdf_table(pdf_bytes)
+        return [table] if table else []
+    from io import BytesIO  # pragma: no cover - pdfplumber absent here
+
+    with pdfplumber.open(BytesIO(pdf_bytes)) as pdf:
+        out = []
+        for page in pdf.pages:
+            for table in page.extract_tables():
+                out.append(
+                    [[(c or "").strip() for c in row] for row in table]
+                )
+        return out

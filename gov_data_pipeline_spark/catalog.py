@@ -35,18 +35,29 @@ DIM_TABLES = ("region", "nation", "supplier", "part", "customer")
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing physical-type quirks.
 
-    ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader has no type for. We read it as epoch-nanos long
-    (legacy conf, runtime-settable) and truncate to microseconds with
-    integer division — bit-identical to how DuckDB's reader truncates
-    nanos to its micros timestamp.
+    ``events.parquet`` has shipped with ``ts`` as either TIMESTAMP(NANOS)
+    (which Spark's parquet reader has no type for — we read it as
+    epoch-nanos long via the legacy conf and truncate to microseconds,
+    bit-identical to DuckDB's nanos→micros truncation) or as plain
+    TIMESTAMP(MICROS). The conversion is gated on the *read* schema so
+    either fixture vintage works: only a LongType ``ts`` is converted;
+    a real timestamp column passes through untouched.
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Session-tz-agnostic: NTZ wall-clock == the naive timestamps
+            # DuckDB reads; cast so downstream tz-aware ops behave the
+            # same as the historical timestamp_micros() output under UTC.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

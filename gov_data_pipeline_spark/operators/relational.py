@@ -96,6 +96,40 @@ def attach_row_index(df: DataFrame, order_by: list[str], name: str = "row_idx") 
     return df.withColumn(name, F.row_number().over(w) - F.lit(1))
 
 
+def attach_row_index_ingest(
+    df: DataFrame,
+    order_by: list[str] | None = None,
+    name: str = "row_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a 0-based dense row index via ``zipWithIndex`` — the
+    scale path ``attach_row_index``'s docstring recommends.
+
+    With ``order_by``, the input is range-partitioned and sorted on
+    those keys first, so the index is the global rank under that order
+    — but computed WITHOUT the single-task global-window funnel:
+    ``zipWithIndex`` runs one lightweight count job over the partitions
+    and then assigns ``partition_offset + position`` in parallel, so
+    every partition stays busy at 1000 executors. Without ``order_by``,
+    the index is ingest order (partition order x within-partition
+    order) — the right call directly after a file read, before any
+    shuffle. Callers needing determinism must either pass ``order_by``
+    with a total key or call this before any order-destroying shuffle.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if order_by:
+        if num_partitions:
+            df = df.repartitionByRange(num_partitions, *order_by)
+        else:
+            df = df.repartitionByRange(*order_by)
+        df = df.sortWithinPartitions(*order_by)
+    spark = df.sparkSession
+    schema = StructType(df.schema.fields + [StructField(name, LongType(), False)])
+    indexed = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return spark.createDataFrame(indexed, schema)
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_by: list[str],

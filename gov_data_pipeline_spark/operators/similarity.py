@@ -305,6 +305,134 @@ def ivf_topk(
     )
 
 
+def _with_lsh_buckets(
+    df: DataFrame,
+    idc: str,
+    vecc: str,
+    ida: str,
+    veca: str,
+    bits: int,
+    tables: int,
+    hash_family: str,
+) -> DataFrame:
+    """Attach (table, bucket) rows to each vector — the shared
+    hyperplane-LSH stage behind ``ann_topk`` and ``lsh_cosine_pairs``.
+
+    Signatures via posexplode + codegen'd sum-aggregates (the
+    interpreted higher-order-lambda version is ~10x slower at corpus
+    scale): one shuffle on the vector id computes all tables*bits plane
+    dot-products in a single hash-aggregate.
+    """
+    base = df.select(F.col(idc).alias(ida), F.col(vecc).alias(veca))
+    ex = base.select(ida, F.posexplode(veca).alias("__d", "__x"))
+    total = tables * bits
+    if hash_family == "md5":
+        # Broadcast (dim -> 1 sign per plane) table: tables*bits
+        # digests per distinct dimension, zero per-row hashing.
+        signs = F.transform(
+            F.sequence(F.lit(0), F.lit(total - 1)),
+            lambda p: F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.col("__d").cast("string"),
+                                p.cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("int")
+                .bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        dim_signs = ex.select("__d").distinct().select("__d", signs.alias("__sg"))
+        ex = ex.join(F.broadcast(dim_signs), "__d")
+        aggs = [
+            F.sum(
+                F.col("__x").cast("double") * F.element_at(F.col("__sg"), p + 1)
+            ).alias(f"__p{p}")
+            for p in range(total)
+        ]
+    elif hash_family == "xxhash64":
+        aggs = [
+            F.sum(
+                F.col("__x").cast("double")
+                * F.when(
+                    F.xxhash64(F.lit(p), F.col("__d")).bitwiseAND(F.lit(1)) == 1, 1.0
+                ).otherwise(-1.0)
+            ).alias(f"__p{p}")
+            for p in range(total)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    dots = ex.groupBy(ida).agg(*aggs)
+    bucket_exprs = []
+    for t in range(tables):
+        b = F.lit(0).cast("long")
+        for i in range(bits):
+            b = b + F.when(
+                F.col(f"__p{t * bits + i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        bucket_exprs.append(F.struct(F.lit(t).alias("t"), b.alias("b")))
+    sigs = dots.select(
+        ida, F.explode(F.array(*bucket_exprs)).alias("__tb")
+    ).select(ida, F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
+    return base.join(sigs, ida)
+
+
+def lsh_cosine_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    threshold: float,
+    bits: int = 8,
+    tables: int = 4,
+    exclude_self: bool = True,
+    hash_family: str = "xxhash64",
+    dim: int | None = None,
+) -> DataFrame:
+    """All (query, corpus) pairs with rounded cosine >= ``threshold``,
+    candidates restricted to same-LSH-bucket vectors.
+
+    The scale-path replacement for a crossJoin pair stage (q46/q74's
+    flagged all-pairs plan): candidate generation is an equi-join on
+    (table, bucket), so cost scales with bucket occupancy instead of
+    |queries| x |corpus|. Thresholding happens on the 4-decimal-ROUNDED
+    similarity, matching the exact operators' convention so a DuckDB
+    oracle that replicates the bucket arithmetic (md5 family) agrees
+    value-for-value. Output: (a_id, b_id, cosine_sim).
+    """
+    q = _with_lsh_buckets(
+        queries, query_id, query_vec, "__qid", "__qv", bits, tables, hash_family
+    )
+    c = _with_lsh_buckets(
+        corpus, corpus_id, corpus_vec, "__cid", "__cv", bits, tables, hash_family
+    )
+    joined = c.join(q, ["__t", "__b"])
+    if exclude_self:
+        joined = joined.filter(F.col("__qid") != F.col("__cid"))
+    cand = joined.select("__qid", "__qv", "__cid", "__cv").distinct()
+    return (
+        cand.select(
+            F.col("__qid").alias("a_id"),
+            F.col("__cid").alias("b_id"),
+            F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -334,78 +462,12 @@ def ann_topk(
     engine, so q45 carries a full DuckDB oracle. The xxhash64 default
     computes signs inline per row; both stay entirely JVM-side.
     """
-
-    def with_buckets(df: DataFrame, idc: str, vecc: str, ida: str, veca: str) -> DataFrame:
-        # Signatures via posexplode + codegen'd sum-aggregates (the
-        # interpreted higher-order-lambda version is ~10x slower at
-        # corpus scale): one shuffle on the vector id computes all
-        # tables*bits plane dot-products in a single hash-aggregate.
-        base = df.select(F.col(idc).alias(ida), F.col(vecc).alias(veca))
-        ex = base.select(ida, F.posexplode(veca).alias("__d", "__x"))
-        total = tables * bits
-        if hash_family == "md5":
-            # Broadcast (dim -> 1 sign per plane) table: tables*bits
-            # digests per distinct dimension, zero per-row hashing.
-            signs = F.transform(
-                F.sequence(F.lit(0), F.lit(total - 1)),
-                lambda p: F.when(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    F.col("__d").cast("string"),
-                                    p.cast("string"),
-                                )
-                            ),
-                            1,
-                            1,
-                        ),
-                        16,
-                        10,
-                    )
-                    .cast("int")
-                    .bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            )
-            dim_signs = ex.select("__d").distinct().select("__d", signs.alias("__sg"))
-            ex = ex.join(F.broadcast(dim_signs), "__d")
-            aggs = [
-                F.sum(
-                    F.col("__x").cast("double") * F.element_at(F.col("__sg"), p + 1)
-                ).alias(f"__p{p}")
-                for p in range(total)
-            ]
-        elif hash_family == "xxhash64":
-            aggs = [
-                F.sum(
-                    F.col("__x").cast("double")
-                    * F.when(
-                        F.xxhash64(F.lit(p), F.col("__d")).bitwiseAND(F.lit(1)) == 1, 1.0
-                    ).otherwise(-1.0)
-                ).alias(f"__p{p}")
-                for p in range(total)
-            ]
-        else:
-            raise ValueError(f"unknown hash_family: {hash_family!r}")
-        dots = ex.groupBy(ida).agg(*aggs)
-        bucket_exprs = []
-        for t in range(tables):
-            b = F.lit(0).cast("long")
-            for i in range(bits):
-                b = b + F.when(
-                    F.col(f"__p{t * bits + i}") > 0, F.lit(1 << i).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
-            bucket_exprs.append(F.struct(F.lit(t).alias("t"), b.alias("b")))
-        sigs = dots.select(
-            ida, F.explode(F.array(*bucket_exprs)).alias("__tb")
-        ).select(ida, F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
-        return base.join(sigs, ida)
-
-    q = with_buckets(queries, query_id, query_vec, "__qid", "__qv")
-    c = with_buckets(corpus, corpus_id, corpus_vec, "neighbor_id", "__cv")
+    q = _with_lsh_buckets(
+        queries, query_id, query_vec, "__qid", "__qv", bits, tables, hash_family
+    )
+    c = _with_lsh_buckets(
+        corpus, corpus_id, corpus_vec, "neighbor_id", "__cv", bits, tables, hash_family
+    )
     joined = c.join(q, ["__t", "__b"])
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gov_data_pipeline_spark.queries import (
     dedup_sim,
+    ingest,
     llm_queries,
     relational,
     scalar,
@@ -28,7 +29,9 @@ from gov_data_pipeline_spark.queries import (
     textops,
 )
 
-_MODULES = (relational, scalar, textops, dedup_sim, llm_queries, stream_queries)
+_MODULES = (
+    relational, scalar, textops, ingest, dedup_sim, llm_queries, stream_queries
+)
 
 # The driver's per-round correctness run samples the FIRST 50 entries of
 # ``queries()`` (insertion order).  Queries that have never had a driver
@@ -37,31 +40,54 @@ _MODULES = (relational, scalar, textops, dedup_sim, llm_queries, stream_queries)
 # r01/r02) follows in module order.  New queries added in a round should be
 # appended here until they earn a green row.
 _PRIORITY: tuple[str, ...] = (
-    # never driver-sampled (0 CORRECTNESS rows through r02)
-    "q50_llm_enrich",
-    "q51_llm_correction",
-    "q52_multimodal",
-    "q58_overlap_pairs",
-    "q59_incremental_dedup",
+    # never driver-green in any round (r03 errored on the events read,
+    # fixed in catalog.read_table this round)
     "q60_tumbling",
     "q61_sliding",
     "q62_session_window",
     "q63_stream_dedup",
     "q64_gapfill",
-    "q65_hash_sample",
     "q66_cumulative_alerts",
     "q76_stream_join",
-    # sampled in r01 before gaining their md5 value-hash oracles
-    "q42_minhash_lsh",
-    "q43_simhash",
-    "q45_ann_lsh",
-    "q55_ann_ivf",
-    "q56_cosine_neardup_gemm",
-    # new in round 3
+    # new in round 4
     "q80_semantic_clusters_lsh",
     "q81_xlsx_image_extract",
     "q82_docx_ingest",
     "q83_row_index_ingest",
+    # r03 events-read casualties, need their re-green row
+    "q06_asof_join",
+    "q11_window_lag",
+    "q13_sessionize",
+    "q17_pivot",
+    "q27_sql_api",
+    "q29_salted_agg",
+    "q34_json",
+    "q36_map",
+    "q71_range_window",
+    # stalest greens (no driver row since r01/r02)
+    "q20_clean_text",
+    "q21_reg_num",
+    "q22_exclusion",
+    "q23_clean_cell",
+    "q24_merge_continuation",
+    "q33_math",
+    "q35_array",
+    "q37_base64",
+    "q40_exact_dedup",
+    "q41_jaccard_pairs",
+    "q44_cosine_topk",
+    "q46_cosine_neardup",
+    "q47_text_stats",
+    "q48_lang_id",
+    "q49_fingerprint",
+    "q57_winnowing",
+    "q67_dedup_clusters",
+    "q68_bm25",
+    "q69_stratified_sample",
+    "q70_frequent_terms",
+    "q74_semantic_clusters",
+    "q75_corpus_pipeline",
+    "q77_fuzzy_join",
 )
 
 
@@ -72,10 +98,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
+    missing = [name for name in _PRIORITY if name not in merged]
+    if missing:
+        raise ValueError(
+            f"_PRIORITY names not defined by any query module: {missing}"
+        )
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _PRIORITY:
-        if name in merged:
-            out[name] = merged.pop(name)
+        out[name] = merged.pop(name)
     out.update(merged)
     return out
 

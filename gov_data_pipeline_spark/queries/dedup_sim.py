@@ -1048,6 +1048,96 @@ ORDER BY c.vec_id
 """
 
 
+def q80_semantic_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q74's semantic dedup with the crossJoin pair stage replaced by
+    the hyperplane-LSH candidate generator (``lsh_cosine_pairs``, md5
+    family) — the scale path q74's docstring promises: candidates come
+    from an equi-join on (table, bucket), so the plan contains no
+    CartesianProduct/BroadcastNestedLoopJoin and pair cost scales with
+    bucket occupancy, not |mutants| x |corpus|. The oracle replicates
+    the bucket arithmetic bit-for-bit (the q45 construction), so the
+    whole pipeline — buckets, candidate join, rounded-cosine verify,
+    connected components — carries a full value-hash oracle."""
+    from gov_data_pipeline_spark.operators.graph import dedup_clusters
+    from gov_data_pipeline_spark.operators.similarity import lsh_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutants = _mutant_embeddings(emb)
+    dim = _emb_dim(spark, sf_dir)
+    corpus = emb.unionByName(mutants)
+    pairs = lsh_cosine_pairs(
+        mutants, emb, "vec_id", "vec_id", "embedding", "embedding",
+        threshold=0.99, bits=6, tables=6, hash_family="md5", dim=dim,
+    )
+    return (
+        dedup_clusters(pairs.select("a_id", "b_id"), corpus.select("vec_id"), "vec_id")
+        .select("vec_id", "component", "is_canonical")
+        .orderBy("vec_id")
+    )
+
+
+# Bucket arithmetic identical to _Q45_SQL (36 planes = 6 tables x 6
+# bits, ±1 from the low bit of md5's first hex char); candidates are
+# mutant-vs-original bucket collisions, verified on the 4-decimal-
+# rounded cosine, then q74's recursive connected-components walk.
+_Q80_SQL = f"""
+WITH RECURSIVE
+mutants AS ({_MUTANTS_SQL}),
+u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM mutants),
+ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding) AS x
+  FROM u),
+dims AS (SELECT DISTINCT d FROM ex),
+planes AS (
+  SELECT dims.d, p.p AS p,
+         CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
+                                   1, 1))::INT & 1 = 1
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM dims CROSS JOIN range(36) p(p)),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  FROM ex e JOIN planes pl ON pl.d = e.d
+  GROUP BY e.vec_id, pl.p),
+buckets AS (
+  SELECT vec_id, (p // 6)::INT AS t,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 6)) ELSE 0 END)::BIGINT AS b
+  FROM dots GROUP BY vec_id, (p // 6)::INT),
+cand AS (
+  SELECT DISTINCT q.vec_id AS a_id, c.vec_id AS b_id
+  FROM buckets q
+  JOIN buckets c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id >= {_MUT_OFFSET} AND c.vec_id < {_MUT_OFFSET}),
+pairs AS (
+  SELECT cand.a_id, cand.b_id
+  FROM cand
+  JOIN mutants m ON m.vec_id = cand.a_id
+  JOIN embeddings o ON o.vec_id = cand.b_id
+  WHERE round(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+                                     CAST(o.embedding AS DOUBLE[])), 4) >= 0.99),
+corpus AS (
+  SELECT vec_id FROM embeddings UNION ALL SELECT vec_id FROM mutants),
+edges AS (
+  SELECT a_id AS eu, b_id AS ev FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT eu, eu FROM edges
+  UNION
+  SELECT e.eu, w.comp FROM edges e JOIN walk w ON w.node = e.ev),
+labels AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+SELECT c.vec_id,
+       coalesce(l.component, c.vec_id) AS component,
+       coalesce(l.component, c.vec_id) = c.vec_id AS is_canonical
+FROM corpus c LEFT JOIN labels l ON l.node = c.vec_id
+ORDER BY c.vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Capstone composition — the full corpus-curation pipeline as one
 # oracle-checked query: near-dup detection (MinHash-LSH, md5 family) ->
@@ -1233,6 +1323,7 @@ QUERIES = {
     "q67_dedup_clusters": q67_dedup_clusters,
     "q77_fuzzy_join": q77_fuzzy_join,
     "q74_semantic_clusters": q74_semantic_clusters,
+    "q80_semantic_clusters_lsh": q80_semantic_clusters_lsh,
     "q75_corpus_pipeline": q75_corpus_pipeline,
     "q68_bm25": q68_bm25,
     "q69_stratified_sample": q69_stratified_sample,
@@ -1260,6 +1351,7 @@ ORACLE = {
     "q55_ann_ivf": _Q55_SQL,
     "q67_dedup_clusters": _Q67_SQL,
     "q74_semantic_clusters": _Q74_SQL,
+    "q80_semantic_clusters_lsh": _Q80_SQL,
     "q75_corpus_pipeline": _Q75_SQL,
     "q77_fuzzy_join": _Q77_SQL,
     "q68_bm25": _Q68_SQL,

@@ -1,0 +1,238 @@
+"""Document-ingest queries (SURVEY R4-R8, R18-R19, T14): the
+workbook/DOCX extraction surface and the zipWithIndex ingest indexer,
+oracle-checked end-to-end.
+
+The fixtures carry no binary documents, so each query *builds* its
+document deterministically from fixture rows inside the query (the
+same synthesize-inside-the-query pattern as textops), runs the real
+codec path — zip container, drawing anchors, PNG encode/decode, OOXML
+tables — and lands back on values a DuckDB oracle states directly from
+``documents``. The workbook/docx construction uses only doc_id < K
+rows, which exist identically at every fixture scale, so the embedded
+images (and therefore the oracle's expected data URIs, computed once
+at import from the same codec) are scale-independent.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gov_data_pipeline_spark.catalog import read_table as _t
+from gov_data_pipeline_spark.sources.png_codec import solid_png
+
+# ---------------------------------------------------------------------------
+# q81 — xlsx embedded-image extraction (reference handlers/base.py:200-274):
+# workbook bytes -> anchored images -> data-URI column joined by row_idx.
+# ---------------------------------------------------------------------------
+
+_Q81_DOCS = 24  # doc_id < 24 rows become sheet rows — present at every sf
+
+
+def _q81_rgb(d: int) -> tuple[int, int, int]:
+    return (d % 256, (d * 3) % 256, (d * 7) % 256)
+
+
+def _q81_rgb2(d: int) -> tuple[int, int, int]:
+    return ((d + 31) % 256, (d * 5) % 256, (d * 11) % 256)
+
+
+def _q81_expected_uri(d: int) -> str:
+    """The data URI(s) q81 must extract for doc ``d`` — computed from
+    the same PNG encoder the workbook embeds, so the oracle literal and
+    the extracted value agree byte-for-byte."""
+    uri = "data:image/png;base64," + base64.b64encode(
+        solid_png(3, 2, _q81_rgb(d))
+    ).decode("ascii")
+    if d % 8 == 0:
+        uri2 = "data:image/png;base64," + base64.b64encode(
+            solid_png(2, 2, _q81_rgb2(d))
+        ).decode("ascii")
+        return f"{uri} {uri2}"
+    return uri
+
+
+def q81_xlsx_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a workbook from the first 24 documents rows with PNGs
+    anchored at every 4th data row (two images on every 8th, and the
+    hanging-anchor ``rowOff > 10000`` form on the others), then run the
+    full extraction loop: ``read_excel`` -> ``promote_headers`` ->
+    ``extract_xlsx_images`` -> ``attach_images``. Everything crosses
+    the real stdlib codec (zip, SpreadsheetML, drawing XML, PNG)."""
+    from gov_data_pipeline_spark.sources.documents import (
+        attach_images,
+        extract_xlsx_images,
+        images_to_df,
+    )
+    from gov_data_pipeline_spark.sources.excel import read_excel
+    from gov_data_pipeline_spark.sources.xlsx_zip import write_xlsx
+    from gov_data_pipeline_spark.transforms.headers import promote_headers
+
+    docs = sorted(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _Q81_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows: list[list[str | None]] = [["id", "title"]]
+    images: list[tuple[int, int, int, bytes]] = []
+    for p, (d, text) in enumerate(docs):
+        rows.append([str(d), text[:20]])
+        if d % 4 != 0:
+            continue
+        png = solid_png(3, 2, _q81_rgb(d))
+        if d % 8 == 0:
+            # plain anchor at the data row itself (+ a second image on
+            # the same row — extraction space-joins them in order)
+            images.append((p + 1, 2, 0, png))
+            images.append((p + 1, 3, 0, solid_png(2, 2, _q81_rgb2(d))))
+        else:
+            # anchored to the row ABOVE but hanging >10000 EMU below its
+            # top — the reference's next-row heuristic must fire
+            images.append((p, 2, 20000, png))
+    wb = write_xlsx(rows, images=images)
+
+    df = read_excel(spark, wb, skip_rows=0)
+    df = promote_headers(df, "row_idx", skip_rows=1)
+    imgs = images_to_df(
+        spark, extract_xlsx_images(wb, skip_rows=0), image_col="image_uri"
+    )
+    return (
+        attach_images(df, imgs, image_col="image_uri")
+        .select("row_idx", "id", "title", "image_uri")
+        .orderBy("row_idx")
+    )
+
+
+_Q81_URI_CASE = " ".join(
+    f"WHEN {d} THEN '{_q81_expected_uri(d)}'"
+    for d in range(0, _Q81_DOCS, 4)
+)
+
+_Q81_SQL = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 20) AS title,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id < {_Q81_DOCS})
+SELECT rn AS row_idx,
+       CAST(doc_id AS VARCHAR) AS id,
+       title,
+       CASE WHEN doc_id % 4 = 0
+            THEN CASE doc_id {_Q81_URI_CASE} END
+            ELSE '' END AS image_uri
+FROM d
+ORDER BY row_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# q82 — DOCX table ingest (reference handlers/kyrgyzstan.py:239-270):
+# docx bytes -> tables -> assemble_rows -> continuation-row merge.
+# ---------------------------------------------------------------------------
+
+_Q82_DOCS = 30
+
+
+def q82_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a registry-shaped DOCX table from the first 30 documents
+    rows (every 4th row starts a record, 'Name:' noise rows are
+    dropped, the rest merge into the previous record), round-trip it
+    through the stdlib OOXML codec, and run the reference's assembly:
+    ``docx_tables`` -> ``assemble_rows`` -> ``merge_continuation_rows``."""
+    from gov_data_pipeline_spark.sources.docx_zip import write_docx_table
+    from gov_data_pipeline_spark.sources.documents import assemble_rows, docx_tables
+    from gov_data_pipeline_spark.transforms import merge_continuation_rows
+
+    docs = sorted(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _Q82_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows: list[list[str]] = [["reg", "payload"]]
+    for d, text in docs:
+        if d % 4 == 0:
+            reg = f"№{1000 + d}/ТЗ"
+        elif d % 8 == 2:
+            reg = "Name: шум"
+        elif d % 4 == 3:
+            reg = ""
+        else:
+            reg = "продолжение записи"
+        rows.append([reg, text[:12]])
+    docx = write_docx_table(rows)
+
+    tables = docx_tables(docx)
+    df = assemble_rows(spark, tables[0], skip_rows=1, idx_col="row_idx")
+    return merge_continuation_rows(df, key_col="reg", idx_col="row_idx").orderBy(
+        "row_idx"
+    )
+
+
+# assemble_rows row_idx counts ALL table rows (header = 0), so data row
+# for the p-th doc is p+1 = row_number() over doc_id order. DOCX cell
+# text is stripped by the codec; the fixture texts carry no control
+# characters, so trim() mirrors Python's strip() here.
+_Q82_SQL = f"""
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY doc_id) AS row_idx,
+         CASE WHEN doc_id % 4 = 0 THEN '№' || CAST(doc_id + 1000 AS VARCHAR) || '/ТЗ'
+              WHEN doc_id % 8 = 2 THEN 'Name: шум'
+              WHEN doc_id % 4 = 3 THEN ''
+              ELSE 'продолжение записи' END AS reg,
+         trim(substr(text, 1, 12)) AS payload
+  FROM documents WHERE doc_id < {_Q82_DOCS}),
+kept AS (
+  SELECT * FROM base WHERE NOT starts_with(trim(reg), 'Name:')),
+flagged AS (
+  SELECT *,
+         sum(CASE WHEN regexp_matches(trim(reg), '^(№?\\d{{4,}})(/ТЗ.*)?') THEN 1 ELSE 0 END)
+           OVER (ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM kept)
+SELECT min(row_idx) AS row_idx,
+       coalesce(string_agg(nullif(trim(reg), ''), ' ' ORDER BY row_idx), '') AS reg,
+       coalesce(string_agg(nullif(trim(payload), ''), ' ' ORDER BY row_idx), '') AS payload
+FROM flagged
+GROUP BY gid
+ORDER BY row_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# q83 — zipWithIndex-at-ingest row indexing (T14's scale path): the
+# global-window funnel in q18 replaced by range-partition + sort +
+# per-partition offsets.
+# ---------------------------------------------------------------------------
+
+
+def q83_row_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.relational import attach_row_index_ingest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        attach_row_index_ingest(docs, order_by=["doc_id"])
+        .select("doc_id", "lang", "row_idx")
+        .orderBy("doc_id")
+    )
+
+
+_Q83_SQL = """
+SELECT doc_id, lang,
+       row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q81_xlsx_image_extract": q81_xlsx_image_extract,
+    "q82_docx_ingest": q82_docx_ingest,
+    "q83_row_index_ingest": q83_row_index_ingest,
+}
+
+ORACLE = {
+    "q81_xlsx_image_extract": _Q81_SQL,
+    "q82_docx_ingest": _Q82_SQL,
+    "q83_row_index_ingest": _Q83_SQL,
+}

@@ -23,6 +23,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gov_data_pipeline_spark.transforms.headers import dedup_column_names
 
+_ZIP_MAGIC = b"PK\x03\x04"
+
+
+def _require_magic(data: bytes, magic: bytes, fmt: str) -> None:
+    """Unified corrupt-input contract for the byte->table codecs: every
+    entry point raises ``ValueError`` naming the expected format, rather
+    than leaking ``BadZipFile`` (zip codecs) or silently returning
+    ``[]`` (the old pdf behavior) — a corrupt registry file should fail
+    the ingest loudly, not vanish from the output."""
+    if not data.startswith(magic):
+        raise ValueError(
+            f"{fmt}: corrupt or empty input (missing {magic!r} signature)"
+        )
+
 # Per-source row offsets between the sheet row of an image anchor and
 # the promoted-DataFrame row (reference: belarus.py:25 = 2,
 # kazakhstan.py:29 = 5, kyrgyzstan.py:87 = 0) — business rules, config
@@ -93,6 +107,7 @@ def extract_xlsx_images(
     from gov_data_pipeline_spark.sources.png_codec import image_to_data_uri
     from gov_data_pipeline_spark.sources.xlsx_zip import iter_xlsx_images
 
+    _require_magic(workbook_bytes, _ZIP_MAGIC, "xlsx")
     by_row: dict[int, list[str]] = {}
     for img in iter_xlsx_images(workbook_bytes, sheet=sheet):
         row_idx = xlsx_image_anchor_row(img.row, img.row_off_emu, skip_rows)
@@ -140,6 +155,7 @@ def docx_tables(docx_bytes: bytes) -> list[list[list[str]]]:
     importable; otherwise the stdlib OOXML parser
     (``sources.docx_zip``), which replicates python-docx's text and
     merged-cell semantics."""
+    _require_magic(docx_bytes, _ZIP_MAGIC, "docx")
     try:
         import docx
     except ImportError:
@@ -168,6 +184,7 @@ def pdf_tables(pdf_bytes: bytes) -> list[list[list[str]]]:
     library path; the profile limits are documented in
     ``pdf_text``'s module docstring, not hidden.
     """
+    _require_magic(pdf_bytes, b"%PDF-", "pdf")
     try:
         import pdfplumber
     except ImportError:

@@ -4,7 +4,9 @@ silently drop a query from the driver's correctness sweep."""
 
 import re
 
-from gov_data_pipeline_spark.queries import _MODULES, all_oracles, all_queries
+import pytest
+
+from gov_data_pipeline_spark.queries import _MODULES, _PRIORITY, all_oracles, all_queries
 
 
 def test_no_duplicate_query_keys_across_modules():
@@ -24,6 +26,26 @@ def test_query_naming_convention_and_callables():
     for name, fn in qs.items():
         assert re.fullmatch(r"q\d+_[a-z0-9_]+", name), name
         assert callable(fn), name
+
+
+def test_every_priority_name_resolves():
+    """A _PRIORITY entry naming a query no module defines must raise
+    loudly — round 3 shipped four phantom priority names that
+    all_queries() silently swallowed, leaving new surface without any
+    oracle coverage."""
+    qs = all_queries()
+    for name in _PRIORITY:
+        assert name in qs, f"_PRIORITY names unknown query {name}"
+    # priority names enumerate first — the driver samples the first 50
+    assert list(qs)[: len(_PRIORITY)] == list(_PRIORITY)
+
+
+def test_phantom_priority_name_raises(monkeypatch):
+    import gov_data_pipeline_spark.queries as reg
+
+    monkeypatch.setattr(reg, "_PRIORITY", ("q99_does_not_exist",))
+    with pytest.raises(ValueError, match="q99_does_not_exist"):
+        reg.all_queries()
 
 
 def test_oracle_coverage_is_total_except_sketches():

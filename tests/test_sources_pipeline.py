@@ -243,22 +243,125 @@ class TestPipelineRegistry:
         assert len(rows) == 2 and rows[0]["tag"] == "T"
 
 
-class TestDocumentIngestGating:
-    def test_codec_gated_functions_raise_clearly(self):
+class TestDocumentCodecs:
+    """Round-3 stdlib codecs, golden-tested end-to-end: workbook with
+    embedded images -> extraction -> attach; docx -> tables -> merged
+    records; pdf -> rows; and the unified corrupt-input contract."""
+
+    def test_xlsx_image_extract_and_attach_golden(self, spark):
+        from gov_data_pipeline_spark.sources.documents import (
+            attach_images,
+            extract_xlsx_images,
+            images_to_df,
+        )
+        from gov_data_pipeline_spark.sources.excel import read_excel
+        from gov_data_pipeline_spark.sources.png_codec import solid_png
+        from gov_data_pipeline_spark.sources.xlsx_zip import write_xlsx
+        from gov_data_pipeline_spark.transforms.headers import promote_headers
+
+        rows = [["name", "img"], ["alpha", ""], ["beta", ""], ["gamma", ""]]
+        png_a = solid_png(2, 2, (10, 20, 30))
+        png_b = solid_png(3, 1, (40, 50, 60))
+        wb = write_xlsx(
+            rows,
+            images=[
+                (1, 1, 0, png_a),       # plain anchor at data row 1
+                (2, 1, 20000, png_b),   # hangs >10000 EMU below row 2 -> row 3
+            ],
+        )
+
+        extracted = extract_xlsx_images(wb, skip_rows=0)
+        import base64
+
+        uri_a = "data:image/png;base64," + base64.b64encode(png_a).decode()
+        uri_b = "data:image/png;base64," + base64.b64encode(png_b).decode()
+        assert extracted == [(1, uri_a), (3, uri_b)]
+
+        df = promote_headers(read_excel(spark, wb, skip_rows=0), "row_idx", skip_rows=1)
+        out = attach_images(df, images_to_df(spark, extracted))
+        got = {r["name"]: r["Изображение"] for r in out.collect()}
+        assert got == {"alpha": uri_a, "beta": "", "gamma": uri_b}
+
+    def test_xlsx_rows_roundtrip_ragged_and_gaps(self):
+        from gov_data_pipeline_spark.sources.xlsx_zip import read_xlsx_rows, write_xlsx
+
+        rows = [["a", "b", "c"], ["1", None, "3"], [], ["x"]]
+        back = read_xlsx_rows(write_xlsx(rows))
+        assert back == [["a", "b", "c"], ["1", None, "3"], [], ["x"]]
+
+    def test_docx_tables_to_merged_records(self, spark):
+        from gov_data_pipeline_spark.sources.documents import assemble_rows, docx_tables
+        from gov_data_pipeline_spark.sources.docx_zip import write_docx_table
+        from gov_data_pipeline_spark.transforms import merge_continuation_rows
+
+        rows = [
+            ["reg", "info"],
+            ["№1234/ТЗ", "first"],
+            ["", "continues"],
+            ["Name: noise", "dropped"],
+            ["№5678", "second"],
+            ["продолжение", "tail"],
+        ]
+        tables = docx_tables(write_docx_table(rows))
+        assert tables == [rows]
+        df = assemble_rows(spark, tables[0], skip_rows=1, idx_col="row_idx")
+        merged = merge_continuation_rows(df, key_col="reg", idx_col="row_idx")
+        got = [(r["reg"], r["info"]) for r in merged.orderBy("row_idx").collect()]
+        assert got == [
+            ("№1234/ТЗ", "first continues"),
+            ("№5678 продолжение", "second tail"),
+        ]
+
+    def test_docx_merged_cells_match_python_docx_semantics(self):
+        """gridSpan repeats text across spanned columns; vMerge
+        continuation repeats the cell above — hand-built OOXML, since
+        the minimal writer never emits spans."""
+        import zipfile
+        from io import BytesIO
+
+        from gov_data_pipeline_spark.sources.docx_zip import read_docx_tables
+
+        ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+        def tc(text, props=""):
+            pr = f"<w:tcPr>{props}</w:tcPr>" if props else ""
+            return f"<w:tc>{pr}<w:p><w:r><w:t>{text}</w:t></w:r></w:p></w:tc>"
+
+        span2 = '<w:gridSpan w:val="2"/>'
+        vrestart = '<w:vMerge w:val="restart"/>'
+        vcont = "<w:vMerge/>"
+        doc = (
+            f'<?xml version="1.0"?><w:document xmlns:w="{ns}"><w:body><w:tbl>'
+            f"<w:tr>{tc('wide', span2)}{tc('top', vrestart)}</w:tr>"
+            f"<w:tr>{tc('a')}{tc('b')}{tc('', vcont)}</w:tr>"
+            "</w:tbl></w:body></w:document>"
+        )
+        buf = BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", doc)
+        tables = read_docx_tables(buf.getvalue())
+        assert tables == [[["wide", "wide", "top"], ["a", "b", "top"]]]
+
+    def test_pdf_table_roundtrip(self):
+        from gov_data_pipeline_spark.sources.documents import pdf_tables
+        from gov_data_pipeline_spark.sources.pdf_text import write_simple_pdf
+
+        rows = [["h1", "h2"], ["v1", "v2"], ["v3", "v4"]]
+        assert pdf_tables(write_simple_pdf(rows)) == [rows]
+
+    def test_corrupt_input_contract_unified(self):
+        """Every byte->table codec raises ValueError on corrupt/empty
+        input — no BadZipFile leaks, no silent empty result."""
         from gov_data_pipeline_spark.sources.documents import (
             docx_tables,
             extract_xlsx_images,
             pdf_tables,
         )
 
-        for fn, arg in [
-            (docx_tables, b""),
-            (pdf_tables, b""),
-        ]:
-            with pytest.raises(NotImplementedError):
-                fn(arg)
-        with pytest.raises(NotImplementedError):
-            extract_xlsx_images(b"", "belarus")
+        for fn in (docx_tables, pdf_tables, extract_xlsx_images):
+            for bad in (b"", b"garbage bytes"):
+                with pytest.raises(ValueError, match="corrupt or empty"):
+                    fn(bad)
 
 
 class TestFileFormats:

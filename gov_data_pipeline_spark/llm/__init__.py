@@ -2,6 +2,7 @@ from gov_data_pipeline_spark.llm.client import (  # noqa: F401
     AuthError,
     LLMRequest,
     MockLLMClient,
+    OpenAICompatClient,
     RateLimitError,
     TransientAPIError,
     call_with_retry,

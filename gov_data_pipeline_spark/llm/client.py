@@ -96,6 +96,84 @@ def _image_payload(request: LLMRequest) -> str | None:
 
 
 @dataclass
+class OpenAICompatClient:
+    """Real provider adapter: OpenAI-compatible ``/chat/completions``
+    over stdlib HTTP (re-expression of the reference's working client,
+    ``utils/gpt.py:73-145``, minus the SDK dependency).
+
+    Maps HTTP statuses onto the engine's retry taxonomy so
+    ``call_with_retry`` replicates the reference's policy exactly:
+    429 -> ``RateLimitError``, 401/403 -> ``AuthError`` (the reference
+    retries auth errors too — key rotation races), 5xx ->
+    ``TransientAPIError``; anything else is a non-retryable
+    ``ValueError``. The blocking ``urllib`` call runs in a worker
+    thread (``asyncio.to_thread``) so ``llm_map``'s bounded
+    ``asyncio.gather`` concurrency still overlaps requests.
+
+    Stays the *injected* implementation: operators depend only on
+    ``complete(request) -> str``, and ``MockLLMClient`` remains the t2
+    default (the oracle needs a pure function). Nothing in the engine
+    constructs this client implicitly — no ambient env-var coupling;
+    callers pass base_url/api_key explicitly.
+    """
+
+    base_url: str
+    api_key: str = ""
+    timeout: float = 60.0
+
+    def _post_sync(self, body: dict[str, Any]) -> str:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url.rstrip("/") + "/chat/completions",
+            data=json.dumps(body).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                **(
+                    {"Authorization": f"Bearer {self.api_key}"}
+                    if self.api_key
+                    else {}
+                ),
+            },
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            detail = ""
+            try:
+                detail = e.read().decode("utf-8", errors="replace")[:200]
+            except Exception:
+                pass
+            if e.code == 429:
+                raise RateLimitError(f"429: {detail}") from e
+            if e.code in (401, 403):
+                raise AuthError(f"{e.code}: {detail}") from e
+            if e.code >= 500:
+                raise TransientAPIError(f"{e.code}: {detail}") from e
+            raise ValueError(f"LLM API error {e.code}: {detail}") from e
+        except urllib.error.URLError as e:
+            raise TransientAPIError(f"connection error: {e.reason}") from e
+        try:
+            return payload["choices"][0]["message"]["content"] or ""
+        except (KeyError, IndexError, TypeError) as e:
+            raise ValueError(f"malformed completion payload: {payload!r:.200}") from e
+
+    async def complete(self, request: LLMRequest) -> str:
+        body: dict[str, Any] = {
+            "model": request.model,
+            "messages": request.messages,
+            "temperature": request.temperature,
+            "max_tokens": request.max_tokens,
+        }
+        if request.response_format == "json_object":
+            body["response_format"] = {"type": "json_object"}
+        return await asyncio.to_thread(self._post_sync, body)
+
+
+@dataclass
 class MockLLMClient:
     """Deterministic stand-in model (pure function of the request).
 

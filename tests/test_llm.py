@@ -48,6 +48,138 @@ class TestRetry:
             )
 
 
+class TestOpenAICompatClient:
+    """The stdlib-HTTP provider adapter against a local fake server:
+    happy path, 429-then-success through the retry policy, auth-fatal
+    after exhaustion, and non-retryable 4xx."""
+
+    @staticmethod
+    def _serve(script):
+        """Start a one-shot HTTP server whose responses follow
+        ``script`` (list of (status, body_dict) consumed per request);
+        returns (base_url, requests_seen, shutdown)."""
+        import http.server
+        import json as _json
+        import threading
+
+        seen: list[dict] = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                seen.append(
+                    {
+                        "path": self.path,
+                        "auth": self.headers.get("Authorization"),
+                        "body": _json.loads(self.rfile.read(n) or b"{}"),
+                    }
+                )
+                status, body = script[min(len(seen) - 1, len(script) - 1)]
+                data = _json.dumps(body).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return f"http://127.0.0.1:{srv.server_address[1]}/v1", seen, srv.shutdown
+
+    @staticmethod
+    def _ok(text):
+        return (200, {"choices": [{"message": {"content": text}}]})
+
+    def test_happy_path_payload_shape(self):
+        from gov_data_pipeline_spark.llm.client import OpenAICompatClient
+
+        url, seen, stop = self._serve([self._ok("hello back")])
+        try:
+            client = OpenAICompatClient(base_url=url, api_key="sk-test")
+            req = LLMRequest(
+                messages=[{"role": "user", "content": "hi"}],
+                model="gpt-4o-mini",
+                max_tokens=64,
+                response_format="json_object",
+            )
+            assert asyncio.run(client.complete(req)) == "hello back"
+            body = seen[0]["body"]
+            assert seen[0]["path"].endswith("/chat/completions")
+            assert seen[0]["auth"] == "Bearer sk-test"
+            assert body["model"] == "gpt-4o-mini"
+            assert body["max_tokens"] == 64
+            assert body["response_format"] == {"type": "json_object"}
+        finally:
+            stop()
+
+    def test_429_retries_then_succeeds(self):
+        from gov_data_pipeline_spark.llm.client import OpenAICompatClient
+
+        url, seen, stop = self._serve(
+            [(429, {"error": "slow down"}), (429, {"error": "slow down"}),
+             self._ok("ok")]
+        )
+        try:
+            client = OpenAICompatClient(base_url=url)
+            sleeps: list[float] = []
+
+            async def fake_sleep(d):
+                sleeps.append(d)
+
+            req = LLMRequest(messages=[{"role": "user", "content": "hi"}])
+            out = asyncio.run(
+                call_with_retry(lambda: client.complete(req), sleep=fake_sleep)
+            )
+            assert out == "ok"
+            assert len(seen) == 3
+            assert sleeps == [2.0, 4.0]  # reference backoff, doubling from 2s
+        finally:
+            stop()
+
+    def test_auth_error_fatal_after_exhaustion(self):
+        from gov_data_pipeline_spark.llm.client import AuthError, OpenAICompatClient
+
+        url, seen, stop = self._serve([(401, {"error": "bad key"})])
+        try:
+            client = OpenAICompatClient(base_url=url, api_key="sk-bad")
+
+            async def fake_sleep(d):
+                pass
+
+            req = LLMRequest(messages=[{"role": "user", "content": "hi"}])
+            with pytest.raises(AuthError):
+                asyncio.run(
+                    call_with_retry(
+                        lambda: client.complete(req), max_retries=3, sleep=fake_sleep
+                    )
+                )
+            assert len(seen) == 3  # retried to exhaustion, as the reference does
+        finally:
+            stop()
+
+    def test_non_retryable_4xx_raises_immediately(self):
+        from gov_data_pipeline_spark.llm.client import OpenAICompatClient
+
+        url, seen, stop = self._serve([(400, {"error": "bad request"})])
+        try:
+            client = OpenAICompatClient(base_url=url)
+
+            async def fake_sleep(d):
+                raise AssertionError("must not retry a 400")
+
+            req = LLMRequest(messages=[{"role": "user", "content": "hi"}])
+            with pytest.raises(ValueError, match="400"):
+                asyncio.run(
+                    call_with_retry(lambda: client.complete(req), sleep=fake_sleep)
+                )
+            assert len(seen) == 1
+        finally:
+            stop()
+
+
 class TestLlmMap:
     def test_skip_and_complete(self, spark):
         df = spark.createDataFrame(

@@ -54,6 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "q81_xlsx_image_extract",
     "q82_docx_ingest",
     "q83_row_index_ingest",
+    "q84_frame_sample",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

@@ -190,14 +190,58 @@ ORDER BY doc_id
 """
 
 
+def q84_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end over the raw-frame profile: pack
+    document text bytes as video/x-raw media (16-byte frames), sample
+    every 3rd frame inside mapInPandas (row explosion in the task, not
+    the driver), hash each emitted frame payload natively. The oracle
+    slices the same frames with substr — byte-identical because the
+    fixture text is ASCII (1 char == 1 byte), which the ORDER of q52's
+    encode() oracle already relies on."""
+    from gov_data_pipeline_spark.sources.multimodal import frame_sample, pack_media_col
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id",
+        pack_media_col(
+            F.encode(F.col("text"), "UTF-8"),
+            "video/x-raw",
+            F.create_map(F.lit("frame_size"), F.lit("16")).cast(
+                "map<string,string>"
+            ),
+        ).alias("media"),
+    )
+    frames = frame_sample(packed, "media", every_n=3)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.col("frame.data")).alias("frame_md5"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+_Q84_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, length(text) // 16)) AS frame_idx
+  FROM documents)
+SELECT doc_id, frame_idx,
+       md5(substr(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)) AS frame_md5
+FROM f
+WHERE frame_idx % 3 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "q50_llm_enrich": q50_llm_enrich,
     "q51_llm_correction": q51_llm_correction,
     "q52_multimodal": q52_multimodal,
+    "q84_frame_sample": q84_frame_sample,
 }
 
 ORACLE = {
     "q50_llm_enrich": _Q50_SQL,
     "q51_llm_correction": _Q51_SQL,
     "q52_multimodal": _Q52_SQL,
+    "q84_frame_sample": _Q84_SQL,
 }

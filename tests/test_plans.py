@@ -120,6 +120,43 @@ class TestRound2OperatorPlans:
         # the window's shuffle + the output sort: no other exchanges
         assert plan.count("Exchange hashpartitioning") <= 1
 
+    def test_q80_lsh_pairs_no_cartesian(self, spark, sf_dir):
+        """q80 exists to kill q74's crossJoin pair stage: the candidate
+        generator must be a bucket equi-join — no CartesianProduct, no
+        BroadcastNestedLoopJoin anywhere in the pair pipeline."""
+        from gov_data_pipeline_spark.operators.similarity import lsh_cosine_pairs
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            _mutant_embeddings,
+            q80_semantic_clusters_lsh,
+        )
+        from gov_data_pipeline_spark.catalog import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        pairs = lsh_cosine_pairs(
+            _mutant_embeddings(emb), emb, "vec_id", "vec_id",
+            "embedding", "embedding", threshold=0.99,
+            bits=6, tables=6, hash_family="md5",
+        )
+        plan = _plan(pairs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the final query (pairs -> connected components) stays clean too
+        df = q80_semantic_clusters_lsh(spark, sf_dir)
+        df.collect()
+        final = _plan(df)
+        assert "CartesianProduct" not in final
+        assert "BroadcastNestedLoopJoin" not in final
+
+    def test_q83_row_index_no_global_window(self, spark, sf_dir):
+        """The ingest indexer must not contain a global row_number
+        window (the q18 funnel it replaces): no Window over an
+        empty partitionBy — zipWithIndex does the offsetting."""
+        from gov_data_pipeline_spark.queries.ingest import q83_row_index_ingest
+
+        plan = _plan(q83_row_index_ingest(spark, sf_dir))
+        assert "row_number" not in plan
+        assert "SinglePartition" not in plan
+
     def test_connected_components_no_array_aggregation(self, spark):
         """CC rounds must stay in the edge domain: no collect_set/
         collect_list in the plan (a giant component would OOM a task)."""

@@ -157,12 +157,53 @@ class TestMultimodal:
         assert len(byid[1]["features"]) == 8
         assert byid[2] is None
 
-    def test_frame_sample_is_stubbed(self, spark):
-        from gov_data_pipeline_spark.sources.multimodal import frame_sample
+    def test_frame_sample_raw_profile(self, spark):
+        """video/x-raw profile: fixed-size frames, every_n sampling,
+        trailing partial frame dropped, row explosion per frame."""
+        from gov_data_pipeline_spark.sources.multimodal import (
+            frame_sample,
+            pack_media_col,
+        )
 
-        df = spark.createDataFrame([(1,)], "id long")
-        with pytest.raises(NotImplementedError):
-            frame_sample(df, "media")
+        # 10 bytes @ frame_size=3 -> frames [abc, def, ghi] (j dropped)
+        df = spark.createDataFrame([(1, b"abcdefghij")], "id long, blob binary")
+        packed = df.select(
+            "id",
+            pack_media_col(
+                F.col("blob"),
+                "video/x-raw",
+                F.create_map(F.lit("frame_size"), F.lit("3")).cast(
+                    "map<string,string>"
+                ),
+            ).alias("media"),
+        )
+        rows = frame_sample(packed, "media", every_n=2).orderBy("frame_idx").collect()
+        assert [(r["frame_idx"], bytes(r["frame"]["data"])) for r in rows] == [
+            (0, b"abc"),
+            (2, b"ghi"),
+        ]
+        assert rows[0]["frame"]["mime"] == "image/x-raw"
+        assert rows[0]["frame"]["meta"]["src_frame"] == "0"
+
+    def test_frame_sample_codec_gated_and_meta_validated(self, spark):
+        from gov_data_pipeline_spark.sources.multimodal import (
+            frame_sample,
+            pack_media_col,
+        )
+        mp4 = spark.createDataFrame([(1, b"\x00\x00ftypmp4")], "id long, b binary")
+        packed = mp4.select(
+            "id", pack_media_col(F.col("b"), "video/mp4").alias("media")
+        )
+        # PyAV is absent in this runtime: decoding a real container must
+        # fail loudly (NotImplementedError surfaces from the Python worker)
+        with pytest.raises(Exception, match="video codec"):
+            frame_sample(packed, "media").collect()
+
+        raw = mp4.select(
+            "id", pack_media_col(F.col("b"), "video/x-raw").alias("media")
+        )
+        with pytest.raises(Exception, match="frame_size"):
+            frame_sample(raw, "media").collect()
 
     def test_resize_stamps_geometry_and_keeps_schema(self, spark):
         from gov_data_pipeline_spark.sources.multimodal import (

@@ -55,7 +55,10 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
     # Warm the JVM + parquet footers once with the cheapest query.
-    registry[names[0]](spark, sf_dir).collect()
+    try:
+        registry[names[0]](spark, sf_dir).collect()
+    except Exception:
+        pass  # per-query handling below reports the real error
     # Warm the Python worker pool (daemon fork + Arrow import) so
     # pandas_udf/mapInPandas queries measure steady-state throughput,
     # not one-time worker spawn (~3-4s on 32 cores).
@@ -69,31 +72,39 @@ def main() -> None:
     ).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        registry[name](spark, sf_dir).collect()  # codegen/JIT warm-up
-        best = float("inf")
-        # best-of-3: the harness VM shows one-sided wall-clock noise
-        # (host throttling waves invisible to guest steal accounting);
-        # the minimum of three full executions is the robust estimate
-        # of what the plan actually costs.
-        for _ in range(3):
-            spark.catalog.clearCache()  # data caches must not carry over
-            t0 = time.perf_counter()
-            registry[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # Fail-soft per query: one broken query must never cost the
+        # round its entire bench record (round 3's bench died on the
+        # first query's read error and left no wall-clock at all).
+        try:
+            registry[name](spark, sf_dir).collect()  # codegen/JIT warm-up
+            best = float("inf")
+            # best-of-3: the harness VM shows one-sided wall-clock noise
+            # (host throttling waves invisible to guest steal accounting);
+            # the minimum of three full executions is the robust estimate
+            # of what the plan actually costs.
+            for _ in range(3):
+                spark.catalog.clearCache()  # data caches must not carry over
+                t0 = time.perf_counter()
+                registry[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 - record and keep measuring
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -6,3 +6,7 @@ from gov_data_pipeline_spark.functions.textstats import (  # noqa: F401
     stopword_ratio_col,
     word_fingerprint_col,
 )
+from gov_data_pipeline_spark.functions.chunking import (  # noqa: F401
+    chunk_documents,
+    pack_sequences,
+)

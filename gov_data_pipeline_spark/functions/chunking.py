@@ -1,0 +1,107 @@
+"""Corpus-preparation operators for training-data pipelines:
+overlapping document chunking and token-budget sequence packing
+(north-star extensions; no reference ancestor — the reference stops at
+registry rows, these are the ops a 100 TB pretraining corpus needs
+between dedup and the trainer).
+
+Both are pure column expressions / windows — no UDFs, no collect:
+
+- ``chunk_documents``: each document explodes into fixed-size
+  word-window chunks with overlap (the standard retrieval/embedding
+  chunker). Explosion happens per row inside the task; cost is linear
+  in corpus size and the explode factor is bounded by
+  ``len(doc) / stride``.
+- ``pack_sequences``: concat-then-chunk packing — documents are laid
+  end-to-end in a deterministic order and cut into fixed token-budget
+  blocks; each document is labeled with the block its first token
+  lands in. The running total is a window sum; partition by a corpus
+  shard key (language, source, bucket) so the window never funnels
+  through one task — which also matches how packing is actually run
+  (per-shard, monolingual).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from gov_data_pipeline_spark.functions.textstats import n_tokens_col
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 20,
+    overlap: int = 5,
+    chunk_id_col: str = "chunk_id",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Explode each document into overlapping word-window chunks.
+
+    Chunk ``i`` covers words ``[i*stride, i*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; every document yields at least
+    one chunk (short docs yield themselves). All arithmetic is
+    expression-level (split / sequence / slice), so the plan is a
+    single Generate over the scan — no shuffle until something
+    downstream needs one.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(ws) - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias(chunk_id_col),
+            F.concat_ws(" ", F.slice(ws, i * stride + 1, chunk_size)).alias(
+                chunk_col
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        F.col(f"__c.{chunk_id_col}").alias(chunk_id_col),
+        F.col(f"__c.{chunk_col}").alias(chunk_col),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    partition_col: str | None = None,
+    tokens: Column | None = None,
+    n_tokens_out: str = "n_tokens",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid
+    end-to-end in (``partition_col``,) ``id_col`` order and cut every
+    ``budget`` tokens; each document gets the 0-based block index its
+    FIRST token falls into.
+
+    ``tokens`` defaults to the engine's BPE-ish token count
+    (``n_tokens_col``); pass a column to plug a real tokenizer's
+    counts. With ``partition_col`` the running sum parallelizes per
+    shard (the scale path); without it the window is global —
+    single-task ordering, small-corpus use only.
+    """
+    tok = tokens if tokens is not None else n_tokens_col(F.col(text_col))
+    part = [partition_col] if partition_col else []
+    w = (
+        (W.partitionBy(*part) if part else W.partitionBy())
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_tok = df.withColumn(n_tokens_out, tok)
+    cum_before = F.sum(F.col(n_tokens_out)).over(w) - F.col(n_tokens_out)
+    return with_tok.withColumn(
+        pack_col,
+        F.floor(cum_before / F.lit(float(budget))).cast("long"),
+    )

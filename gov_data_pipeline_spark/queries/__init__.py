@@ -55,6 +55,8 @@ _PRIORITY: tuple[str, ...] = (
     "q82_docx_ingest",
     "q83_row_index_ingest",
     "q84_frame_sample",
+    "q85_chunk_documents",
+    "q86_sequence_pack",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

@@ -987,6 +987,72 @@ ORDER BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus preparation — overlapping chunking and token-budget sequence
+# packing (functions/chunking.py), the ops between dedup and a trainer.
+# ---------------------------------------------------------------------------
+
+
+def q85_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-window chunker: 20-word chunks, 5-word overlap (stride 15);
+    short docs yield themselves. Pure Generate over the scan — the
+    explode factor is len/stride, no shuffle until the final sort."""
+    from gov_data_pipeline_spark.functions.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_size=20, overlap=5
+    ).orderBy("doc_id", "chunk_id")
+
+
+_Q85_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(1, CAST(ceil((len(ws) - 5) / 15.0) AS BIGINT))))
+           AS chunk_id
+  FROM w)
+SELECT doc_id, chunk_id,
+       array_to_string(ws[CAST(chunk_id * 15 + 1 AS BIGINT)
+                          : CAST(chunk_id * 15 + 20 AS BIGINT)], ' ') AS chunk
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+def q86_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing, per-language (the window partitions
+    by lang, so the running token sum parallelizes across shards — the
+    scale shape; a global pack order would single-task the sort)."""
+    from gov_data_pipeline_spark.functions.chunking import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        pack_sequences(docs, "doc_id", "text", budget=512, partition_col="lang")
+        .select("doc_id", "lang", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
+_Q86_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_before
+  FROM t)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
+FROM s
+ORDER BY doc_id
+"""
+
+
 def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup end-to-end: cosine near-dup pairs (the q46
     construction — planted mutants at >= 0.99) -> connected components
@@ -1342,6 +1408,8 @@ QUERIES = {
     "q57_winnowing": q57_winnowing,
     "q58_overlap_pairs": q58_overlap_pairs,
     "q59_incremental_dedup": q59_incremental_dedup,
+    "q85_chunk_documents": q85_chunk_documents,
+    "q86_sequence_pack": q86_sequence_pack,
 }
 
 ORACLE = {
@@ -1375,4 +1443,6 @@ ORACLE = {
     "q47_text_stats": _Q47_SQL,
     "q48_lang_id": _Q48_SQL,
     "q49_fingerprint": _Q49_SQL,
+    "q85_chunk_documents": _Q85_SQL,
+    "q86_sequence_pack": _Q86_SQL,
 }

@@ -295,3 +295,50 @@ class TestFuzzyJoin:
             ).count()
             == 0
         )
+
+
+class TestChunkingAndPacking:
+    def test_chunk_boundaries_and_overlap(self, spark):
+        from gov_data_pipeline_spark.functions.chunking import chunk_documents
+
+        # 35 words -> chunks at stride 15: [0:20), [15:35) -> exactly 2
+        text35 = " ".join(f"w{i}" for i in range(35))
+        df = spark.createDataFrame([(1, text35), (2, "short doc")], "id long, t string")
+        rows = chunk_documents(df, "id", "t", chunk_size=20, overlap=5).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["id"], []).append((r["chunk_id"], r["chunk"]))
+        assert [c for c, _ in sorted(by_doc[1])] == [0, 1]
+        c0, c1 = (t for _, t in sorted(by_doc[1]))
+        assert c0.split() == [f"w{i}" for i in range(20)]
+        assert c1.split() == [f"w{i}" for i in range(15, 35)]
+        # overlap region appears in both chunks
+        assert set(c0.split()) & set(c1.split()) == {f"w{i}" for i in range(15, 20)}
+        # short doc: one chunk, itself
+        assert by_doc[2] == [(0, "short doc")]
+
+    def test_chunk_param_validation(self, spark):
+        import pytest
+
+        from gov_data_pipeline_spark.functions.chunking import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "id long, t string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, "id", "t", chunk_size=10, overlap=10)
+
+    def test_pack_sequences_budget_and_partition(self, spark):
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.functions.chunking import pack_sequences
+
+        # 5 docs of 3 tokens each, budget 6 -> packs 0,0,1,1,2 per shard
+        rows = [(i, "a", "x y z") for i in range(5)] + [(10, "b", "x y z")]
+        df = spark.createDataFrame(rows, "id long, shard string, t string")
+        out = pack_sequences(
+            df, "id", "t", budget=6, partition_col="shard",
+            tokens=F.lit(3).cast("bigint"),
+        ).collect()
+        got = {(r["shard"], r["id"]): r["pack_id"] for r in out}
+        assert [got[("a", i)] for i in range(5)] == [0, 0, 1, 1, 2]
+        # a new shard restarts its packing at 0
+        assert got[("b", 10)] == 0

@@ -57,6 +57,8 @@ _PRIORITY: tuple[str, ...] = (
     "q84_frame_sample",
     "q85_chunk_documents",
     "q86_sequence_pack",
+    "q87_decontaminate",
+    "q88_repetition_filter",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

@@ -1053,6 +1053,109 @@ ORDER BY doc_id
 """
 
 
+def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data step that removes
+    documents sharing any 13-gram with an evaluation set. The benchmark
+    grams are synthesized deterministically (every 17th doc contributes
+    its words[5:18] span), so both engines build identical inputs.
+
+    Scale shape: the benchmark side is TINY relative to a pretraining
+    corpus, so the membership test is a BROADCAST semi-join against the
+    corpus's exploded 13-gram index — the corpus never shuffles; cost
+    is one scan + per-row gram generation. The contaminated-id set (a
+    doc-id list, small by construction) broadcasts back for the flag
+    join the same way."""
+    from gov_data_pipeline_spark.operators.dedup import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bench = (
+        docs.filter((F.col("doc_id") % 17 == 0) & (F.size(ws) >= 18))
+        .select(F.concat_ws(" ", F.slice(ws, 6, 13)).alias("s"))
+        .distinct()
+    )
+    ex = shingle_rows(docs, "doc_id", F.col("text"), 13, widen=False)
+    contaminated = (
+        ex.join(F.broadcast(bench), "s", "left_semi").select("doc_id").distinct()
+    )
+    return (
+        docs.join(
+            F.broadcast(contaminated.withColumn("__hit", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q87_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+bench AS (
+  SELECT DISTINCT array_to_string(ws[6:18], ' ') AS s
+  FROM w WHERE doc_id % 17 = 0 AND len(ws) >= 18),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 13
+           THEN list_transform(range(1, len(ws) - 11),
+                               i -> array_to_string(ws[i:i+12], ' '))
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM w),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cont AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bench USING (s))
+SELECT w.doc_id, c.doc_id IS NOT NULL AS contaminated
+FROM w LEFT JOIN cont c ON c.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+def q88_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition gate: fraction of
+    duplicate 3-grams per document. Deliberately EXPRESSION-level
+    (transform/slice/array_distinct in one projection): a per-document
+    ratio needs no join and no shuffle, so the whole filter is a single
+    map stage over the scan — the opposite trade from the corpus-wide
+    sketches, where interpreted lambdas lose to explode+agg because a
+    shuffle was needed anyway."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+    )
+    total = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    ratio = F.round(F.lit(1.0) - uniq / total, 4)
+    return (
+        docs.select(
+            "doc_id",
+            total.cast("bigint").alias("n_grams"),
+            ratio.alias("dup_ratio"),
+            (ratio > 0.2).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q88_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                        i -> array_to_string(ws[i:i+2], ' ')) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents))
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       round(1.0 - len(list_distinct(grams)) / len(grams), 4) AS dup_ratio,
+       round(1.0 - len(list_distinct(grams)) / len(grams), 4) > 0.2 AS flagged
+FROM g
+ORDER BY doc_id
+"""
+
+
 def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup end-to-end: cosine near-dup pairs (the q46
     construction — planted mutants at >= 0.99) -> connected components
@@ -1410,6 +1513,8 @@ QUERIES = {
     "q59_incremental_dedup": q59_incremental_dedup,
     "q85_chunk_documents": q85_chunk_documents,
     "q86_sequence_pack": q86_sequence_pack,
+    "q87_decontaminate": q87_decontaminate,
+    "q88_repetition_filter": q88_repetition_filter,
 }
 
 ORACLE = {
@@ -1445,4 +1550,6 @@ ORACLE = {
     "q49_fingerprint": _Q49_SQL,
     "q85_chunk_documents": _Q85_SQL,
     "q86_sequence_pack": _Q86_SQL,
+    "q87_decontaminate": _Q87_SQL,
+    "q88_repetition_filter": _Q88_SQL,
 }

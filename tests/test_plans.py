@@ -157,6 +157,26 @@ class TestRound2OperatorPlans:
         assert "row_number" not in plan
         assert "SinglePartition" not in plan
 
+    def test_q87_decontaminate_broadcasts_benchmark(self, spark, sf_dir):
+        """The benchmark side must broadcast (corpus never shuffles for
+        the membership test): both joins are broadcast semi/left."""
+        from gov_data_pipeline_spark.queries.dedup_sim import q87_decontaminate
+
+        df = q87_decontaminate(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    def test_q88_repetition_single_map_stage(self, spark, sf_dir):
+        """Per-doc repetition ratio is one projection over the scan: no
+        joins, no aggregate exchange — only the output sort shuffles."""
+        from gov_data_pipeline_spark.queries.dedup_sim import q88_repetition_filter
+
+        plan = _plan(q88_repetition_filter(spark, sf_dir))
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan
+
     def test_connected_components_no_array_aggregation(self, spark):
         """CC rounds must stay in the edge domain: no collect_set/
         collect_list in the plan (a giant component would OOM a task)."""

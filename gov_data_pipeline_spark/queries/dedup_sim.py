@@ -1061,12 +1061,12 @@ def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the benchmark side is TINY relative to a pretraining
     corpus, so the membership test is a BROADCAST semi-join against the
-    corpus's exploded 13-gram index — the corpus never shuffles; cost
-    is one scan + per-row gram generation. The contaminated-id set (a
-    doc-id list, small by construction) broadcasts back for the flag
-    join the same way."""
-    from gov_data_pipeline_spark.operators.dedup import shingle_rows
-
+    corpus's exploded 13-gram index. Grams are generated EXPRESSION-
+    level (transform/slice, like q88) rather than via shingle_rows'
+    lead-window form precisely so corpus-sized data crosses no
+    exchange: the only shuffles left are the distincts over the two
+    SMALL relations (benchmark grams, contaminated ids — plan
+    pinned)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ws = F.split(F.trim(F.col("text")), r"\s+")
     bench = (
@@ -1074,7 +1074,16 @@ def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat_ws(" ", F.slice(ws, 6, 13)).alias("s"))
         .distinct()
     )
-    ex = shingle_rows(docs, "doc_id", F.col("text"), 13, widen=False)
+    grams13 = F.array_distinct(
+        F.when(
+            F.size(ws) >= 13,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 12),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 13)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", ws)))
+    )
+    ex = docs.select("doc_id", F.explode(grams13).alias("s"))
     contaminated = (
         ex.join(F.broadcast(bench), "s", "left_semi").select("doc_id").distinct()
     )

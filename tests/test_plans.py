@@ -158,8 +158,9 @@ class TestRound2OperatorPlans:
         assert "SinglePartition" not in plan
 
     def test_q87_decontaminate_broadcasts_benchmark(self, spark, sf_dir):
-        """The benchmark side must broadcast (corpus never shuffles for
-        the membership test): both joins are broadcast semi/left."""
+        """The benchmark side must broadcast and corpus-sized data must
+        cross no exchange: the only hash shuffles allowed are the two
+        small-side distincts (benchmark grams, contaminated ids)."""
         from gov_data_pipeline_spark.queries.dedup_sim import q87_decontaminate
 
         df = q87_decontaminate(spark, sf_dir)
@@ -167,6 +168,9 @@ class TestRound2OperatorPlans:
         plan = _plan(df)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        # AQE's toString prints Final and Initial sections; count Final only
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") <= 2
 
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no

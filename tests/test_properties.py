@@ -303,3 +303,52 @@ def test_fuzzy_join_matches_blocked_brute_force(spark, names):
         if a[:2] == b[:2] and abs(len(a) - len(b)) <= 2 and lev(a, b) <= 2
     }
     assert got == want
+
+
+# --- chunking invariants ------------------------------------------------
+
+
+@st.composite
+def _docs_for_chunking(draw):
+    n_docs = draw(st.integers(1, 5))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(0, 60))
+        words = [f"w{draw(st.integers(0, 9))}" for _ in range(n_words)]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=_docs_for_chunking())
+def test_chunking_covers_every_word_with_exact_overlap(spark, docs):
+    """Invariants of chunk_documents vs a direct Python model: chunk i
+    is exactly words[i*stride : i*stride+size]; every word appears in
+    at least one chunk; every doc yields >= 1 chunk."""
+    from gov_data_pipeline_spark.functions.chunking import chunk_documents
+
+    size, overlap = 12, 4
+    stride = size - overlap
+    df = spark.createDataFrame(docs, "id long, t string")
+    got = {}
+    for r in chunk_documents(df, "id", "t", chunk_size=size, overlap=overlap).collect():
+        got.setdefault(r["id"], {})[r["chunk_id"]] = r["chunk"]
+
+    for doc_id, text in docs:
+        words = text.strip().split() if text.strip() else [""]
+        # model: same split convention as the operator (split of "" -> [""])
+        if text == "":
+            words = [""]
+        import math
+
+        n_chunks = max(1, math.ceil((len(words) - overlap) / stride))
+        chunks = got[doc_id]
+        assert sorted(chunks) == list(range(n_chunks))
+        covered = set()
+        for i in range(n_chunks):
+            expect = words[i * stride : i * stride + size]
+            assert chunks[i].split(" ") == expect or (
+                chunks[i] == "" and expect == [""]
+            )
+            covered.update(range(i * stride, min(i * stride + size, len(words))))
+        assert covered == set(range(len(words)))

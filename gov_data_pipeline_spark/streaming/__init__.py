@@ -2,6 +2,9 @@ from gov_data_pipeline_spark.streaming.stateful import (  # noqa: F401
     ALERT_SCHEMA,
     cumulative_alerts,
 )
+from gov_data_pipeline_spark.streaming.ingest import (  # noqa: F401
+    incremental_dedup_sink,
+)
 from gov_data_pipeline_spark.streaming.windows import (  # noqa: F401
     EVENTS_SCHEMA,
     click_purchase_join,

@@ -238,3 +238,49 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         assert len(want) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_dedup_sink_grows_corpus_without_duplicates(spark, tmp_path):
+    """Three micro-batches with overlapping content: the persisted
+    corpus must end up with one row per distinct content, surviving
+    duplicates both within a batch and across batches."""
+    from gov_data_pipeline_spark.streaming import incremental_dedup_sink
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch files written one by one; maxFilesPerTrigger=1 -> 3 batches
+    b1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]        # intra-batch dup
+    b2 = [(4, "beta"), (5, "gamma")]                       # cross-batch dup
+    b3 = [(6, "gamma"), (7, "delta"), (8, "delta")]        # both
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_dedup_sink(stream, corpus, ["text"], "doc_id", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["text"]: r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert set(got) == {"alpha", "beta", "gamma", "delta"}
+    # within a batch the smallest id wins; across batches first arrival wins
+    assert got["alpha"] == 1 and got["delta"] == 7
+    # the corpus is the state: re-running the same stream from a fresh
+    # checkpoint appends nothing (dedup is the idempotence mechanism)
+    q2 = (
+        incremental_dedup_sink(stream, corpus, ["text"], "doc_id", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 4

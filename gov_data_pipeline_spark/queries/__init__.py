@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "q86_sequence_pack",
     "q87_decontaminate",
     "q88_repetition_filter",
+    "q89_curation_pipeline",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

@@ -1165,6 +1165,123 @@ ORDER BY doc_id
 """
 
 
+def q89_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v2 — the round-4 corpus-prep surface composed as ONE
+    oracle-checked pipeline, the way a pretraining run would chain it:
+    repetition gate (q88's ratio) -> benchmark decontamination (q87's
+    anti-join) -> overlapping chunking of survivors (q85) -> per-language
+    token-budget packing of the chunks (q86, budget 128). Each stage is
+    verified on its own elsewhere; this pins the COMPOSITION, q75-style.
+
+    Scale shape inherited from the stages: the gates are projections +
+    broadcast anti-join (corpus never shuffles until packing), chunking
+    is a Generate, and the only wide exchange is the per-language
+    packing window."""
+    from gov_data_pipeline_spark.functions.chunking import chunk_documents, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+
+    # stage 1: repetition gate (duplicate-3-gram ratio <= 0.2)
+    grams3 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+    )
+    ratio = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams3)) / F.size(grams3), 4
+    )
+    gated = docs.filter(ratio <= 0.2)
+
+    # stage 2: decontamination (q87's bench grams, broadcast anti-join)
+    bench = (
+        docs.filter((F.col("doc_id") % 17 == 0) & (F.size(ws) >= 18))
+        .select(F.concat_ws(" ", F.slice(ws, 6, 13)).alias("s"))
+        .distinct()
+    )
+    grams13 = F.array_distinct(
+        F.when(
+            F.size(ws) >= 13,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 12),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 13)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", ws)))
+    )
+    ex = docs.select("doc_id", F.explode(grams13).alias("s"))
+    contaminated = (
+        ex.join(F.broadcast(bench), "s", "left_semi").select("doc_id").distinct()
+    )
+    kept = gated.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    # stage 3: chunk survivors (20-word windows, 5 overlap)
+    chunks = chunk_documents(
+        kept.select("doc_id", "text"), "doc_id", "text", chunk_size=20, overlap=5
+    ).join(kept.select("doc_id", "lang"), "doc_id")
+
+    # stage 4: pack chunks per language, budget 128 tokens
+    seq = chunks.withColumn(
+        "seq_id", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    return (
+        pack_sequences(seq, "seq_id", "chunk", budget=128, partition_col="lang")
+        .select("doc_id", "chunk_id", "lang", "n_tokens", "pack_id")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_Q89_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents),
+rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(g)) / len(g), 4) AS ratio
+    FROM (SELECT doc_id,
+                 list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                                i -> array_to_string(ws[i:i+2], ' ')) AS g
+          FROM w))
+  WHERE ratio <= 0.2),
+bench AS (
+  SELECT DISTINCT array_to_string(ws[6:18], ' ') AS s
+  FROM w WHERE doc_id % 17 = 0 AND len(ws) >= 18),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 13
+           THEN list_transform(range(1, len(ws) - 11),
+                               i -> array_to_string(ws[i:i+12], ' '))
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM w),
+cont AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) e
+  JOIN bench USING (s)),
+kept AS (
+  SELECT w.* FROM w
+  JOIN rep USING (doc_id)
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+chunks AS (
+  SELECT doc_id, lang, chunk_id,
+         array_to_string(ws[CAST(chunk_id * 15 + 1 AS BIGINT)
+                            : CAST(chunk_id * 15 + 20 AS BIGINT)], ' ') AS chunk
+  FROM (SELECT doc_id, lang, ws,
+               unnest(range(0, greatest(1, CAST(ceil((len(ws) - 5) / 15.0) AS BIGINT))))
+                 AS chunk_id
+        FROM kept)),
+tok AS (
+  SELECT doc_id, chunk_id, lang,
+         CAST(len(regexp_extract_all(chunk, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+         doc_id * 1000 + chunk_id AS seq_id
+  FROM chunks)
+SELECT doc_id, chunk_id, lang, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY seq_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 128.0) AS BIGINT) AS pack_id
+FROM tok
+ORDER BY doc_id, chunk_id
+"""
+
+
 def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup end-to-end: cosine near-dup pairs (the q46
     construction — planted mutants at >= 0.99) -> connected components
@@ -1524,6 +1641,7 @@ QUERIES = {
     "q86_sequence_pack": q86_sequence_pack,
     "q87_decontaminate": q87_decontaminate,
     "q88_repetition_filter": q88_repetition_filter,
+    "q89_curation_pipeline": q89_curation_pipeline,
 }
 
 ORACLE = {
@@ -1561,4 +1679,5 @@ ORACLE = {
     "q86_sequence_pack": _Q86_SQL,
     "q87_decontaminate": _Q87_SQL,
     "q88_repetition_filter": _Q88_SQL,
+    "q89_curation_pipeline": _Q89_SQL,
 }

@@ -352,3 +352,50 @@ def test_chunking_covers_every_word_with_exact_overlap(spark, docs):
             )
             covered.update(range(i * stride, min(i * stride + size, len(words))))
         assert covered == set(range(len(words)))
+
+
+# --- document codec roundtrips -----------------------------------------
+
+# XML 1.0-valid text: the codecs write cell values into XML, so the
+# property domain excludes control chars XML cannot carry (the writer's
+# contract is registry text, not arbitrary bytes).
+_xml_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "S", "Zs"),
+        include_characters=" \tабвгд№ТЗ<>&\"'",
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.lists(_xml_text, max_size=5), min_size=1, max_size=6))
+def test_xlsx_roundtrip_matches_model(rows):
+    """write_xlsx -> read_xlsx_rows is the identity up to the format's
+    own conventions: trailing empty-string cells survive (inline
+    strings), rows keep their positions."""
+    from gov_data_pipeline_spark.sources.xlsx_zip import read_xlsx_rows, write_xlsx
+
+    back = read_xlsx_rows(write_xlsx(rows))
+    assert len(back) == len(rows)
+    for got, want in zip(back, rows):
+        assert got == list(want)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.lists(_xml_text, min_size=1, max_size=4), min_size=1, max_size=6
+    )
+)
+def test_docx_roundtrip_matches_python_docx_strip(rows):
+    """write_docx_table -> read_docx_tables equals the python-docx
+    semantics the reference relies on: cell.text.strip() per cell."""
+    from gov_data_pipeline_spark.sources.docx_zip import (
+        read_docx_tables,
+        write_docx_table,
+    )
+
+    back = read_docx_tables(write_docx_table(rows))
+    assert back == [[[c.strip() for c in row] for row in rows]]

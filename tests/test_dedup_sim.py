@@ -342,3 +342,18 @@ class TestChunkingAndPacking:
         assert [got[("a", i)] for i in range(5)] == [0, 0, 1, 1, 2]
         # a new shard restarts its packing at 0
         assert got[("b", 10)] == 0
+
+    def test_pack_sequences_global_window(self, spark):
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.functions.chunking import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "x y z") for i in range(5)], "id long, t string"
+        )
+        out = pack_sequences(
+            df, "id", "t", budget=6, tokens=F.lit(3).cast("bigint")
+        ).collect()
+        assert sorted((r["id"], r["pack_id"]) for r in out) == [
+            (0, 0), (1, 0), (2, 1), (3, 1), (4, 2),
+        ]

@@ -73,7 +73,7 @@ def chunk_documents(
 
 def pack_sequences(
     df: DataFrame,
-    id_col: str,
+    id_col: str | list[str],
     text_col: str,
     budget: int = 512,
     partition_col: str | None = None,
@@ -86,17 +86,23 @@ def pack_sequences(
     ``budget`` tokens; each document gets the 0-based block index its
     FIRST token falls into.
 
+    ``id_col`` may be a list of columns for composite orders (e.g.
+    ``["doc_id", "chunk_id"]`` when packing chunks — a synthesized
+    single key like ``doc_id*K + chunk_id`` collides once a document
+    exceeds K chunks, making the pack order nondeterministic).
+
     ``tokens`` defaults to the engine's BPE-ish token count
     (``n_tokens_col``); pass a column to plug a real tokenizer's
     counts. With ``partition_col`` the running sum parallelizes per
     shard (the scale path); without it the window is global —
     single-task ordering, small-corpus use only.
     """
+    order_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     tok = tokens if tokens is not None else n_tokens_col(F.col(text_col))
     part = [partition_col] if partition_col else []
     w = (
         (W.partitionBy(*part) if part else W.partitionBy())
-        .orderBy(F.col(id_col).asc())
+        .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     with_tok = df.withColumn(n_tokens_out, tok)

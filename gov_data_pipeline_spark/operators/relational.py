@@ -102,32 +102,56 @@ def attach_row_index_ingest(
     name: str = "row_idx",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Attach a 0-based dense row index via ``zipWithIndex`` — the
-    scale path ``attach_row_index``'s docstring recommends.
+    """Attach a 0-based dense row index with the zipWithIndex PATTERN —
+    per-partition positions plus broadcast partition offsets — but
+    entirely JVM-side (``df.rdd.zipWithIndex`` would round-trip every
+    row through Python pickling, which defeats the point of the scale
+    path).
 
     With ``order_by``, the input is range-partitioned and sorted on
     those keys first, so the index is the global rank under that order
-    — but computed WITHOUT the single-task global-window funnel:
-    ``zipWithIndex`` runs one lightweight count job over the partitions
-    and then assigns ``partition_offset + position`` in parallel, so
-    every partition stays busy at 1000 executors. Without ``order_by``,
-    the index is ingest order (partition order x within-partition
-    order) — the right call directly after a file read, before any
-    shuffle. Callers needing determinism must either pass ``order_by``
-    with a total key or call this before any order-destroying shuffle.
-    """
-    from pyspark.sql.types import LongType, StructField, StructType
+    — computed WITHOUT the single-task global-window funnel: the
+    within-partition position comes from ``monotonically_increasing_id``
+    (partition id in the high bits, a 0-based per-partition counter in
+    the low 33 — dense *within* a partition, which is all we use it
+    for; the offsets make the result globally dense), partition row
+    counts are one lightweight aggregate job whose result (one row per
+    partition — the same driver-side footprint as zipWithIndex's count
+    job) becomes a broadcast offset join. Every partition stays busy at
+    1000 executors and corpus-sized data crosses only the range
+    exchange.
 
-    if order_by:
-        if num_partitions:
-            df = df.repartitionByRange(num_partitions, *order_by)
-        else:
-            df = df.repartitionByRange(*order_by)
-        df = df.sortWithinPartitions(*order_by)
+    The sorted relation is ``localCheckpoint``-pinned before the two
+    jobs (counts, result) so both observe identical partitioning —
+    re-executing a range exchange per job could legally re-sample
+    boundaries. Without ``order_by``, the index is ingest order
+    (partition order x within-partition order) — the right call
+    directly after a file read, before any shuffle.
+    """
     spark = df.sparkSession
-    schema = StructType(df.schema.fields + [StructField(name, LongType(), False)])
-    indexed = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return spark.createDataFrame(indexed, schema)
+    if order_by:
+        n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
+    mid = F.monotonically_increasing_id()
+    with_mid = df.withColumn("__mid", mid).localCheckpoint(eager=False)
+    shift = F.call_function("shiftright", F.col("__mid"), F.lit(33))
+    pos = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = (
+        with_mid.groupBy(shift.alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__n"]
+    off_df = spark.createDataFrame(offsets, "__pid long, __off long")
+    return (
+        with_mid.withColumn("__pid", shift)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(name, F.col("__off") + pos)
+        .drop("__pid", "__mid", "__off")
+    )
 
 
 def top_k_per_group(

@@ -1218,12 +1218,14 @@ def q89_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select("doc_id", "text"), "doc_id", "text", chunk_size=20, overlap=5
     ).join(kept.select("doc_id", "lang"), "doc_id")
 
-    # stage 4: pack chunks per language, budget 128 tokens
-    seq = chunks.withColumn(
-        "seq_id", F.col("doc_id") * 1000 + F.col("chunk_id")
-    )
+    # stage 4: pack chunks per language, budget 128 tokens (composite
+    # window order — a synthesized doc_id*K+chunk_id key would collide
+    # for documents with >= K chunks and make the order nondeterministic)
     return (
-        pack_sequences(seq, "seq_id", "chunk", budget=128, partition_col="lang")
+        pack_sequences(
+            chunks, ["doc_id", "chunk_id"], "chunk", budget=128,
+            partition_col="lang",
+        )
         .select("doc_id", "chunk_id", "lang", "n_tokens", "pack_id")
         .orderBy("doc_id", "chunk_id")
     )
@@ -1270,11 +1272,10 @@ chunks AS (
         FROM kept)),
 tok AS (
   SELECT doc_id, chunk_id, lang,
-         CAST(len(regexp_extract_all(chunk, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
-         doc_id * 1000 + chunk_id AS seq_id
+         CAST(len(regexp_extract_all(chunk, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
   FROM chunks)
 SELECT doc_id, chunk_id, lang, n_tokens,
-       CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY seq_id
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - n_tokens) / 128.0) AS BIGINT) AS pack_id
 FROM tok

@@ -184,7 +184,15 @@ def pdf_tables(pdf_bytes: bytes) -> list[list[list[str]]]:
     library path; the profile limits are documented in
     ``pdf_text``'s module docstring, not hidden.
     """
-    _require_magic(pdf_bytes, b"%PDF-", "pdf")
+    # The PDF spec allows junk before the header: parsers accept
+    # '%PDF-' anywhere in the first 1024 bytes, so the corrupt-input
+    # guard must too (a strict prefix check would reject valid files
+    # the pdfplumber path previously parsed).
+    if b"%PDF-" not in pdf_bytes[:1024]:
+        raise ValueError(
+            "pdf: corrupt or empty input (missing b'%PDF-' signature "
+            "in the first 1024 bytes)"
+        )
     try:
         import pdfplumber
     except ImportError:

@@ -117,6 +117,8 @@ def frame_sample(
     ``idx_col`` carries the frame's index in the SOURCE stream (0,
     every_n, 2·every_n, ...), not a dense resample index.
     """
+    if every_n < 1:
+        raise ValueError(f"frame_sample: every_n must be >= 1, got {every_n}")
     out_fields = list(df.schema.fields)
     out_schema = T.StructType(
         out_fields

@@ -43,6 +43,8 @@ def incremental_dedup_sink(
     deduped against the persisted corpus at ``corpus_path`` plus
     itself, and only fresh rows are appended.
     """
+    from pyspark.errors import AnalysisException
+
     from gov_data_pipeline_spark.operators.dedup import incremental_exact_dedup
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -50,7 +52,20 @@ def incremental_dedup_sink(
         try:
             seen = spark.read.parquet(corpus_path)
             have_corpus = True
-        except Exception:  # first batch: corpus directory doesn't exist yet
+        except AnalysisException as e:
+            # ONLY a missing corpus directory means "first batch". Any
+            # other failure (corrupt footer, listing race, store hiccup)
+            # must fail the batch so the checkpoint retries it — treating
+            # it as first-batch would skip the anti-join and permanently
+            # append duplicates.
+            cond = ""
+            get_cond = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            if get_cond is not None:
+                cond = get_cond() or ""
+            if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
+                raise
             have_corpus = False
         if have_corpus:
             fresh = incremental_exact_dedup(batch_df, seen, content_cols, id_col)

@@ -254,10 +254,24 @@ def test_incremental_dedup_sink_grows_corpus_without_duplicates(spark, tmp_path)
     b1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]        # intra-batch dup
     b2 = [(4, "beta"), (5, "gamma")]                       # cross-batch dup
     b3 = [(6, "gamma"), (7, "delta"), (8, "delta")]        # both
+    import os
+    import time
+
+    seen_files: set[str] = set()
+    t0 = time.time()
     for i, rows in enumerate((b1, b2, b3)):
         spark.createDataFrame(rows, "doc_id long, text string").coalesce(
             1
         ).write.mode("append").parquet(src)
+        # Pin processing order: FileStreamSource sorts by modification
+        # time at ms resolution, and back-to-back writes can tie — give
+        # each batch's files an explicit, strictly increasing mtime.
+        for root, _, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                if p not in seen_files:
+                    os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                    seen_files.add(p)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

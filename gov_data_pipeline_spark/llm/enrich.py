@@ -212,7 +212,9 @@ def correct_rows(
         *[
             F.when(
                 F.col("__need_corr") & corrected.isNotNull(),
-                F.element_at(corrected, c),
+                # a model may return a PARTIAL corrected_row — keys it
+                # omits must keep their original value, not become NULL
+                F.coalesce(F.element_at(corrected, c), qcol(c).cast("string")),
             )
             .otherwise(qcol(c).cast("string"))
             .alias(c)

@@ -38,24 +38,37 @@ def asof_join(
     scales linearly — the pattern survives 100x data where a naive
     range join + row_number would blow up quadratically in hot keys.
     """
+    from pyspark.sql import types as T
+
     keys = [on] if isinstance(on, str) else list(on)
     if right_values is None:
         right_values = [c for c in right.columns if c not in keys and c != right_time]
 
+    # The matched right row travels as ONE struct: carrying each value
+    # column through its own last(ignorenulls) would fill a NULL field
+    # of the latest right row from an EARLIER right row, fabricating a
+    # row that never existed. The struct itself is non-null on every
+    # right row, so last(ignorenulls) picks the latest right ROW
+    # atomically — its fields, nulls included, arrive together.
+    r_struct_type = T.StructType(
+        [T.StructField("__time", right.schema[right_time].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_values]
+    )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_time"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_values],
-        F.col(right_time).alias("__r_time"),
+        F.struct(
+            F.col(right_time).alias("__time"),
+            *[F.col(c) for c in right_values],
+        ).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -66,14 +79,12 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    matched = F.last("__r", ignorenulls=True).over(w)
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__is_left"),
-        F.last("__r_time", ignorenulls=True).over(w).alias(f"{prefix}{right_time}"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in right_values
-        ],
+        matched["__time"].alias(f"{prefix}{right_time}"),
+        *[matched[c].alias(f"{prefix}{c}") for c in right_values],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
 

@@ -50,7 +50,9 @@ def bm25_scores(
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qt = toks.filter(F.col("term").isin(query_terms))
+    # document tokens are lowercased by _tokens — normalize the query
+    # the same way, or a capitalized query term silently matches nothing
+    qt = toks.filter(F.col("term").isin([t.lower() for t in query_terms]))
     tf = qt.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
@@ -89,7 +91,8 @@ def tfidf_scores(
     length normalization isn't wanted."""
     toks = _tokens(docs, id_col, text)
     n_docs = toks.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
-    qt = toks.filter(F.col("term").isin(query_terms))
+    # match _tokens' lowercasing (see bm25_scores)
+    qt = toks.filter(F.col("term").isin([t.lower() for t in query_terms]))
     tf = qt.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (

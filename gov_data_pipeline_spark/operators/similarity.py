@@ -62,7 +62,11 @@ def _norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+    # try_divide, not '/': under Spark 4's default ANSI mode a zero-norm
+    # vector (empty doc, padding row) would throw DIVIDE_BY_ZERO and
+    # kill the job; a null cosine instead propagates and drops at the
+    # threshold/ranking — same contract as try_element_at above.
+    return F.try_divide(_dot(a, b, dim), _norm(a, dim) * _norm(b, dim))
 
 
 def embedding_dim(df: DataFrame, vec_col: str) -> int | None:

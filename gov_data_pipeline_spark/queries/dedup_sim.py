@@ -188,7 +188,7 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_from_shingle_rows(
         ex, "doc_id", num_hashes=32, hash_family="md5"
     )
-    cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+    cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32)
     verified = verify_candidates_jaccard(cands, ex, "doc_id", threshold=0.5)
     return verified.orderBy("a_id", "b_id")
 
@@ -1462,7 +1462,7 @@ def q75_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup pairs (the q42 sketch pipeline, md5 family)
     ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False)
     sigs = minhash_from_shingle_rows(ex, "doc_id", num_hashes=32, hash_family="md5")
-    cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4)
+    cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32)
     pairs = verify_candidates_jaccard(cands, ex, "doc_id", threshold=0.5)
 
     # cluster + keep one representative per duplicate group

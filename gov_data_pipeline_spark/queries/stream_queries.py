@@ -218,19 +218,27 @@ def q66_cumulative_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cumulative_alerts(events, threshold=1000.0).orderBy("user_id", "event_id")
 
 
+# Integer-cents arithmetic mirroring the engine's state loop (floor
+# division via pmod so negative running totals agree with Python //);
+# threshold 1000.00 -> 100000 cents.
 _Q66_SQL = """
 WITH cum AS (
   SELECT user_id, event_id, ts,
-         CAST(value AS DECIMAL(18,2)) AS v,
-         sum(CAST(value AS DECIMAL(18,2)))
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-  FROM events)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM events),
+lv AS (
+  SELECT *,
+         (cc - ((cc % 100000) + 100000) % 100000) // 100000 AS lvl,
+         ((cc - vc) - (((cc - vc) % 100000) + 100000) % 100000) // 100000 AS lvl_prev
+  FROM cum)
 SELECT user_id, event_id, ts,
-       CAST(c AS DOUBLE) AS cum_value,
-       CAST(floor(c / 1000.0) AS INT) AS level
-FROM cum
-WHERE floor(c / 1000.0) > floor((c - v) / 1000.0)
+       cc / 100.0 AS cum_value,
+       CAST(lvl AS INT) AS level
+FROM lv
+WHERE lvl > lvl_prev
 ORDER BY user_id, event_id
 """
 

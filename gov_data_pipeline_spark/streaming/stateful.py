@@ -70,24 +70,36 @@ def _batch_cumulative_alerts(events: DataFrame, threshold: float) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    v = F.col("value").cast("decimal(18,2)")
-    c = F.sum(v).over(w)
+    # Integer-cents arithmetic END TO END, exactly like the streaming
+    # state loop: dividing the DECIMAL cumsum by the raw float
+    # threshold would disagree with the cents path at floor boundaries
+    # whenever the threshold is not binary-representable (e.g.
+    # threshold=0.1, cum=0.30: cents give level 3, float floor(
+    # 0.3/0.1)=floor(2.999...)=2).
+    thr_cents = int(round(threshold * 100))
+    vc = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cc = F.sum(vc).over(w)
     scored = events.select(
         "user_id",
         "event_id",
         "ts",
-        v.alias("__v"),
-        c.alias("__c"),
+        vc.alias("__vc"),
+        cc.alias("__cc"),
     )
-    crossed = F.floor(F.col("__c") / threshold) > F.floor(
-        (F.col("__c") - F.col("__v")) / threshold
-    )
+
+    def lvl(c):
+        # floor division in exact long arithmetic: (c - pmod(c, t)) is
+        # divisible by t, so `div` (truncating) equals floor division
+        # for negatives too — matching Python's `//` in the state loop
+        return ((c - F.pmod(c, F.lit(thr_cents))) / F.lit(thr_cents)).cast("long")
+
+    crossed = lvl(F.col("__cc")) > lvl(F.col("__cc") - F.col("__vc"))
     return scored.filter(crossed).select(
         "user_id",
         "event_id",
         "ts",
-        F.col("__c").cast("double").alias("cum_value"),
-        F.floor(F.col("__c") / threshold).cast("int").alias("level"),
+        (F.col("__cc") / F.lit(100.0)).alias("cum_value"),
+        lvl(F.col("__cc")).cast("int").alias("level"),
     )
 
 

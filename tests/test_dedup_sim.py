@@ -357,3 +357,83 @@ class TestChunkingAndPacking:
         assert sorted((r["id"], r["pack_id"]) for r in out) == [
             (0, 0), (1, 0), (2, 1), (3, 1), (4, 2),
         ]
+
+
+class TestReviewRegressions:
+    """Pins for the round-4 review findings (each was an empirically
+    confirmed bug before its fix)."""
+
+    def test_exact_dedup_null_columns_do_not_collide(self, spark):
+        from gov_data_pipeline_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "x", None), (2, None, "x"), (3, "x", None)],
+            "id long, a string, b string",
+        )
+        kept = sorted(r["id"] for r in exact_dedup(df, ["a", "b"], "id").collect())
+        # (x, NULL) and (NULL, x) are DIFFERENT contents; only the true
+        # duplicate id=3 drops (concat_ws used to hash both to 'x')
+        assert kept == [1, 2]
+
+    def test_cosine_zero_norm_vector_does_not_crash(self, spark):
+        from gov_data_pipeline_spark.operators.similarity import cosine_topk
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        q = df.filter("vec_id = 1")
+        # ANSI mode: '/' would throw DIVIDE_BY_ZERO on the zero vector
+        rows = cosine_topk(df, df, "vec_id", "vec_id", "embedding", "embedding", k=3).collect()
+        assert len(rows) > 0  # job completes; null cosines sort last
+
+    def test_simhash_df_keeps_empty_token_docs(self, spark):
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.dedup import simhash_df
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, [])], "id long, toks array<string>"
+        )
+        out = {r["id"]: r["simhash"] for r in simhash_df(df, "id", "toks").collect()}
+        assert set(out) == {1, 2}  # inner join used to drop id=2
+        assert out[2] == 0  # parity with the expression form
+
+    def test_minhash_signatures_df_keeps_empty_shingle_docs(self, spark):
+        from gov_data_pipeline_spark.operators.dedup import minhash_signatures_df
+
+        df = spark.createDataFrame(
+            [(1, ["s1"]), (2, [])], "id long, sh array<string>"
+        )
+        out = {r["id"]: r["sig"] for r in minhash_signatures_df(df, "id", "sh", num_hashes=4).collect()}
+        assert set(out) == {1, 2}
+        assert out[2] == [None, None, None, None]  # expression-form parity
+
+    def test_shingle_rows_unigrams(self, spark):
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.dedup import shingle_rows
+
+        df = spark.createDataFrame([(1, "a b a")], "id long, t string")
+        rows = shingle_rows(df, "id", F.col("t"), n=1).collect()
+        assert sorted(r["s"] for r in rows) == ["a", "b"]  # used to IndexError
+
+    def test_lsh_candidate_pairs_validates_banding(self, spark):
+        import pytest
+
+        from gov_data_pipeline_spark.operators.dedup import lsh_candidate_pairs
+
+        df = spark.createDataFrame([(1, [1, 2, 3, 4])], "id long, sig array<long>")
+        with pytest.raises(ValueError, match="exceeds signature length"):
+            lsh_candidate_pairs(df, "id", "sig", bands=16, rows_per_band=4, sig_len=32)
+
+    def test_bm25_query_terms_case_normalized(self, spark):
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.search import bm25_scores
+
+        docs = spark.createDataFrame(
+            [(1, "Paris is large"), (2, "berlin only")], "id long, t string"
+        )
+        rows = bm25_scores(docs, "id", F.col("t"), ["Paris"]).collect()
+        assert [r["id"] for r in rows] == [1]  # capitalized query used to match nothing

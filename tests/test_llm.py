@@ -298,3 +298,20 @@ class TestEnrichPieces:
         out = correct_rows(df, MockLLMClient).collect()[0]
         assert out["v"] == "a b"
         assert out["id"] == "1"  # whole row goes through the string round-trip
+
+
+class TestPartialCorrection:
+    def test_correct_rows_keeps_columns_omitted_by_model(self, spark):
+        """A real model may return a partial corrected_row; omitted keys
+        must keep their original values, not become NULL."""
+        from gov_data_pipeline_spark.llm.enrich import correct_rows
+
+        class PartialClient:
+            async def complete(self, request):
+                return '{"corrected_row": {"a": "FIXED"}}'
+
+        df = spark.createDataFrame([(1, "orig_a", "orig_b")], "id long, a string, b string")
+        row = correct_rows(df, PartialClient).collect()[0]
+        assert row["a"] == "FIXED"
+        assert row["b"] == "orig_b"  # used to be nulled
+        assert row["id"] == "1"

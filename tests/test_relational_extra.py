@@ -98,3 +98,22 @@ class TestDegenerateInputs:
         base = spark.createDataFrame([(1, "a", 0)], "k long, v string, version int")
         updates = spark.createDataFrame([], "k long, v string, version int")
         assert upsert_latest(base, updates, ["k"], "version").count() == 1
+
+
+class TestAsofNullFields:
+    def test_asof_join_does_not_mix_right_rows_on_nulls(self, spark):
+        """The matched right row must arrive atomically: a NULL field in
+        the latest right row must NOT be backfilled from an earlier
+        right row (per-column last(ignorenulls) used to fabricate rows)."""
+        from gov_data_pipeline_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame([(1, 3)], "k long, lt long")
+        right = spark.createDataFrame(
+            [(1, 1, 5, 7), (1, 2, None, 9)], "k long, rt long, x long, y long"
+        )
+        row = asof_join(
+            left, right, on="k", left_time="lt", right_time="rt"
+        ).collect()[0]
+        assert row["asof_rt"] == 2
+        assert row["asof_x"] is None  # latest right row's own NULL
+        assert row["asof_y"] == 9

@@ -47,8 +47,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        except Exception:
+            # Only the TIMESTAMP(NANOS) vintage needs the legacy conf;
+            # setting it unconditionally would silently change how every
+            # LATER parquet read in the shared session handles nanos
+            # columns (they'd load as epoch-nanos longs instead of
+            # erroring) — so it is enabled only after a read actually
+            # fails without it.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -10,7 +10,14 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 # BPE-ish tokenization: word pieces or single non-space punctuation.
-TOKEN_PATTERN = r"\w+|[^\w\s]"
+# Explicit Unicode classes, NOT \w: Java's \w is ASCII-only without
+# (?U) — the exact pitfall transforms/text.py documents — so plain \w
+# would count every Cyrillic/accented letter as punctuation and score
+# the package's own registry domain as noise. \p{L}\p{N} parse the same
+# in Java regex and RE2, so the DuckDB oracles mirror it verbatim.
+_WORD_CLS = r"[\p{L}\p{N}_]"
+TOKEN_PATTERN = rf"{_WORD_CLS}+|[^\p{{L}}\p{{N}}_\s]"
+PUNCT_PATTERN = r"[^\p{L}\p{N}_\s]"
 
 # Minimal multilingual stopword markers for the n-gram language
 # heuristic. Deliberately tiny and deterministic: this is the honest
@@ -37,7 +44,7 @@ def n_words_col(text: Column) -> Column:
 
 def punct_ratio_col(text: Column) -> Column:
     """Fraction of characters that are punctuation (non-word, non-space)."""
-    return F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double") / F.greatest(
+    return F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("double") / F.greatest(
         F.length(text).cast("double"), F.lit(1.0)
     )
 
@@ -64,7 +71,9 @@ def quality_score_col(text: Column) -> Column:
 
 def lang_id_col(text: Column) -> Column:
     """Marker-word vote: the language with the most marker hits wins;
-    ties and zero hits -> 'und' (undetermined)."""
+    zero hits -> 'und' (undetermined). Ties between languages resolve
+    to the lexicographically greatest code (the struct array_max rule
+    below — deterministic, and mirrored by the DuckDB oracle)."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
 
     def hits(lang: str) -> Column:

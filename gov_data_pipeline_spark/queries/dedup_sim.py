@@ -509,8 +509,8 @@ stats AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
-         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
-         len(regexp_extract_all(text, '[^\w\s]')) / greatest(len_d, 1.0) AS praw,
+         CAST(len(regexp_extract_all(text, '[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]')) AS BIGINT) AS n_tokens,
+         len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]')) / greatest(len_d, 1.0) AS praw,
          len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is')))
            / greatest(CAST(len(words) AS DOUBLE), 1.0) AS sraw,
          len_d
@@ -1038,7 +1038,7 @@ def q86_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q86_SQL = r"""
 WITH t AS (
   SELECT doc_id, lang,
-         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(text, '[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]')) AS BIGINT) AS n_tokens
   FROM documents),
 s AS (
   SELECT doc_id, lang, n_tokens,
@@ -1272,7 +1272,7 @@ chunks AS (
         FROM kept)),
 tok AS (
   SELECT doc_id, chunk_id, lang,
-         CAST(len(regexp_extract_all(chunk, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(chunk, '[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]')) AS BIGINT) AS n_tokens
   FROM chunks)
 SELECT doc_id, chunk_id, lang, n_tokens,
        CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id

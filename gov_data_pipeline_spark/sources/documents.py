@@ -37,11 +37,12 @@ def _require_magic(data: bytes, magic: bytes, fmt: str) -> None:
             f"{fmt}: corrupt or empty input (missing {magic!r} signature)"
         )
 
-# Per-source row offsets between the sheet row of an image anchor and
-# the promoted-DataFrame row (reference: belarus.py:25 = 2,
-# kazakhstan.py:29 = 5, kyrgyzstan.py:87 = 0) — business rules, config
-# not code.
-ROW_OFFSETS = {"belarus": 2, "kazakhstan": 5, "kyrgyzstan": 0}
+# Note on the reference's per-source ROW_OFFSET config (belarus.py:25
+# = 2, kazakhstan.py:29 = 5, kyrgyzstan.py:87 = 0): those offsets exist
+# because its image splice happens POSITIONALLY after header promotion.
+# This engine joins images on the ingest-order row_idx instead (see
+# extract_xlsx_images), which makes that bookkeeping vanish — there is
+# deliberately no offset table here to "wire in".
 
 
 def assemble_rows(

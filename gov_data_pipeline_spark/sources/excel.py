@@ -84,20 +84,35 @@ def read_excel(
 def write_excel(df: DataFrame, path_or_buf, max_rows: int = 1_048_576) -> None:
     """Collect-and-write sink (driver-side, as in ``main.py:38-47``).
 
-    Guarded by Excel's own row limit: this is for report-sized outputs,
-    never for datasets — large results go to ``write_parquet``.
+    Guarded by Excel's own row limit — which the HEADER row counts
+    against, so at most ``max_rows - 1`` data rows fit. This is for
+    report-sized outputs, never for datasets — large results go to
+    ``write_parquet``.
     """
-    pdf = df.limit(max_rows + 1).toPandas()  # one job: collect + guard
-    if len(pdf) > max_rows:
-        raise ValueError(
-            f"write_excel: result exceeds the Excel sheet limit "
-            f"({max_rows}); use write_parquet for datasets."
-        )
     if _excel_engine() == "openpyxl":  # pragma: no cover - not in runtime
+        pdf = df.limit(max_rows).toPandas()  # one job: collect + guard
+        if len(pdf) > max_rows - 1:
+            raise ValueError(
+                f"write_excel: result exceeds the Excel sheet limit "
+                f"({max_rows} rows including the header); use "
+                f"write_parquet for datasets."
+            )
         pdf.to_excel(path_or_buf, index=False)
         return
     from gov_data_pipeline_spark.sources.xlsx_zip import write_xlsx
 
+    # Stringify SPARK-side: toPandas() upcasts nullable numeric columns
+    # to float64, where nulls are NaN (stringifying to literal 'nan')
+    # and integers grow a '.0' suffix. Spark's string cast keeps nulls
+    # null and longs integral.
+    sdf = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    pdf = sdf.limit(max_rows).toPandas()
+    if len(pdf) > max_rows - 1:
+        raise ValueError(
+            f"write_excel: result exceeds the Excel sheet limit "
+            f"({max_rows} rows including the header); use write_parquet "
+            f"for datasets."
+        )
     rows: list[list[str | None]] = [list(map(str, pdf.columns))]
     for tup in pdf.itertuples(index=False):
         rows.append([None if v is None else str(v) for v in tup])

@@ -65,7 +65,14 @@ class FTPSink:
         needed. One segment at a time, each cwd/mkd relative to the
         directory just entered — cumulative relative paths (as in the
         reference, utils/ftp.py:64-71) resolve wrongly once the first
-        cwd succeeds."""
+        cwd succeeds.
+
+        Always rewinds to the root first: the session's cwd persists
+        across ``upload_bytes`` calls, so entering ``remote_dir``
+        relative to wherever the last upload left us would nest
+        ``remote_dir/remote_dir/...`` on every subsequent upload.
+        """
+        ftp.cwd("/")
         for part in path.strip("/").split("/"):
             if not part:
                 continue

@@ -38,19 +38,33 @@ def _fetch_one(
     max_retries: int,
     retry_delay: float,
 ) -> tuple[int, bytes | None]:
+    from urllib.error import HTTPError
+
     delay = retry_delay
+    last_status = -1
     for attempt in range(1, max_retries + 1):
         try:
             req = Request(url, headers=headers or {})
             with urlopen(req, timeout=timeout) as resp:  # noqa: S310 (caller controls URLs)
                 status = getattr(resp, "status", 200) or 200
                 return status, resp.read()
-        except Exception:
+        except HTTPError as e:
+            # Real HTTP statuses reach the status column instead of -1.
+            # 4xx is permanent — retrying a 404 just hammers a dead URL;
+            # 5xx is worth the backoff.
+            if e.code < 500:
+                return e.code, None
+            last_status = e.code
             if attempt >= max_retries:
-                return -1, None
+                return e.code, None
             time.sleep(delay)
             delay *= 2
-    return -1, None
+        except Exception:
+            if attempt >= max_retries:
+                return last_status, None
+            time.sleep(delay)
+            delay *= 2
+    return last_status, None
 
 
 def fetch_urls(

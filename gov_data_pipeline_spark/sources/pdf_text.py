@@ -93,7 +93,15 @@ def _tokenize(stream: bytes):
                         buf.append(int(oct_digits[: k - 1], 8) & 0xFF)
                         j += k
                         continue
-                    j += 1  # line continuation / unknown escape
+                    if nxt in (b"\r", b"\n"):
+                        # backslash-newline is a LINE CONTINUATION: both
+                        # the backslash and the EOL (CR, LF, or CRLF)
+                        # disappear from the decoded string
+                        j += 2
+                        if nxt == b"\r" and stream[j : j + 1] == b"\n":
+                            j += 1
+                        continue
+                    j += 1  # unknown escape: backslash dropped, char kept
                     continue
                 if ch == b"(":
                     depth += 1

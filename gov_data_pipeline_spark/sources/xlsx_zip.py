@@ -238,11 +238,6 @@ def iter_xlsx_images(data: bytes, sheet: int = 0) -> list[XlsxImage]:
 # writer
 
 
-def _xml(tag: str, inner: str = "", **attrs: str) -> str:
-    a = "".join(f' {k}="{v}"' for k, v in attrs.items())
-    return f"<{tag}{a}>{inner}</{tag}>" if inner else f"<{tag}{a}/>"
-
-
 def _esc(s: str) -> str:
     return (
         s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

@@ -56,6 +56,9 @@ class TestFtpSink:
             return "/".join(self.cwd_path + [d])
 
         def cwd(self, d):
+            if d == "/":
+                self.cwd_path = []  # rewind to login root, as real FTP does
+                return
             if "/" in d:
                 raise OSError("multi-segment cwd unsupported by fake")
             if self._abs(d) not in self.store.setdefault("__dirs", set()):
@@ -87,10 +90,11 @@ class TestFtpSink:
         sink.upload_bytes(b"bytes!", "out.xlsx")
         assert store["__attempts"] == 1  # one failed connect, then success
         assert store["a/b/out.xlsx"] == b"bytes!"
-        # second upload over the same (now-existing) tree
-        sink._ftp.cwd_path = []  # simulate a fresh session position
+        # second upload on the SAME session (cwd still at a/b): must land
+        # in a/b again, not nest into a/b/a/b
         sink.upload_bytes(b"more", "out2.xlsx")
         assert store["a/b/out2.xlsx"] == b"more"
+        assert "a/b/a/b/out2.xlsx" not in store
 
     def test_transfer_failure_reconnects_once(self):
         from gov_data_pipeline_spark.sources import FTPSink
@@ -474,3 +478,59 @@ class TestOrcAndText:
         f.write_text("line one\nline two\n")
         rows = [r["value"] for r in read_text(spark, str(tmp_path)).collect()]
         assert sorted(rows) == ["line one", "line two"]
+
+
+class TestSourceReviewRegressions:
+    """Pins for the sources-layer review findings."""
+
+    def test_fetch_reports_real_4xx_without_retrying(self, spark):
+        import http.server
+        import threading
+
+        hits = []
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                hits.append(self.path)
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            from gov_data_pipeline_spark.sources.http import fetch_urls
+
+            url = f"http://127.0.0.1:{srv.server_address[1]}/missing"
+            df = spark.createDataFrame([(url,)], "url string")
+            row = fetch_urls(df, max_retries=3, retry_delay=0.0).collect()[0]
+            assert row["status"] == 404  # real code, not -1
+            assert row["content"] is None
+            assert len(hits) == 1  # permanent 4xx is not retried
+        finally:
+            srv.shutdown()
+
+    def test_pdf_string_line_continuation_removed(self):
+        from gov_data_pipeline_spark.sources.pdf_text import _tokenize
+
+        toks = list(_tokenize(b"(ab\\\ncd) Tj"))
+        assert ("str", b"abcd") in toks  # backslash-EOL disappears
+        toks = list(_tokenize(b"(ab\\\r\ncd) Tj"))
+        assert ("str", b"abcd") in toks  # CRLF form too
+
+    def test_write_excel_nulls_and_integers(self, spark, tmp_path):
+        from gov_data_pipeline_spark.sources.excel import read_excel, write_excel
+
+        df = spark.createDataFrame(
+            [(1, 5, "a"), (2, None, None)], "id long, n long, s string"
+        )
+        path = str(tmp_path / "t.xlsx")
+        write_excel(df.orderBy("id"), path)
+        rows = read_excel(spark, path).orderBy("row_idx").collect()
+        # header + data; integer stays '5' (not '5.0'), nulls stay empty
+        assert [rows[1]["c0"], rows[1]["c1"], rows[1]["c2"]] == ["1", "5", "a"]
+        assert rows[2]["c1"] is None or rows[2]["c1"] == ""
+        assert "nan" not in str(rows[2]["c1"]).lower()

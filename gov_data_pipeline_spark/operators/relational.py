@@ -73,10 +73,18 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag)
 
     # Right rows sort before left rows at equal timestamps so a right row
-    # at exactly left_time matches (<=, i.e. inclusive as-of).
+    # at exactly left_time matches (<=, i.e. inclusive as-of). The right
+    # struct itself is the final order key: among SAME-timestamp right
+    # rows the match would otherwise be whichever the sort happened to
+    # place last — nondeterministic across runs/plans; struct ordering
+    # (field-wise: time, then values) makes it the deterministic maximum.
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_left").asc(),
+            F.col("__r").asc_nulls_first(),
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = F.last("__r", ignorenulls=True).over(w)

@@ -88,5 +88,3 @@ class PipelineRegistry:
                 results[name] = None
         return results
 
-
-REGISTRY = PipelineRegistry()

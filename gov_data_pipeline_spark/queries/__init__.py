@@ -9,8 +9,11 @@ Each submodule declares two dicts:
   the driver's comparator sorts columns by name before hashing).
 
 Names missing from ``ORACLE`` get the driver's weaker rows-only check;
-that set is kept to the genuinely non-SQL-expressible operators
-(hash-sketch dedup, streaming statefulness).
+that set is exactly ``{q26_approx_agg}`` — the HLL++/quantile sketches
+with no cross-engine-exact form. Everything else, including the hash
+sketches (md5 families) and the streaming operators (batch twins),
+carries a full value-hash oracle; ``tests/test_registry.py`` pins the
+set.
 """
 
 from __future__ import annotations

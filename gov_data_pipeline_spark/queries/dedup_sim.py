@@ -959,15 +959,18 @@ def q70_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
     )
-    sketch = toks.select(F.expr("approx_top_k(term, 10000, 10000)").alias("tk"))
+    sketch = toks.select(F.expr("approx_top_k(term, 10001, 10001)").alias("tk"))
     topk = sketch.select(F.size("tk").alias("__n"), F.explode("tk").alias("e"))
     # Exact-regime guard, load-bearing in the output column (a separate
     # assert column gets pruned by the optimizer): if the sketch
-    # returned exactly k items the vocabulary may exceed k and counts
-    # are no longer exact — fail loudly instead of flaking the oracle.
-    cnt = F.when(F.col("__n") < 10000, F.col("e.count")).otherwise(
+    # returned all 10001 tracked items the vocabulary may exceed the
+    # tracking capacity and counts are no longer exact — fail loudly
+    # instead of flaking the oracle. (k == tracked+0 would also trip on
+    # a vocabulary of EXACTLY k, where counts are still exact — hence
+    # the +1 headroom.)
+    cnt = F.when(F.col("__n") < 10001, F.col("e.count")).otherwise(
         F.raise_error(
-            F.lit("q70: approx_top_k truncated - vocabulary >= k")
+            F.lit("q70: approx_top_k truncated - vocabulary > tracked")
         ).cast("long")
     )
     return (
@@ -1053,6 +1056,52 @@ ORDER BY doc_id
 """
 
 
+# Shared stage expressions for q87/q88/q89 — single definitions so the
+# capstone composition (q89) can never drift from the stages it pins
+# (the _mutant_embeddings pattern, applied to the text gates).
+
+
+def _words_col():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def _grams3(ws):
+    """All word 3-grams (with duplicates — the repetition gate needs
+    multiplicity); short docs yield one degenerate gram."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+    )
+
+
+def _dup3_ratio(ws):
+    """Gopher-style duplicate-3-gram ratio, rounded to 4 decimals."""
+    g = _grams3(ws)
+    return F.round(F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g), 4)
+
+
+def _grams13(ws):
+    """Distinct 13-grams (decontamination membership units)."""
+    return F.array_distinct(
+        F.when(
+            F.size(ws) >= 13,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 12),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 13)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", ws)))
+    )
+
+
+def _bench_grams(docs: DataFrame, ws) -> DataFrame:
+    """The synthesized benchmark set: every 17th doc's words[5:18]."""
+    return (
+        docs.filter((F.col("doc_id") % 17 == 0) & (F.size(ws) >= 18))
+        .select(F.concat_ws(" ", F.slice(ws, 6, 13)).alias("s"))
+        .distinct()
+    )
+
+
 def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-data step that removes
     documents sharing any 13-gram with an evaluation set. The benchmark
@@ -1068,22 +1117,9 @@ def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SMALL relations (benchmark grams, contaminated ids — plan
     pinned)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    bench = (
-        docs.filter((F.col("doc_id") % 17 == 0) & (F.size(ws) >= 18))
-        .select(F.concat_ws(" ", F.slice(ws, 6, 13)).alias("s"))
-        .distinct()
-    )
-    grams13 = F.array_distinct(
-        F.when(
-            F.size(ws) >= 13,
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - 12),
-                lambda i: F.concat_ws(" ", F.slice(ws, i, 13)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", ws)))
-    )
-    ex = docs.select("doc_id", F.explode(grams13).alias("s"))
+    ws = _words_col()
+    bench = _bench_grams(docs, ws)
+    ex = docs.select("doc_id", F.explode(_grams13(ws)).alias("s"))
     contaminated = (
         ex.join(F.broadcast(bench), "s", "left_semi").select("doc_id").distinct()
     )
@@ -1130,18 +1166,12 @@ def q88_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches, where interpreted lambdas lose to explode+agg because a
     shuffle was needed anyway."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
-    )
-    total = F.size(grams)
-    uniq = F.size(F.array_distinct(grams))
-    ratio = F.round(F.lit(1.0) - uniq / total, 4)
+    ws = _words_col()
+    ratio = _dup3_ratio(ws)
     return (
         docs.select(
             "doc_id",
-            total.cast("bigint").alias("n_grams"),
+            F.size(_grams3(ws)).cast("bigint").alias("n_grams"),
             ratio.alias("dup_ratio"),
             (ratio > 0.2).alias("flagged"),
         )
@@ -1180,34 +1210,14 @@ def q89_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_data_pipeline_spark.functions.chunking import chunk_documents, pack_sequences
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
+    ws = _words_col()
 
-    # stage 1: repetition gate (duplicate-3-gram ratio <= 0.2)
-    grams3 = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
-    )
-    ratio = F.round(
-        F.lit(1.0) - F.size(F.array_distinct(grams3)) / F.size(grams3), 4
-    )
-    gated = docs.filter(ratio <= 0.2)
+    # stage 1: repetition gate (q88's duplicate-3-gram ratio <= 0.2)
+    gated = docs.filter(_dup3_ratio(ws) <= 0.2)
 
     # stage 2: decontamination (q87's bench grams, broadcast anti-join)
-    bench = (
-        docs.filter((F.col("doc_id") % 17 == 0) & (F.size(ws) >= 18))
-        .select(F.concat_ws(" ", F.slice(ws, 6, 13)).alias("s"))
-        .distinct()
-    )
-    grams13 = F.array_distinct(
-        F.when(
-            F.size(ws) >= 13,
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - 12),
-                lambda i: F.concat_ws(" ", F.slice(ws, i, 13)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", ws)))
-    )
-    ex = docs.select("doc_id", F.explode(grams13).alias("s"))
+    bench = _bench_grams(docs, ws)
+    ex = docs.select("doc_id", F.explode(_grams13(ws)).alias("s"))
     contaminated = (
         ex.join(F.broadcast(bench), "s", "left_semi").select("doc_id").distinct()
     )

@@ -254,7 +254,7 @@ SELECT e.event_id, e.user_id,
          AS signup_ts,
        round((SELECT s.value FROM events s
               WHERE s.event_type = 'signup' AND s.user_id = e.user_id AND s.ts <= e.ts
-              ORDER BY s.ts DESC LIMIT 1), 2) AS signup_value
+              ORDER BY s.ts DESC, s.value DESC LIMIT 1), 2) AS signup_value
 FROM events e
 WHERE e.event_type = 'error'
 ORDER BY e.event_id

@@ -54,11 +54,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- semantics ----------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
-        # Fixture `events.parquet` stores TIMESTAMP(NANOS); Spark's
-        # reader has no nanos timestamp type, so read as epoch-nanos
-        # long — catalog.load_tables converts to micros exactly the way
-        # DuckDB's reader truncates.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: spark.sql.legacy.parquet.nanosAsLong is deliberately NOT
+        # set here. catalog.read_table enables it only after a read of a
+        # TIMESTAMP(NANOS) fixture actually fails without it — setting
+        # it session-wide would make every OTHER parquet read silently
+        # load nanos columns as epoch-nanos longs instead of erroring.
         # --- local-mode niceties (harmless on a cluster) -------------
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

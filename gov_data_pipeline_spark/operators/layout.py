@@ -64,3 +64,43 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and per-file sorted) on
+    ``bucket_cols`` — Spark's pre-shuffled storage layout.
+
+    Every row lands in ``hash(bucket_cols) % num_buckets``; a later
+    join or aggregation on the bucket columns between two tables
+    bucketed the same way needs NO exchange — the shuffle was paid
+    once at write time, then amortized over every downstream query.
+    That is the canonical 100 TB fact⋈fact strategy: co-locate at
+    ingest, never re-shuffle the big table again. ``sort_cols``
+    additionally pre-sorts each bucket file so sort-merge joins skip
+    their sort too.
+
+    Bucketing metadata lives in the table catalog, so the write goes
+    through ``saveAsTable`` (``path`` makes it an external table —
+    the data survives the session even with an in-memory catalog).
+    """
+    # Pre-partition on the bucket hash so each task owns whole buckets:
+    # one file per bucket instead of (tasks x buckets) shards — and
+    # only single-file buckets let the reader trust the sort order.
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

@@ -287,3 +287,48 @@ def upsert_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """SCD-type-2: collapse a change log into validity intervals.
+
+    ``changelog`` holds one row per observation of an entity's
+    attributes at ``ts_col``. Consecutive observations with identical
+    ``attr_cols`` merge into one interval; each attribute change opens
+    a new one. Output = input columns (keys + attrs) plus
+    ``effective_from`` / ``effective_to`` (null = still current) and
+    ``is_current``.
+
+    Two windows, both partitioned by the entity key — the only shuffle
+    is one hash-partition on the key, and every window is a per-key
+    sort, never global. ``tiebreak_cols`` orders same-timestamp
+    observations deterministically (pass the source's unique id);
+    without it, equal-timestamp duplicates would make change detection
+    nondeterministic under shuffle.
+    """
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    w = W.partitionBy(*key_cols).orderBy(F.col(ts_col), *tb)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(c).over(w)
+        # null-safe inequality: a NULL attribute is a real state, and
+        # NULL <=> NULL must compare as "no change"
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    first = F.lag(ts_col).over(w).isNull()
+    versions = changelog.withColumn("__new", first | changed).filter("__new")
+    w2 = W.partitionBy(*key_cols).orderBy(F.col(ts_col), *tb)
+    return (
+        versions.select(
+            *key_cols,
+            *attr_cols,
+            F.col(ts_col).alias("effective_from"),
+            F.lead(ts_col).over(w2).alias("effective_to"),
+        )
+        .withColumn("is_current", F.col("effective_to").isNull())
+    )

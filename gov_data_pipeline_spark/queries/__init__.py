@@ -26,6 +26,7 @@ from gov_data_pipeline_spark.queries import (
     dedup_sim,
     ingest,
     llm_queries,
+    quality,
     relational,
     scalar,
     stream_queries,
@@ -33,7 +34,8 @@ from gov_data_pipeline_spark.queries import (
 )
 
 _MODULES = (
-    relational, scalar, textops, ingest, dedup_sim, llm_queries, stream_queries
+    relational, scalar, textops, ingest, dedup_sim, llm_queries,
+    stream_queries, quality,
 )
 
 # The driver's per-round correctness run samples the FIRST 50 entries of
@@ -63,6 +65,11 @@ _PRIORITY: tuple[str, ...] = (
     "q87_decontaminate",
     "q88_repetition_filter",
     "q89_curation_pipeline",
+    # new in round 5
+    "q90_pii_redact",
+    "q91_scd2_history",
+    "q92_bucketed_join",
+    "q93_outlier_zscore",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

@@ -1,0 +1,163 @@
+"""Corpus-quality queries: PII scrubbing and statistical outlier
+gating — the data-hygiene passes a training-data pipeline runs between
+ingestion and dedup (SURVEY §2.2 L8's quality family, extended).
+
+Both queries are pure projections / one tiny aggregate, so their plans
+are scan → codegen'd expressions (+ one broadcast of per-class stats
+for q93): nothing here shuffles document bytes, which is the property
+that matters at 100 TB.
+
+The fixtures carry no real PII, so q90 synthesizes deterministic
+contact strings from fixture columns inside the query — both engines
+build the identical messy string, then scrub it (the q20-q24 pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gov_data_pipeline_spark.catalog import read_table as _t
+from gov_data_pipeline_spark.functions.pii import pii_count_col, pii_redact_col
+
+
+# ---------------------------------------------------------------------------
+# q90 — PII redaction (email / card / phone / IPv4), counts per class.
+# ---------------------------------------------------------------------------
+
+
+def _messy_text(doc_id, text):
+    """Deterministic PII injection both engines replicate: an email and
+    a phone on every row, an IPv4 on every 2nd, a card on every 3rd."""
+    return F.concat(
+        text,
+        F.lit(" contact user"), doc_id.cast("string"),
+        F.lit("@mail.example.org tel +375 29 "),
+        F.lpad((doc_id % 10000000).cast("string"), 7, "0"),
+        F.when(
+            doc_id % 2 == 0,
+            F.concat(
+                F.lit(" ip 10."), (doc_id % 256).cast("string"),
+                F.lit(".0."), ((doc_id * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(
+                F.lit(" card 4111 1111 1111 "),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q90_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts are taken per class on the ORIGINAL text (so overlapping
+    classes each report their raw matches — a card's leading digits
+    also count as one phone match); the redaction chain then applies
+    in the fixed order email → card → phone → IPv4 (see
+    ``functions/pii.py`` for why that order makes the output
+    order-independent)."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = _messy_text(F.col("doc_id"), F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            pii_redact_col(messy).alias("redacted"),
+            pii_count_col(messy, "email").alias("n_email"),
+            pii_count_col(messy, "card").alias("n_card"),
+            pii_count_col(messy, "phone").alias("n_phone"),
+            pii_count_col(messy, "ipv4").alias("n_ipv4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# The RE2 mirror of functions/pii.PII_PATTERNS — same patterns, same
+# application order, 'g' flag because DuckDB's regexp_replace is
+# first-match-only by default (Spark's replaces all).
+_MESSY_SQL = """
+text || ' contact user' || doc_id::VARCHAR || '@mail.example.org tel +375 29 '
+     || lpad((doc_id % 10000000)::VARCHAR, 7, '0')
+     || CASE WHEN doc_id % 2 = 0
+             THEN ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                  || ((doc_id * 7) % 256)::VARCHAR
+             ELSE '' END
+     || CASE WHEN doc_id % 3 = 0
+             THEN ' card 4111 1111 1111 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE '' END
+"""
+
+_Q90_SQL = rf"""
+WITH m AS (SELECT doc_id, {_MESSY_SQL} AS messy FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(messy,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '\b\d{{4}}[ -]?\d{{4}}[ -]?\d{{4}}[ -]?\d{{4}}\b', '[CARD]', 'g'),
+           '\+?\d(?:[ -]?\d){{8,13}}', '[PHONE]', 'g'),
+         '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '[IP]', 'g') AS redacted,
+       len(regexp_extract_all(messy,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+       len(regexp_extract_all(messy,
+         '\b\d{{4}}[ -]?\d{{4}}[ -]?\d{{4}}[ -]?\d{{4}}\b')) AS n_card,
+       len(regexp_extract_all(messy,
+         '\+?\d(?:[ -]?\d){{8,13}}')) AS n_phone,
+       len(regexp_extract_all(messy,
+         '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ipv4
+FROM m
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q93 — per-class z-score outlier gate over events.value.
+# ---------------------------------------------------------------------------
+
+
+def q93_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean/stddev via a tiny groupBy (5 classes),
+    broadcast back onto the stream — the scale shape: full-table
+    stats are one map-side-combined aggregate producing a handful of
+    rows, and the gate itself is then a broadcast-joined projection,
+    never a per-class window sort over the whole table.
+
+    Filter and output both use the 4-decimal-ROUNDED z (the q46
+    convention): cross-engine float aggregation can differ by ulps,
+    and rounding before comparing keeps both engines on the same side
+    of the threshold."""
+    events = _t(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("__m"), F.stddev_samp("value").alias("__sd")
+    )
+    z = F.round((F.col("value") - F.col("__m")) / F.col("__sd"), 4)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .orderBy("event_id")
+    )
+
+
+_Q93_SQL = """
+WITH s AS (
+  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, value,
+       round((value - m) / sd, 4) AS z
+FROM events e JOIN s ON s.event_type = e.event_type
+WHERE abs(round((value - m) / sd, 4)) >= 3.0
+ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "q90_pii_redact": q90_pii_redact,
+    "q93_outlier_zscore": q93_outlier_zscore,
+}
+
+ORACLE = {
+    "q90_pii_redact": _Q90_SQL,
+    "q93_outlier_zscore": _Q93_SQL,
+}

@@ -897,6 +897,115 @@ ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# SCD-2 history build (the type-2 companion to q72's type-1 upsert):
+# each customer's order stream is a change log of their order priority;
+# collapse it into validity intervals. Both windows partition on the
+# entity key, so the whole build is one key shuffle + per-key sorts —
+# the warehouse-standard dimension-history pattern at any scale.
+# ---------------------------------------------------------------------------
+
+
+def q91_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.relational import scd2_history
+
+    changelog = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return scd2_history(
+        changelog,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    ).orderBy("o_custkey", "effective_from", "o_orderpriority")
+
+
+_Q91_SQL = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev_attr,
+         lag(o_orderdate) OVER w AS prev_ts
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+versions AS (
+  SELECT * FROM flagged
+  WHERE prev_ts IS NULL OR prev_attr IS DISTINCT FROM o_orderpriority),
+intervals AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS effective_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+           AS effective_to
+  FROM versions)
+SELECT o_custkey, o_orderpriority, effective_from, effective_to,
+       effective_to IS NULL AS is_current
+FROM intervals
+ORDER BY o_custkey, effective_from, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located fact⋈fact join: both sides persisted hash-bucketed
+# on the join key, so the join itself needs NO exchange — the shuffle is
+# paid once at write time and amortized over every later query. The one
+# Exchange left in the plan belongs to the 5-row aggregate AFTER the
+# join; tests/test_plans.py pins the join subtree exchange-free.
+# ---------------------------------------------------------------------------
+
+
+def q92_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-identical twin of a plain lineitem⋈orders revenue
+    rollup (exactly what the oracle runs); what changes is the physical
+    strategy: write-side bucketing makes the fact-fact join shuffle-free
+    at read time — the canonical 100 TB layout decision. Table/paths are
+    keyed by (fixture dir, pid) so concurrent runs never collide; the
+    ``merge`` hint keeps the demo on sort-merge even at tiny SF where
+    AQE would otherwise broadcast."""
+    import hashlib
+    import os
+    import tempfile
+
+    from gov_data_pipeline_spark.operators.layout import write_bucketed
+
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), "gdp_bucketed", tag)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(
+        orders, f"gdp_orders_b_{tag}", ["o_orderkey"], 8,
+        path=os.path.join(root, "orders"),
+    )
+    write_bucketed(
+        lineitem, f"gdp_lineitem_b_{tag}", ["l_orderkey"], 8,
+        path=os.path.join(root, "lineitem"),
+    )
+    o = spark.table(f"gdp_orders_b_{tag}").hint("merge")
+    li = spark.table(f"gdp_lineitem_b_{tag}").hint("merge")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q92_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skew-safe salted join: value-identical to the plain customer⋈orders
 # equi-join (which is exactly what the oracle runs) but each customer
 # key's rows scatter over 16 reducers.
@@ -1009,6 +1118,8 @@ QUERIES = {
     "q78_grouping_sets": q78_grouping_sets,
     "q79_ntile": q79_ntile,
     "q72_upsert_latest": q72_upsert_latest,
+    "q91_scd2_history": q91_scd2_history,
+    "q92_bucketed_join": q92_bucketed_join,
     "q73_salted_join": q73_salted_join,
     "q02_revenue_by_nation": q02_revenue_by_nation,
     "q03_semi_join": q03_semi_join,
@@ -1041,6 +1152,8 @@ ORACLE = {
     "q78_grouping_sets": _Q78_SQL,
     "q79_ntile": _Q79_SQL,
     "q72_upsert_latest": _Q72_SQL,
+    "q91_scd2_history": _Q91_SQL,
+    "q92_bucketed_join": _Q92_SQL,
     "q73_salted_join": _Q73_SQL,
     "q02_revenue_by_nation": _Q02_SQL,
     "q03_semi_join": _Q03_SQL,

@@ -189,3 +189,46 @@ class TestRound2OperatorPlans:
         edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
         plan = _plan(_star_round(edges, large=True))
         assert "collect_set" not in plan and "collect_list" not in plan
+
+    def test_q92_bucketed_join_no_exchange_before_join(self, spark, sf_dir):
+        """Both join sides are bucketed on the join key, so the
+        sort-merge join must consume the bucketed scans directly:
+        zero Exchanges in the join subtree (the only shuffle in the
+        full query belongs to the 5-row aggregate after it), and the
+        scans must advertise their buckets."""
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.operators.layout import write_bucketed
+
+        root = tempfile.mkdtemp(prefix="bucketed_plan_")
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        write_bucketed(
+            orders, "t_plan_o", ["o_orderkey"], 8, path=os.path.join(root, "o")
+        )
+        write_bucketed(
+            li, "t_plan_l", ["l_orderkey"], 8, path=os.path.join(root, "l")
+        )
+        j = (
+            spark.table("t_plan_l")
+            .hint("merge")
+            .join(
+                spark.table("t_plan_o").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        j.collect()
+        plan = _plan(j)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        assert "Exchange" not in final
+        assert "Bucketed: true" in final
+        assert "SelectedBucketsCount: 8 out of 8" in final

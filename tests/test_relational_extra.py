@@ -117,3 +117,102 @@ class TestAsofNullFields:
         assert row["asof_rt"] == 2
         assert row["asof_x"] is None  # latest right row's own NULL
         assert row["asof_y"] == 9
+
+
+class TestScd2History:
+    def test_intervals_from_changelog(self, spark):
+        from gov_data_pipeline_spark.operators.relational import scd2_history
+
+        log = spark.createDataFrame(
+            [
+                # key 1: a -> a (no change) -> b -> b -> a
+                (1, "a", 10, 100),
+                (1, "a", 20, 101),
+                (1, "b", 30, 102),
+                (1, "b", 40, 103),
+                (1, "a", 50, 104),
+                # key 2: single observation
+                (2, "x", 15, 200),
+            ],
+            "k long, attr string, ts long, src long",
+        )
+        rows = {
+            (r["k"], r["effective_from"]): r
+            for r in scd2_history(
+                log, ["k"], ["attr"], "ts", tiebreak_cols=["src"]
+            ).collect()
+        }
+        assert len(rows) == 4
+        assert rows[(1, 10)]["attr"] == "a" and rows[(1, 10)]["effective_to"] == 30
+        assert rows[(1, 30)]["attr"] == "b" and rows[(1, 30)]["effective_to"] == 50
+        assert rows[(1, 50)]["attr"] == "a" and rows[(1, 50)]["is_current"]
+        assert rows[(2, 15)]["is_current"] and rows[(2, 15)]["effective_to"] is None
+
+    def test_null_attribute_is_a_state_not_a_change_repeat(self, spark):
+        """NULL attr observed twice in a row is ONE interval (null-safe
+        compare), but a->NULL->a is three."""
+        from gov_data_pipeline_spark.operators.relational import scd2_history
+
+        log = spark.createDataFrame(
+            [(1, "a", 10), (1, None, 20), (1, None, 30), (1, "a", 40)],
+            "k long, attr string, ts long",
+        )
+        out = scd2_history(log, ["k"], ["attr"], "ts").collect()
+        assert sorted(r["effective_from"] for r in out) == [10, 20, 40]
+
+    def test_same_timestamp_tiebreak_deterministic(self, spark):
+        from gov_data_pipeline_spark.operators.relational import scd2_history
+
+        log = spark.createDataFrame(
+            [(1, "a", 10, 1), (1, "b", 10, 2)], "k long, attr string, ts long, src long"
+        )
+        out = sorted(
+            scd2_history(log, ["k"], ["attr"], "ts", tiebreak_cols=["src"]).collect(),
+            key=lambda r: r["src"] if "src" in r else 0,
+        )
+        # src=2 sorts last -> "b" is the current version
+        cur = [r for r in out if r["is_current"]]
+        assert len(cur) == 1 and cur[0]["attr"] == "b"
+
+
+class TestPiiRedact:
+    def test_chain_and_counts(self, spark):
+        from gov_data_pipeline_spark.functions.pii import (
+            pii_count_col,
+            pii_redact_col,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (
+                    "mail a.b-c_1@ex.co , card 4111 1111 1111 1234, "
+                    "tel +375 29 1234567, ip 192.168.0.1 end",
+                )
+            ],
+            "t string",
+        )
+        row = df.select(
+            pii_redact_col(F.col("t")).alias("red"),
+            pii_count_col(F.col("t"), "email").alias("ne"),
+            pii_count_col(F.col("t"), "card").alias("nc"),
+            pii_count_col(F.col("t"), "phone").alias("np"),
+            pii_count_col(F.col("t"), "ipv4").alias("ni"),
+        ).collect()[0]
+        assert "[EMAIL]" in row["red"] and "[CARD]" in row["red"]
+        assert "[PHONE]" in row["red"] and "[IP]" in row["red"]
+        assert "4111" not in row["red"] and "1234567" not in row["red"]
+        assert row["ne"] == 1 and row["nc"] == 1 and row["ni"] == 1
+        # phone counts its own match plus the card's leading digit run
+        # (counts are per-class on the ORIGINAL text, documented)
+        assert row["np"] == 2
+
+    def test_clean_text_untouched(self, spark):
+        from gov_data_pipeline_spark.functions.pii import pii_redact_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("no pii here at all",)], "t string")
+        assert (
+            df.select(pii_redact_col(F.col("t")).alias("r")).collect()[0]["r"]
+            == "no pii here at all"
+        )

@@ -433,7 +433,14 @@ ORDER BY vec_id, rk
 
 
 def q46_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Threshold filter runs on the 4-decimal-ROUNDED similarity in
+    """Exhaustive cosine near-dup scan — the DELIBERATE brute-force
+    baseline the north-star asks for (and the recall yardstick the
+    sketch tiers are graded against): q56 is the same task on the
+    GEMM tier, q80 on the hyperplane-LSH tier with a plan pinned free
+    of cross joins — those are the registered 100 TB paths; this one
+    exists to define ground truth, not to scale.
+
+    Threshold filter runs on the 4-decimal-ROUNDED similarity in
     BOTH engines (the oracle's WHERE mirrors it): comparing raw floats
     against 0.99 would let a pair in [0.98995, 0.99) pass one engine's
     filter and fail the other's."""
@@ -1297,9 +1304,12 @@ def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup end-to-end: cosine near-dup pairs (the q46
     construction — planted mutants at >= 0.99) -> connected components
     -> per-vector cluster id + canonical flag. The semantic twin of
-    q67's lexical clustering; at scale the pair stage swaps in the
-    LSH/IVF/GEMM candidate generators, the clustering stage is
-    unchanged."""
+    q67's lexical clustering. Like q46, the brute-force pair stage is
+    the DELIBERATE ground-truth baseline; q80 is this exact pipeline
+    on LSH candidates (plan pinned cross-join-free) and is the
+    registered scale path — the two stay registered side by side so
+    the sketch tier's recall is permanently measured against the
+    exact tier."""
     from gov_data_pipeline_spark.operators.graph import dedup_clusters
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -131,7 +131,13 @@ def q93_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = events.groupBy("event_type").agg(
         F.avg("value").alias("__m"), F.stddev_samp("value").alias("__sd")
     )
-    z = F.round((F.col("value") - F.col("__m")) / F.col("__sd"), 4)
+    # try_divide: a degenerate class (constant values -> sd = 0, or a
+    # single row -> sd = NULL) must null its z and drop at the filter,
+    # not throw DIVIDE_BY_ZERO under ANSI mode (the cosine() contract);
+    # the oracle's sd = 0 guard mirrors it.
+    z = F.round(
+        F.try_divide(F.col("value") - F.col("__m"), F.col("__sd")), 4
+    )
     return (
         events.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))
@@ -142,7 +148,8 @@ def q93_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q93_SQL = """
 WITH s AS (
-  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+  SELECT event_type, avg(value) AS m,
+         nullif(stddev_samp(value), 0) AS sd
   FROM events GROUP BY event_type)
 SELECT event_id, e.event_type, value,
        round((value - m) / sd, 4) AS z

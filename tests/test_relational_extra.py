@@ -216,3 +216,27 @@ class TestPiiRedact:
             df.select(pii_redact_col(F.col("t")).alias("r")).collect()[0]["r"]
             == "no pii here at all"
         )
+
+
+class TestOutlierDegenerate:
+    def test_constant_class_drops_instead_of_throwing(self, spark):
+        """A class with constant values (sd = 0) and a single-row class
+        (sd = NULL) must contribute no outliers — not DIVIDE_BY_ZERO
+        under ANSI mode."""
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "const", 5.0), (2, "const", 5.0), (3, "single", 9.0)],
+            "event_id long, event_type string, value double",
+        )
+        stats = df.groupBy("event_type").agg(
+            F.avg("value").alias("__m"), F.stddev_samp("value").alias("__sd")
+        )
+        z = F.round(F.try_divide(F.col("value") - F.col("__m"), F.col("__sd")), 4)
+        out = (
+            df.join(F.broadcast(stats), "event_type")
+            .select("event_id", z.alias("z"))
+            .filter(F.abs(F.col("z")) >= 3.0)
+            .collect()
+        )
+        assert out == []

@@ -175,21 +175,23 @@ ORDER BY a_id, b_id
 
 def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_data_pipeline_spark.operators.dedup import (
-        minhash_from_shingle_rows,
+        minhash_doc_profile,
         shingle_rows,
-        verify_candidates_jaccard,
+        verify_candidates_hashset,
     )
 
     corpus = _docs_with_dups(spark, sf_dir)
-    # widen=False: ex fans out into sig/band/verify consumers that
-    # share AQE-planned exchanges; a pinned-width repartition here
-    # breaks that reuse (measured 2-6x slower).
+    # widen=False: the one shingle pass feeds a single profile
+    # aggregate; a pinned-width repartition before it breaks AQE's
+    # byte-based planning for no benefit (measured slower).
     ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False)
-    sigs = minhash_from_shingle_rows(
-        ex, "doc_id", num_hashes=32, hash_family="md5"
-    )
-    cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32)
-    verified = verify_candidates_jaccard(cands, ex, "doc_id", threshold=0.5)
+    # ONE aggregate yields signature + shingle-hash set + size, so the
+    # shingle relation is scanned once and verify never re-joins it
+    # (measured ~30% faster than the sig-then-reindex form at sf0.1;
+    # see minhash_doc_profile for the scale argument).
+    prof = minhash_doc_profile(ex, "doc_id", num_hashes=32, hash_family="md5")
+    cands = lsh_candidate_pairs(prof, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32)
+    verified = verify_candidates_hashset(cands, prof, "doc_id", threshold=0.5)
     return verified.orderBy("a_id", "b_id")
 
 
@@ -1465,9 +1467,9 @@ ORDER BY c.vec_id
 
 def q75_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_data_pipeline_spark.operators.dedup import (
-        minhash_from_shingle_rows,
+        minhash_doc_profile,
         shingle_rows,
-        verify_candidates_jaccard,
+        verify_candidates_hashset,
     )
     from gov_data_pipeline_spark.operators.graph import dedup_clusters
 
@@ -1479,11 +1481,12 @@ def q75_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(mutants)
 
-    # near-dup pairs (the q42 sketch pipeline, md5 family)
+    # near-dup pairs (the q42 sketch pipeline, md5 family, fused
+    # profile aggregate — see q42)
     ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False)
-    sigs = minhash_from_shingle_rows(ex, "doc_id", num_hashes=32, hash_family="md5")
-    cands = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32)
-    pairs = verify_candidates_jaccard(cands, ex, "doc_id", threshold=0.5)
+    prof = minhash_doc_profile(ex, "doc_id", num_hashes=32, hash_family="md5")
+    cands = lsh_candidate_pairs(prof, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32)
+    pairs = verify_candidates_hashset(cands, prof, "doc_id", threshold=0.5)
 
     # cluster + keep one representative per duplicate group
     labeled = dedup_clusters(pairs.select("a_id", "b_id"), corpus, "doc_id")

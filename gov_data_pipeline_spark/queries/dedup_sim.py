@@ -184,7 +184,7 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen=False: the one shingle pass feeds a single profile
     # aggregate; a pinned-width repartition before it breaks AQE's
     # byte-based planning for no benefit (measured slower).
-    ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False)
+    ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False, distinct=False)
     # ONE aggregate yields signature + shingle-hash set + size, so the
     # shingle relation is scanned once and verify never re-joins it
     # (measured ~30% faster than the sig-then-reindex form at sf0.1;
@@ -1483,7 +1483,7 @@ def q75_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # near-dup pairs (the q42 sketch pipeline, md5 family, fused
     # profile aggregate — see q42)
-    ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False)
+    ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False, distinct=False)
     prof = minhash_doc_profile(ex, "doc_id", num_hashes=32, hash_family="md5")
     cands = lsh_candidate_pairs(prof, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32)
     pairs = verify_candidates_hashset(cands, prof, "doc_id", threshold=0.5)

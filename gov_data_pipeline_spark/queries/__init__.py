@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from gov_data_pipeline_spark.queries import (
+    corpus_ops,
     dedup_sim,
     ingest,
     llm_queries,
@@ -35,7 +36,7 @@ from gov_data_pipeline_spark.queries import (
 
 _MODULES = (
     relational, scalar, textops, ingest, dedup_sim, llm_queries,
-    stream_queries, quality,
+    stream_queries, quality, corpus_ops,
 )
 
 # The driver's per-round correctness run samples the FIRST 50 entries of
@@ -70,6 +71,12 @@ _PRIORITY: tuple[str, ...] = (
     "q91_scd2_history",
     "q92_bucketed_join",
     "q93_outlier_zscore",
+    # new in round 6
+    "q94_unigram_logprob",
+    "q95_inverted_index",
+    "q96_winsorize",
+    "q97_time_rollup",
+    "q98_point_in_time_join",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",
@@ -80,16 +87,9 @@ _PRIORITY: tuple[str, ...] = (
     "q34_json",
     "q36_map",
     "q71_range_window",
-    # stalest greens (no driver row since r01/r02)
-    "q20_clean_text",
-    "q21_reg_num",
-    "q22_exclusion",
-    "q23_clean_cell",
-    "q24_merge_continuation",
-    "q33_math",
-    "q35_array",
-    "q37_base64",
-    "q40_exact_dedup",
+    # stalest greens, r01 first then r02 (the driver samples the first
+    # 50 names of this whole tuple — entries past 50 wait for the next
+    # rotation, so the oldest driver rows must enumerate first)
     "q41_jaccard_pairs",
     "q44_cosine_topk",
     "q46_cosine_neardup",
@@ -104,6 +104,15 @@ _PRIORITY: tuple[str, ...] = (
     "q74_semantic_clusters",
     "q75_corpus_pipeline",
     "q77_fuzzy_join",
+    "q40_exact_dedup",
+    "q20_clean_text",
+    "q21_reg_num",
+    "q22_exclusion",
+    "q23_clean_cell",
+    "q24_merge_continuation",
+    "q33_math",
+    "q35_array",
+    "q37_base64",
 )
 
 

@@ -1,0 +1,400 @@
+"""Round-6 surface: corpus statistics + warehouse time-travel ops.
+
+Two families, both oracle-checked end-to-end:
+
+* **Corpus statistics** (q94, q95) — the unigram language-model score a
+  quality-filter pipeline uses as a perplexity proxy, and a df-banded
+  inverted index (the keyword-search companion to q68's BM25). Both are
+  explode → hash-aggregate shapes: the corpus shuffles tokens once, and
+  every later stage moves vocabulary-sized data, never document bytes.
+* **Warehouse** (q96-q98) — exact rank-based winsorization (the
+  oracle-checkable twin of the approx-percentile clamp a 100 TB job
+  would run), a multi-granularity hypertable rollup over the event
+  stream, and a point-in-time join of facts to q91's SCD-2 dimension
+  history — the feature-store join that keeps training data free of
+  time-travel leakage. The PIT join is deliberately implemented with
+  the union-tag as-of operator (``operators/relational.asof_join``, one
+  key shuffle) and oracled with the naive interval join: proving the
+  two formulations equal is exactly the evidence that the as-of shape
+  is safe to use at scale, where an interval join would row-explode.
+
+Reference ancestry: the reference has no corpus/warehouse layer at all
+(SURVEY.md §2.1); these extend §2.2's L8 text-analysis and T13/T22
+window families the way BASELINE.json's north star asks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from gov_data_pipeline_spark.catalog import read_table as _t
+
+
+# ---------------------------------------------------------------------------
+# q94 — unigram log-probability scoring (perplexity-proxy quality gate).
+# ---------------------------------------------------------------------------
+
+
+def q94_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by the mean log-probability of its tokens
+    under the corpus's own unigram LM — the cheap perplexity proxy
+    quality filters use before anything neural.
+
+    Shape at scale: one token-hash aggregate builds the vocabulary
+    (vocabulary ≪ corpus, and the aggregate is map-side partial), the
+    token→count join shuffles on the term key (AQE demotes it to
+    broadcast when the filtered vocabulary is small enough), and the
+    per-doc reduce is a doc_id hash aggregate. Nothing is quadratic,
+    nothing collects.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.sum(F.log(F.col("cnt") / F.col("total"))) / F.count(F.lit(1)), 4
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q94_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+v AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+t AS (SELECT sum(cnt) AS total FROM v)
+SELECT doc_id, count(*) AS n_toks,
+       round(sum(ln(cnt / total)) / count(*), 4) AS avg_logprob
+FROM toks JOIN v USING (term) CROSS JOIN t
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q95 — df-banded inverted index (term -> ordered posting list).
+# ---------------------------------------------------------------------------
+
+
+def q95_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the posting lists for discriminative terms (document
+    frequency in [2, 20] — singletons index nothing, stop-words drown
+    the index).
+
+    Two-phase on purpose: the df aggregate runs and FILTERS before any
+    posting list materializes, so a hot term ("the", df = corpus size)
+    is dropped by the band while still a (term, count) pair — the
+    collect_list only ever sees terms whose postings are provably ≤ 20
+    elements. Collapsing the phases into one groupBy would buffer the
+    hot term's full posting list in the aggregation state first — the
+    classic inverted-index OOM at scale.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).distinct()
+    banded = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
+    )
+    return (
+        pairs.join(banded, "term")
+        .groupBy("term", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+        .orderBy("term")
+    )
+
+
+_Q95_SQL = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+banded AS (
+  SELECT term, count(*) AS df FROM pairs
+  GROUP BY term HAVING count(*) BETWEEN 2 AND 20)
+SELECT term, df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM pairs JOIN banded USING (term)
+GROUP BY term, df
+ORDER BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# q96 — exact rank-based winsorization (p05/p95 clamp per group).
+# ---------------------------------------------------------------------------
+
+
+def q96_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamp l_extendedprice to its per-returnflag [p05, p95] band and
+    re-aggregate. The percentile is defined by RANK, not interpolation:
+    the value at row_number floor((n-1)*p)+1 under a fully tie-broken
+    sort — bit-identical in any engine, which interpolated quantiles
+    (ulp-sensitive) are not.
+
+    The ranked pass exists only to surface 2 rows per group; the clamp
+    joins those tiny bounds back (broadcast) onto the unsorted scan. At
+    100 TB the ranked pass is the one you replace with
+    approx_percentile (q26's sketch family) — the clamp stage is
+    already the scale shape.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wo = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wall = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    lo_rank = F.floor((F.col("cnt") - 1) * 5 / 100) + 1
+    hi_rank = F.floor((F.col("cnt") - 1) * 95 / 100) + 1
+    bounds = (
+        ranked.filter((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == lo_rank, F.col("l_extendedprice"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("rn") == hi_rank, F.col("l_extendedprice"))
+            ).alias("hi"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(clamped), 2).alias("sum_winsorized"),
+            F.round(F.min("lo"), 2).alias("p05"),
+            F.round(F.max("hi"), 2).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q96_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem),
+bounds AS (
+  SELECT l_returnflag,
+         min(CASE WHEN rn = floor((cnt - 1) * 5 / 100) + 1
+                  THEN l_extendedprice END) AS lo,
+         max(CASE WHEN rn = floor((cnt - 1) * 95 / 100) + 1
+                  THEN l_extendedprice END) AS hi
+  FROM ranked GROUP BY l_returnflag)
+SELECT l.l_returnflag,
+       count(*) AS n_items,
+       round(sum(least(greatest(l.l_extendedprice, b.lo), b.hi)), 2)
+         AS sum_winsorized,
+       round(min(b.lo), 2) AS p05,
+       round(max(b.hi), 2) AS p95
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q97 — hypertable rollup: hour -> day -> grand-total over events.
+# ---------------------------------------------------------------------------
+
+
+def q97_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the continuous-aggregate /
+    hypertable pattern): hourly leaves, daily subtotals, grand total in
+    ONE pass — rollup reuses the hourly partials for the coarser
+    levels, so the event stream is read and shuffled once, not once
+    per granularity.
+
+    ``lvl`` is computed explicitly as grouping(day)*2 + grouping(hr)
+    (0 = hourly leaf, 1 = daily subtotal, 3 = grand total) so the
+    grouping-bit convention can never diverge between engines; null
+    bucket keys are coalesced to the epoch in the sort so both engines
+    order identically (Spark sorts NULL first, DuckDB last).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "value",
+    )
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return (
+        ev.rollup("day", "hr")
+        .agg(
+            (F.grouping("day") * 2 + F.grouping("hr")).alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("lvl", "day", "hr", "n_events", "sum_value")
+        .orderBy("lvl", F.coalesce("day", epoch), F.coalesce("hr", epoch))
+    )
+
+
+_Q97_SQL = """
+SELECT grouping(day) * 2 + grouping(hr) AS lvl,
+       day, hr,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM (SELECT date_trunc('day', ts) AS day,
+             date_trunc('hour', ts) AS hr,
+             value
+      FROM events)
+GROUP BY ROLLUP (day, hr)
+ORDER BY lvl,
+         coalesce(day, TIMESTAMP '1970-01-01 00:00:00'),
+         coalesce(hr, TIMESTAMP '1970-01-01 00:00:00')
+"""
+
+
+# ---------------------------------------------------------------------------
+# q98 — point-in-time join of facts to the SCD-2 dimension history.
+# ---------------------------------------------------------------------------
+
+
+def q98_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store PIT join: attribute every shipped lineitem to the
+    order-priority version that was CURRENT for its customer on the
+    ship date (q91's SCD-2 history is the dimension). This is the join
+    that keeps a training set leakage-free — a fact must never see a
+    dimension version from its future.
+
+    Implemented as a backward as-of join (union-tag + last-ignorenulls,
+    ``operators/relational.py:19``): ONE shuffle on the customer key,
+    linear in facts + versions. The DuckDB oracle runs the textbook
+    interval join (from <= ts < to) instead — the hash-match proves the
+    as-of formulation equivalent, and the as-of one is the shape that
+    survives 100 TB, where interval joins row-explode on hot keys.
+
+    Empty intervals (two priority changes on one date — the later
+    o_orderkey wins under q91's tiebreak) are dropped before the join,
+    which makes (key, effective_from) unique, so the as-of match is
+    deterministic without any struct tiebreak.
+    """
+    from gov_data_pipeline_spark.operators.relational import asof_join, scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    changelog = orders.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    hist = scd2_history(
+        changelog,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    ).filter(
+        F.col("effective_to").isNull()
+        | (F.col("effective_to") > F.col("effective_from"))
+    )
+    facts = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_shipdate", "l_extendedprice")
+    )
+    joined = asof_join(
+        facts,
+        hist.select("o_custkey", "effective_from", "o_orderpriority"),
+        on="o_custkey",
+        left_time="l_shipdate",
+        right_time="effective_from",
+        right_values=["o_orderpriority"],
+    )
+    return (
+        joined.filter(F.col("asof_o_orderpriority").isNotNull())
+        .groupBy(F.col("asof_o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+_Q98_SQL = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev_attr,
+         lag(o_orderdate) OVER w AS prev_ts
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+versions AS (
+  SELECT * FROM flagged
+  WHERE prev_ts IS NULL OR prev_attr IS DISTINCT FROM o_orderpriority),
+hist AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS effective_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+           AS effective_to
+  FROM versions),
+live AS (
+  SELECT * FROM hist
+  WHERE effective_to IS NULL OR effective_to > effective_from),
+facts AS (
+  SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT h.o_orderpriority AS priority,
+       count(*) AS n_items,
+       round(sum(f.l_extendedprice), 2) AS revenue
+FROM facts f
+JOIN live h
+  ON f.o_custkey = h.o_custkey
+ AND f.l_shipdate >= h.effective_from
+ AND (h.effective_to IS NULL OR f.l_shipdate < h.effective_to)
+GROUP BY h.o_orderpriority
+ORDER BY priority
+"""
+
+
+QUERIES = {
+    "q94_unigram_logprob": q94_unigram_logprob,
+    "q95_inverted_index": q95_inverted_index,
+    "q96_winsorize": q96_winsorize,
+    "q97_time_rollup": q97_time_rollup,
+    "q98_point_in_time_join": q98_point_in_time_join,
+}
+
+ORACLE = {
+    "q94_unigram_logprob": _Q94_SQL,
+    "q95_inverted_index": _Q95_SQL,
+    "q96_winsorize": _Q96_SQL,
+    "q97_time_rollup": _Q97_SQL,
+    "q98_point_in_time_join": _Q98_SQL,
+}

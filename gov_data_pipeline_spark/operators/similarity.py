@@ -69,6 +69,21 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return F.try_divide(_dot(a, b, dim), _norm(a, dim) * _norm(b, dim))
 
 
+def _pair_cosine(a: Column, b: Column, a_norm: Column, b_norm: Column,
+                 dim: int | None = None) -> Column:
+    """``cosine`` with the norms PRECOMPUTED per side, for pair stages.
+
+    Bit-identical to ``cosine`` (the norm is the same IEEE expression
+    over the same doubles, just evaluated in the per-vector projection
+    instead of per pair), but (a) each vector's norm is computed once,
+    not once per candidate pair, and (b) the pair stage's generated
+    code shrinks ~3x — the full unrolled cosine (dot + 2 norms, ~3*dim
+    chained ops) inside a join stage is what pushed q80's whole-stage
+    method past the JVM's 64 KB limit and silently dropped that stage
+    to interpreted evaluation."""
+    return F.try_divide(_dot(a, b, dim), a_norm * b_norm)
+
+
 def embedding_dim(df: DataFrame, vec_col: str) -> int | None:
     """Vector width from one row — the one tiny driver action that buys
     the unrolled codegen'd dot product everywhere downstream. Returns
@@ -94,10 +109,14 @@ def cosine_topk(
     neighbor id for determinism.
     """
     q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        _norm(F.col(query_vec), dim).alias("__qn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _norm(F.col(corpus_vec), dim).alias("__cn"),
     )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -105,7 +124,11 @@ def cosine_topk(
     scored = joined.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 4).alias("cosine_sim"),
+        F.round(
+            _pair_cosine(F.col("__qv"), F.col("__cv"),
+                         F.col("__qn"), F.col("__cn"), dim),
+            4,
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -285,19 +308,29 @@ def ivf_topk(
     q_cells = assign(queries, query_id, query_vec, "__qid", n_probe)
     c_cells = assign(corpus, corpus_id, corpus_vec, "neighbor_id", 1)
     q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        _norm(F.col(query_vec), dim).alias("__qn"),
     ).join(q_cells, "__qid")
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _norm(F.col(corpus_vec), dim).alias("__cn"),
     ).join(c_cells, "neighbor_id")
     joined = c.join(q, "cid")
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
-    cand = joined.select("__qid", "__qv", "neighbor_id", "__cv").distinct()
+    cand = joined.select(
+        "__qid", "__qv", "__qn", "neighbor_id", "__cv", "__cn"
+    ).distinct()
     scored = cand.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 4).alias("cosine_sim"),
+        F.round(
+            _pair_cosine(F.col("__qv"), F.col("__cv"),
+                         F.col("__qn"), F.col("__cn"), dim),
+            4,
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -318,6 +351,8 @@ def _with_lsh_buckets(
     bits: int,
     tables: int,
     hash_family: str,
+    norma: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Attach (table, bucket) rows to each vector — the shared
     hyperplane-LSH stage behind ``ann_topk`` and ``lsh_cosine_pairs``.
@@ -325,9 +360,14 @@ def _with_lsh_buckets(
     Signatures via posexplode + codegen'd sum-aggregates (the
     interpreted higher-order-lambda version is ~10x slower at corpus
     scale): one shuffle on the vector id computes all tables*bits plane
-    dot-products in a single hash-aggregate.
+    dot-products in a single hash-aggregate. With ``norma``, the
+    vector's L2 norm rides along from this per-vector projection so the
+    downstream pair stage never recomputes it per candidate.
     """
-    base = df.select(F.col(idc).alias(ida), F.col(vecc).alias(veca))
+    cols = [F.col(idc).alias(ida), F.col(vecc).alias(veca)]
+    if norma is not None:
+        cols.append(_norm(F.col(vecc), dim).alias(norma))
+    base = df.select(*cols)
     ex = base.select(ida, F.posexplode(veca).alias("__d", "__x"))
     total = tables * bits
     if hash_family == "md5":
@@ -418,20 +458,26 @@ def lsh_cosine_pairs(
     value-for-value. Output: (a_id, b_id, cosine_sim).
     """
     q = _with_lsh_buckets(
-        queries, query_id, query_vec, "__qid", "__qv", bits, tables, hash_family
+        queries, query_id, query_vec, "__qid", "__qv", bits, tables, hash_family,
+        norma="__qn", dim=dim,
     )
     c = _with_lsh_buckets(
-        corpus, corpus_id, corpus_vec, "__cid", "__cv", bits, tables, hash_family
+        corpus, corpus_id, corpus_vec, "__cid", "__cv", bits, tables, hash_family,
+        norma="__cn", dim=dim,
     )
     joined = c.join(q, ["__t", "__b"])
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("__cid"))
-    cand = joined.select("__qid", "__qv", "__cid", "__cv").distinct()
+    cand = joined.select("__qid", "__qv", "__qn", "__cid", "__cv", "__cn").distinct()
     return (
         cand.select(
             F.col("__qid").alias("a_id"),
             F.col("__cid").alias("b_id"),
-            F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 4).alias("cosine_sim"),
+            F.round(
+                _pair_cosine(F.col("__qv"), F.col("__cv"),
+                             F.col("__qn"), F.col("__cn"), dim),
+                4,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -467,19 +513,27 @@ def ann_topk(
     computes signs inline per row; both stay entirely JVM-side.
     """
     q = _with_lsh_buckets(
-        queries, query_id, query_vec, "__qid", "__qv", bits, tables, hash_family
+        queries, query_id, query_vec, "__qid", "__qv", bits, tables, hash_family,
+        norma="__qn", dim=dim,
     )
     c = _with_lsh_buckets(
-        corpus, corpus_id, corpus_vec, "neighbor_id", "__cv", bits, tables, hash_family
+        corpus, corpus_id, corpus_vec, "neighbor_id", "__cv", bits, tables,
+        hash_family, norma="__cn", dim=dim,
     )
     joined = c.join(q, ["__t", "__b"])
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
-    cand = joined.select("__qid", "__qv", "neighbor_id", "__cv").distinct()
+    cand = joined.select(
+        "__qid", "__qv", "__qn", "neighbor_id", "__cv", "__cn"
+    ).distinct()
     scored = cand.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv"), dim), 4).alias("cosine_sim"),
+        F.round(
+            _pair_cosine(F.col("__qv"), F.col("__cv"),
+                         F.col("__qn"), F.col("__cn"), dim),
+            4,
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -232,3 +232,75 @@ class TestRound2OperatorPlans:
         assert "Exchange" not in final
         assert "Bucketed: true" in final
         assert "SelectedBucketsCount: 8 out of 8" in final
+
+
+class TestRound6Plans:
+    def test_q96_bounds_broadcast_back(self, spark, sf_dir):
+        """The winsorize clamp stage must consume the 3-row bounds via
+        a broadcast join — re-shuffling the fact table to meet its own
+        percentiles would double the scan's cost at scale."""
+        from gov_data_pipeline_spark.queries.corpus_ops import q96_winsorize
+
+        df = q96_winsorize(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q97_rollup_single_scan(self, spark, sf_dir):
+        """Hour/day/total come from ONE pass: a single events scan
+        feeding an Expand — not one scan per granularity."""
+        from gov_data_pipeline_spark.queries.corpus_ops import q97_time_rollup
+
+        df = q97_time_rollup(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "Expand" in plan
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("FileScan") == 1
+
+    def test_q98_pit_join_is_asof_not_interval(self, spark, sf_dir):
+        """The point-in-time join must run as the union-tag as-of plan
+        (key-shuffle + window), never as a range join — no
+        CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            q98_point_in_time_join,
+        )
+
+        df = q98_point_in_time_join(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" in plan  # the as-of carry-forward
+
+    def test_q94_q95_stay_jvm_side(self, spark, sf_dir):
+        """Corpus statistics are explode + hash-aggregate shapes; no
+        Python worker may appear in either plan."""
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            q94_unigram_logprob,
+            q95_inverted_index,
+        )
+
+        for q in (q94_unigram_logprob, q95_inverted_index):
+            plan = _plan(q(spark, sf_dir))
+            assert "EvalPython" not in plan
+            assert "CartesianProduct" not in plan
+
+
+class TestCodegenBudget:
+    def test_similarity_pair_stages_compile(self, spark, sf_dir):
+        """Regression pin for the 64 KB Janino limit: with codegen
+        fallback disabled, the LSH pair pipeline must compile — the
+        unrolled cosine inside the join stage once pushed the generated
+        method past the JVM limit and silently went interpreted."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q80_semantic_clusters_lsh,
+        )
+
+        old = spark.conf.get("spark.sql.codegen.fallback", "true")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            q80_semantic_clusters_lsh(spark, sf_dir).collect()
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old)

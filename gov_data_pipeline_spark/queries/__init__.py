@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "q96_winsorize",
     "q97_time_rollup",
     "q98_point_in_time_join",
+    "q99_hybrid_retrieval",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

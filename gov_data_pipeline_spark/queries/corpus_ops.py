@@ -383,12 +383,126 @@ ORDER BY priority
 """
 
 
+# ---------------------------------------------------------------------------
+# q99 — hybrid retrieval: reciprocal-rank fusion of lexical + vector.
+# ---------------------------------------------------------------------------
+
+
+def q99_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style hybrid retrieval: for each of 5 query documents, rank
+    the corpus lexically (distinct-term overlap) and by embedding
+    cosine, truncate both lists at 50, and fuse with reciprocal-rank
+    fusion (rrf = Σ 1/(60+rank), the standard k=60 constant); missing
+    from a list contributes 0. Top-10 per query by the ROUNDED fused
+    score, ties broken by id — fully deterministic in both engines.
+
+    Scale shape: the lexical arm is a term equi-join bounded by the
+    query side's vocabulary (5 docs); the vector arm is the brute
+    broadcast tier (5-row query side — the documented ``cosine_topk``
+    regime; a large query set would swap in ``ann_topk``, same output
+    contract). Fusion is a full-outer join of two ≤50-row-per-query
+    lists — driver-scale data, executor-side plan.
+    """
+    from gov_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        embedding_dim,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").alias("id"), "text", "embedding"
+    )
+    dim = embedding_dim(emb, "embedding")
+
+    toks = corpus.select(
+        "id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).distinct()
+    qt = toks.filter(F.col("id") < 5).select(F.col("id").alias("qid"), "term")
+    ov = qt.join(toks, "term").groupBy("qid", "id").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    wlex = W.partitionBy("qid").orderBy(F.col("overlap").desc(), F.col("id").asc())
+    lex = (
+        ov.select("qid", "id", F.row_number().over(wlex).alias("lex_rk"))
+        .filter(F.col("lex_rk") <= 50)
+    )
+
+    qv = corpus.filter(F.col("id") < 5).select(
+        F.col("id").alias("qid"), "embedding"
+    )
+    vec = cosine_topk(
+        qv, corpus.select("id", "embedding"), "qid", "id",
+        "embedding", "embedding", k=50, exclude_self=False, dim=dim,
+    ).select("qid", F.col("neighbor_id").alias("id"), F.col("rk").alias("vec_rk"))
+
+    fused = lex.join(vec, ["qid", "id"], "full_outer").select(
+        "qid",
+        "id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rk")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rk")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("id").asc())
+    return (
+        fused.select(
+            "qid", "id", "rrf", F.row_number().over(wr).cast("int").alias("rk")
+        )
+        .filter(F.col("rk") <= 10)
+        .orderBy("qid", "rk")
+    )
+
+
+_Q99_SQL = r"""
+WITH corpus AS (
+  SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+toks AS (
+  SELECT DISTINCT id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM corpus),
+qt AS (SELECT id AS qid, term FROM toks WHERE id < 5),
+ov AS (
+  SELECT qt.qid, t.id, count(*) AS overlap
+  FROM qt JOIN toks t USING (term)
+  GROUP BY qt.qid, t.id),
+lex AS (
+  SELECT qid, id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY overlap DESC, id) AS lex_rk
+  FROM ov QUALIFY lex_rk <= 50),
+qv AS (SELECT id AS qid, emb FROM corpus WHERE id < 5),
+sim AS (
+  SELECT qv.qid, c.id,
+         round(list_cosine_similarity(qv.emb, c.emb), 4) AS cs
+  FROM qv CROSS JOIN corpus c),
+vec AS (
+  SELECT qid, id,
+         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, id) AS vec_rk
+  FROM sim QUALIFY vec_rk <= 50),
+fused AS (
+  SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.id, v.id) AS id,
+         round(coalesce(1.0 / (60 + l.lex_rk), 0)
+               + coalesce(1.0 / (60 + v.vec_rk), 0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.id = v.id)
+SELECT qid, id, rrf,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY rrf DESC, id) AS INT) AS rk
+FROM fused QUALIFY rk <= 10
+ORDER BY qid, rk
+"""
+
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q95_inverted_index": q95_inverted_index,
     "q96_winsorize": q96_winsorize,
     "q97_time_rollup": q97_time_rollup,
     "q98_point_in_time_join": q98_point_in_time_join,
+    "q99_hybrid_retrieval": q99_hybrid_retrieval,
 }
 
 ORACLE = {
@@ -397,4 +511,5 @@ ORACLE = {
     "q96_winsorize": _Q96_SQL,
     "q97_time_rollup": _Q97_SQL,
     "q98_point_in_time_join": _Q98_SQL,
+    "q99_hybrid_retrieval": _Q99_SQL,
 }

@@ -4,6 +4,7 @@ from gov_data_pipeline_spark.streaming.stateful import (  # noqa: F401
 )
 from gov_data_pipeline_spark.streaming.ingest import (  # noqa: F401
     incremental_dedup_sink,
+    incremental_neardup_sink,
 )
 from gov_data_pipeline_spark.streaming.windows import (  # noqa: F401
     EVENTS_SCHEMA,

@@ -298,3 +298,71 @@ def test_incremental_dedup_sink_grows_corpus_without_duplicates(spark, tmp_path)
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(corpus).count() == 4
+
+
+def test_incremental_neardup_sink_drops_near_duplicates(spark, tmp_path):
+    """Near-dup streaming ingestion: exact dups, near-dups (one word
+    changed out of many — Jaccard above threshold), and intra-batch
+    near-dups all drop; genuinely novel docs survive; re-running the
+    stream against the existing corpus appends nothing (idempotence)."""
+    from gov_data_pipeline_spark.streaming import incremental_neardup_sink
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")      # 1 word of 14: high Jaccard
+    far = "completely different text about spark shuffles and partitions at scale"
+
+    b1 = [(1, base), (2, far)]
+    b2 = [(3, near),                              # near-dup of corpus doc 1
+          (4, "a genuinely novel document mentioning winnowing and minhash"),
+          (5, "a genuinely novel document mentioning winnowing and minhashes")]
+          # 5 is an intra-batch near-dup of 4 -> lower id 4 wins
+    import os
+    import time
+
+    seen_files: set[str] = set()
+    t0 = time.time()
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                if p not in seen_files:
+                    os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                    seen_files.add(p)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_neardup_sink(
+            stream, corpus, "text", "doc_id", ckpt, threshold=0.5
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 4}
+
+    # replay from a fresh checkpoint: every row is now an exact dup of
+    # its own first append (or a near-dup of the canonical row) -> the
+    # corpus must not grow
+    q2 = (
+        incremental_neardup_sink(
+            stream, corpus, "text", "doc_id", str(tmp_path / "ckpt2"),
+            threshold=0.5,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2, 4}

@@ -97,6 +97,10 @@ def pack_sequences(
     shard (the scale path); without it the window is global —
     single-task ordering, small-corpus use only.
     """
+    if budget < 1:
+        # Loud driver-side error: budget=0 would reach the executors as
+        # floor(x / 0.0) = Infinity and die in the long cast under ANSI.
+        raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
     order_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     tok = tokens if tokens is not None else n_tokens_col(F.col(text_col))
     part = [partition_col] if partition_col else []

@@ -1,33 +1,74 @@
 """Streaming corpus ingestion: the production shape of incremental
-exact dedup (SURVEY L5's incremental form run continuously).
+dedup (SURVEY L5/L6's incremental forms run continuously).
 
 The reference ingests weekly batches sequentially; at 100 TB the same
 pipeline runs as a stream of document batches where each micro-batch
 must dedup against EVERYTHING already ingested without re-reading it
-as documents. ``incremental_dedup_sink`` is that loop as a
-``foreachBatch`` writer:
+as documents. Two sinks, same contract:
 
-- the persisted corpus is consulted through
-  ``operators.dedup.incremental_exact_dedup``, which reduces the seen
-  side to distinct content hashes map-side before the anti-join — the
-  increment shuffles digests, never historical documents;
-- only fresh rows append to the corpus path, so the corpus directory
-  is also the state: restarts resume from the checkpoint and the
-  already-appended files, no separate state store to rebuild. (In a
-  long-lived deployment the hash index would be persisted bucketed by
-  hash next to the data; deriving it per batch keeps this operator a
-  pure function of the directory, which is what the tests pin.)
+- ``incremental_dedup_sink`` — exact dedup: the persisted corpus is
+  consulted through ``operators.dedup.incremental_exact_dedup``, which
+  reduces the seen side to distinct content hashes map-side before the
+  anti-join — the increment shuffles digests, never historical
+  documents.
+- ``incremental_neardup_sink`` — MinHash-LSH near-dup: both sides
+  reduce to one profile row per document (signature + shingle-hash
+  set, one aggregate over a shuffle-free shingle relation), candidates
+  come from a (band, bucket) equi-join, and the verify stage is an
+  ``array_intersect`` over two profile lookups.
+
+Only fresh rows append to the corpus path, so the corpus directory is
+also the state: restarts resume from the checkpoint and the
+already-appended files, no separate state store to rebuild. (In a
+long-lived deployment the hash/bucket index would be persisted
+bucketed next to the data; deriving it per batch keeps each operator a
+pure function of the directory, which is what the tests pin.)
 
 ``foreachBatch`` gives exactly-once appends per micro-batch under the
-checkpoint; a batch retry re-runs the anti-join against the corpus as
+checkpoint; a batch retry re-runs the dedup against the corpus as
 already appended, so replayed duplicates still drop — the dedup itself
 is the idempotence mechanism.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import DataStreamWriter
+
+
+def _read_corpus_or_none(spark: SparkSession, corpus_path: str) -> DataFrame | None:
+    """Read the persisted corpus, or ``None`` when no corpus EXISTS yet.
+
+    "No corpus yet" is more than a missing path: a crashed first batch
+    can leave the directory holding only an uncommitted ``_temporary``
+    tree, and ops tooling can pre-create an empty directory — both read
+    as UNABLE_TO_INFER_SCHEMA, and treating that as fatal would wedge
+    the stream in a deterministic retry loop (the checkpoint replays
+    the batch, the read fails identically, forever). A directory with
+    zero committed parquet footers has no recoverable corpus data by
+    definition, so both conditions mean "first batch". Every OTHER
+    failure (listing race, store hiccup, corrupt footer on committed
+    data) still raises so the checkpoint retries the batch — treating
+    those as first-batch would skip the dedup join and permanently
+    append duplicates.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(corpus_path)
+    except AnalysisException as e:
+        cond = ""
+        get_cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        if get_cond is not None:
+            cond = get_cond() or ""
+        probe = cond or str(e)
+        if "PATH_NOT_FOUND" in probe or "UNABLE_TO_INFER_SCHEMA" in probe:
+            return None
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
 
 
 def incremental_dedup_sink(
@@ -37,41 +78,27 @@ def incremental_dedup_sink(
     id_col: str,
     checkpoint_dir: str,
 ) -> DataStreamWriter:
-    """Build the ``writeStream`` for streaming dedup ingestion.
+    """Build the ``writeStream`` for streaming exact-dedup ingestion.
 
     Caller starts it (``.trigger(...).start()``); each micro-batch is
     deduped against the persisted corpus at ``corpus_path`` plus
     itself, and only fresh rows are appended.
     """
-    from pyspark.errors import AnalysisException
-
-    from gov_data_pipeline_spark.operators.dedup import incremental_exact_dedup
+    from gov_data_pipeline_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            seen = spark.read.parquet(corpus_path)
-            have_corpus = True
-        except AnalysisException as e:
-            # ONLY a missing corpus directory means "first batch". Any
-            # other failure (corrupt footer, listing race, store hiccup)
-            # must fail the batch so the checkpoint retries it — treating
-            # it as first-batch would skip the anti-join and permanently
-            # append duplicates.
-            cond = ""
-            get_cond = getattr(e, "getCondition", None) or getattr(
-                e, "getErrorClass", None
-            )
-            if get_cond is not None:
-                cond = get_cond() or ""
-            if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
-                raise
-            have_corpus = False
-        if have_corpus:
+        # Pin the micro-batch: the dedup lineage references it twice
+        # (anti-join input and winners aggregate) and an unpinned
+        # streaming source would be re-read once per reference.
+        batch_df = batch_df.localCheckpoint()
+        seen = _read_corpus_or_none(spark, corpus_path)
+        if seen is not None:
             fresh = incremental_exact_dedup(batch_df, seen, content_cols, id_col)
         else:
-            from gov_data_pipeline_spark.operators.dedup import exact_dedup
-
             fresh = exact_dedup(batch_df, content_cols, id_col)
         fresh.write.mode("append").parquet(corpus_path)
 
@@ -100,15 +127,17 @@ def incremental_neardup_sink(
     corpus — or against a lower-id document in the same batch — meets
     ``threshold``; only novel documents append.
 
-    Scale shape per batch: both sides reduce to (id, band, bucket)
-    rows (bands per doc, never document bytes) before the candidate
-    equi-join; the verify stage joins candidate pairs back to the two
-    shingle inverted indexes, so its cost is |candidates| x
-    shingles-per-doc. The corpus side recomputes signatures from text
-    each batch to stay a pure function of the directory (what the
-    tests pin); a long-lived deployment persists the (id, band,
-    bucket) index bucketed by (band, bucket) next to the data and this
-    operator's plan loses its only corpus-sized scan.
+    Scale shape per batch: each side is consumed ONCE —
+    ``minhash_doc_profile`` folds the shuffle-free shingle relation
+    into one profile row per document (signature + shingle-hash set),
+    banding projects that to (id, band, bucket) rows for the candidate
+    equi-join, and the verify stage is ``array_intersect`` over two
+    profile lookups (``verify_candidates_hashset``); nothing pairwise
+    ever touches document bytes. The corpus side recomputes its
+    profiles from text each batch to stay a pure function of the
+    directory (what the tests pin); a long-lived deployment persists
+    the profile/bucket index next to the data and this operator's plan
+    loses its corpus-sized scan.
 
     Retry idempotence: a replayed batch's rows are exact dups of their
     own first append (Jaccard 1.0 >= any threshold), so they drop in
@@ -117,86 +146,37 @@ def incremental_neardup_sink(
     itself drops against the corpus, B still drops — B is transitively
     near the corpus, the standard greedy-dedup contract.
     """
-    from pyspark.errors import AnalysisException
-
     from gov_data_pipeline_spark.operators.dedup import (
         lsh_candidate_pairs,
+        minhash_doc_profile,
         shingle_rows,
         signature_band_buckets,
-        verify_candidates_jaccard,
+        verify_candidates_hashset,
     )
 
-    def _sig(df: DataFrame) -> DataFrame:
+    def _profile(df: DataFrame) -> DataFrame:
+        # distinct=False: the profile aggregate (min / collect_set) is
+        # duplicate-insensitive, so the shingle relation costs zero
+        # shuffles of its own.
         ex = shingle_rows(
             df, id_col, F.col(text_col), shingle_n, widen=False, distinct=False
         )
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
-        return (
-            ex.groupBy(id_col)
-            .agg(*aggs)
-            .select(
-                F.col(id_col),
-                F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(
-                    "sig"
-                ),
-            )
-        )
-
-    def _cross_verified(cands, ex_a, ex_b):
-        """Exact Jaccard over candidate pairs with SEPARATE a/b shingle
-        indexes (the two id spaces may collide — a retried batch reuses
-        its own ids — so the single-index form would double-count)."""
-        sa = ex_a.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a"))
-        sb = ex_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b"))
-        inter = (
-            cands.join(
-                ex_a.select(F.col(id_col).alias("a_id"), "s"), "a_id"
-            )
-            .join(ex_b.select(F.col(id_col).alias("b_id"), "s"), ["b_id", "s"])
-            .groupBy("a_id", "b_id")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        return (
-            inter.join(sa.select(F.col(id_col).alias("a_id"), "n_a"), "a_id")
-            .join(sb.select(F.col(id_col).alias("b_id"), "n_b"), "b_id")
-            .filter(
-                F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-                >= threshold
-            )
-            .select("a_id")
-        )
+        return minhash_doc_profile(ex, id_col, num_hashes=num_hashes)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()  # source read once per batch
-        try:
-            corpus = spark.read.parquet(corpus_path)
-            have_corpus = True
-        except AnalysisException as e:
-            cond = ""
-            get_cond = getattr(e, "getCondition", None) or getattr(
-                e, "getErrorClass", None
-            )
-            if get_cond is not None:
-                cond = get_cond() or ""
-            if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
-                raise
-            have_corpus = False
+        corpus = _read_corpus_or_none(spark, corpus_path)
 
-        sig_b = _sig(batch_df)
-        ex_b = shingle_rows(
-            batch_df, id_col, F.col(text_col), shingle_n, widen=False
-        )
-
+        prof_b = _profile(batch_df)
         dup_ids = None
-        if have_corpus:
-            bb = signature_band_buckets(sig_b, id_col, "sig", bands, rows_per_band)
+        if corpus is not None:
+            prof_c = _profile(corpus)
+            bb = signature_band_buckets(
+                prof_b, id_col, "sig", bands, rows_per_band
+            )
             cb = signature_band_buckets(
-                _sig(corpus), id_col, "sig", bands, rows_per_band
+                prof_c, id_col, "sig", bands, rows_per_band
             )
             cands = (
                 bb.select(F.col(id_col).alias("a_id"), "band", "bucket")
@@ -207,18 +187,22 @@ def incremental_neardup_sink(
                 .select("a_id", "b_id")
                 .distinct()
             )
-            ex_c = shingle_rows(
-                corpus, id_col, F.col(text_col), shingle_n, widen=False
-            )
-            dup_ids = _cross_verified(cands, ex_b, ex_c)
+            # profile_b keeps the two id spaces separate: a retried
+            # batch reuses its own ids, and a single shared profile
+            # would conflate the batch row with its corpus twin.
+            dup_ids = verify_candidates_hashset(
+                cands, prof_b, id_col, threshold, profile_b=prof_c
+            ).select("a_id")
 
         intra = lsh_candidate_pairs(
-            sig_b, id_col, "sig", bands, rows_per_band, sig_len=num_hashes
+            prof_b, id_col, "sig", bands, rows_per_band, sig_len=num_hashes
         )
-        intra_dups = verify_candidates_jaccard(
-            intra, ex_b, id_col, threshold
+        intra_dups = verify_candidates_hashset(
+            intra, prof_b, id_col, threshold
         ).select(F.col("b_id").alias("a_id"))
-        dup_ids = intra_dups if dup_ids is None else dup_ids.unionByName(intra_dups)
+        dup_ids = (
+            intra_dups if dup_ids is None else dup_ids.unionByName(intra_dups)
+        )
 
         fresh = batch_df.join(
             dup_ids.distinct().withColumnRenamed("a_id", id_col),

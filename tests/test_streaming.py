@@ -366,3 +366,35 @@ def test_incremental_neardup_sink_drops_near_duplicates(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2, 4}
+
+
+def test_ingest_sinks_survive_precreated_empty_corpus_dir(spark, tmp_path):
+    """A corpus directory that exists but holds no committed parquet
+    (ops pre-created it, or a crashed first batch left only
+    _temporary) must read as 'first batch', not wedge the stream in a
+    deterministic retry loop."""
+    import os
+
+    from gov_data_pipeline_spark.streaming import (
+        incremental_dedup_sink,
+        incremental_neardup_sink,
+    )
+
+    for name, mk in (
+        ("exact", lambda s, c, k: incremental_dedup_sink(s, c, ["text"], "doc_id", k)),
+        ("near", lambda s, c, k: incremental_neardup_sink(s, c, "text", "doc_id", k, threshold=0.5)),
+    ):
+        src = str(tmp_path / f"src_{name}")
+        corpus = str(tmp_path / f"corpus_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        os.makedirs(corpus)  # pre-existing empty directory
+        spark.createDataFrame(
+            [(1, "some document text here"), (2, "some document text here")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string").parquet(src)
+        )
+        q = mk(stream, corpus, ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1}

@@ -140,3 +140,15 @@ class TestMergeContinuation:
         # record 2: 0002/ТЗ merged with the empty-key row
         assert out[2]["reg"] == "0002/ТЗ"
         assert out[2]["val"] == "d e"
+
+
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    """budget<1 must fail loudly at call time, not as an executor-side
+    Infinity cast."""
+    import pytest
+
+    from gov_data_pipeline_spark.functions.chunking import pack_sequences
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "text", budget=0)

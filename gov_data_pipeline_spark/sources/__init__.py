@@ -1,7 +1,11 @@
 from gov_data_pipeline_spark.sources.files import (  # noqa: F401
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    read_text,
+    write_jsonl,
+    write_orc,
     write_parquet,
 )
 from gov_data_pipeline_spark.sources.http import fetch_urls  # noqa: F401

@@ -94,3 +94,29 @@ def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
     raw-corpus entry point: one string column ``value``, one row per
     line/file; pair with the text-stats and dedup operators."""
     return spark.read.option("wholetext", str(whole).lower()).text(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    shards: int | None = None,
+    compression: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """JSONL sink — the training-corpus interchange format (one JSON
+    object per line, optionally gzip/zstd-compressed shards).
+
+    ``shards`` pins the output file count: trainers that stream shards
+    round-robin want a known, balanced shard layout, not whatever
+    partition count the upstream plan happened to end with. The
+    repartition is a round-robin exchange — one extra shuffle, paid
+    only when the caller asks for a specific layout. ``partition_by``
+    composes (e.g. partition by language, shard within)."""
+    out = df.repartition(shards) if shards else df
+    writer = out.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

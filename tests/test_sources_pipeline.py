@@ -534,3 +534,26 @@ class TestSourceReviewRegressions:
         assert [rows[1]["c0"], rows[1]["c1"], rows[1]["c2"]] == ["1", "5", "a"]
         assert rows[2]["c1"] is None or rows[2]["c1"] == ""
         assert "nan" not in str(rows[2]["c1"]).lower()
+
+
+def test_write_jsonl_roundtrip_sharded_compressed(spark, tmp_path):
+    """JSONL export: values roundtrip through read_json, the shard
+    count is exactly what the trainer asked for, and compression
+    actually produced .gz parts."""
+    import glob
+
+    from gov_data_pipeline_spark.sources import read_json, write_jsonl
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, path, shards=4, compression="gzip")
+
+    parts = glob.glob(path + "/part-*.gz")
+    assert len(parts) == 4
+
+    back = read_json(spark, path, schema="doc_id long, text string")
+    got = {(r["doc_id"], r["text"]) for r in back.collect()}
+    assert got == {(i, f"text {i}") for i in range(100)}

@@ -78,6 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     "q97_time_rollup",
     "q98_point_in_time_join",
     "q99_hybrid_retrieval",
+    "q100_source_cap_sample",
+    "q101_source_quality_gate",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

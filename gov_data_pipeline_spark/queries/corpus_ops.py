@@ -496,6 +496,109 @@ ORDER BY qid, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# q100 — dataset mixture: cap any one source's share via hash sampling.
+# ---------------------------------------------------------------------------
+
+
+def q100_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: no source may contribute more than ~1/40 of
+    the corpus. Keep-rate per source = min(1, cap/n_s), applied as
+    deterministic md5-bucket membership — and the comparison is PURE
+    INTEGER (``bucket * n_s < cap * 256``), so no float rounding can
+    ever disagree between engines or change a document's fate between
+    runs.
+
+    Two-phase broadcast shape: the per-source counts (tiny) broadcast
+    back over the scan; the corpus itself crosses no exchange before
+    the filter. This is the op that implements training-mixture weights
+    at 100 TB — upsampling is the same arithmetic with buckets > 256.
+    """
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    total = counts.agg(F.sum("n_s").alias("total"))
+    cap = F.floor(F.col("total") / 40) + 1
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(total))
+        .filter(
+            hash_bucket_col(F.col("doc_id")).cast("long") * F.col("n_s")
+            < cap * 256
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_Q100_SQL = """
+WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT sum(n_s) AS total FROM counts)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN counts c ON d.source = c.source
+CROSS JOIN t
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))::INT AS BIGINT)
+      * c.n_s < (floor(t.total / 40) + 1) * 256
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q101 — source-level quality gate (drop whole low-quality sources).
+# ---------------------------------------------------------------------------
+
+
+def q101_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-reputation filtering: a document survives only if its
+    SOURCE's mean quality score clears the corpus-wide mean — the
+    domain-level curation pass that catches low-quality providers whose
+    individual documents each squeak past per-doc thresholds.
+
+    Same two-phase broadcast shape as q93/q100: one tiny per-source
+    aggregate plus one 1-row global aggregate broadcast back over the
+    scan. Means are rounded to 6 decimals on BOTH sides before the
+    comparison so the gate is engine-portable.
+    """
+    from gov_data_pipeline_spark.functions.textstats import quality_score_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score_col(F.col("text")).alias("q")
+    )
+    src = docs.groupBy("source").agg(F.round(F.avg("q"), 6).alias("src_quality"))
+    glob = docs.agg(F.round(F.avg("q"), 6).alias("global_quality"))
+    return (
+        docs.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(glob))
+        .filter(F.col("src_quality") >= F.col("global_quality"))
+        .select("doc_id", "source", "src_quality")
+        .orderBy("doc_id")
+    )
+
+
+_Q101_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+             + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]'))
+                                  / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0))
+             + 0.3 * least(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                           w -> w IN ('the','a','an','of','and','to','in','is')))
+                           / greatest(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE), 1.0)
+                           * 4.0, 1.0), 4) AS q
+  FROM documents),
+src AS (SELECT source, round(avg(q), 6) AS src_quality FROM scored GROUP BY source),
+gstats AS (SELECT round(avg(q), 6) AS global_quality FROM scored)
+SELECT s.doc_id, s.source, c.src_quality
+FROM scored s
+JOIN src c ON s.source = c.source
+CROSS JOIN gstats g
+WHERE c.src_quality >= g.global_quality
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q95_inverted_index": q95_inverted_index,
@@ -503,6 +606,8 @@ QUERIES = {
     "q97_time_rollup": q97_time_rollup,
     "q98_point_in_time_join": q98_point_in_time_join,
     "q99_hybrid_retrieval": q99_hybrid_retrieval,
+    "q100_source_cap_sample": q100_source_cap_sample,
+    "q101_source_quality_gate": q101_source_quality_gate,
 }
 
 ORACLE = {
@@ -512,4 +617,6 @@ ORACLE = {
     "q97_time_rollup": _Q97_SQL,
     "q98_point_in_time_join": _Q98_SQL,
     "q99_hybrid_retrieval": _Q99_SQL,
+    "q100_source_cap_sample": _Q100_SQL,
+    "q101_source_quality_gate": _Q101_SQL,
 }

@@ -399,3 +399,106 @@ def test_docx_roundtrip_matches_python_docx_strip(rows):
 
     back = read_docx_tables(write_docx_table(rows))
     assert back == [[[c.strip() for c in row] for row in rows]]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    versions=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 5)),
+        min_size=1,
+        max_size=25,
+    ),
+    facts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_backward_model_no_leakage(spark, versions, facts):
+    """The as-of join must attach, per fact, the version with the
+    greatest (ts, tiebreak) <= fact ts within the key — and NEVER a
+    version from the fact's future (the PIT-leakage property q98
+    relies on). Duplicate timestamps and keys included."""
+    from gov_data_pipeline_spark.operators.relational import asof_join
+
+    vdf = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in versions], "k long, vts long, val long"
+    )
+    fdf = spark.createDataFrame(list(facts), "k long, fts long")
+    # model: max by (vts, val) among vts <= fts — val is the only
+    # tiebreak column, mirroring the struct-max contract
+    rows = sorted(
+        asof_join(fdf, vdf, on="k", left_time="fts", right_time="vts")
+        .orderBy("k", "fts")
+        .collect(),
+        key=lambda r: (r["k"], r["fts"]),
+    )
+    model_facts = sorted(facts)
+    assert len(rows) == len(model_facts)
+    for r in rows:
+        cands = [(ts, v) for k, ts, v in versions if k == r["k"] and ts <= r["fts"]]
+        want = max(cands) if cands else None
+        if want is None:
+            assert r["asof_vts"] is None and r["asof_val"] is None
+        else:
+            assert (r["asof_vts"], r["asof_val"]) == want
+            assert r["asof_vts"] <= r["fts"]  # no future leakage, ever
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rank_winsorize_matches_python_model(spark, rows):
+    """q96's rank-percentile arithmetic must agree exactly with a
+    sequential model: bound = sorted(group)[floor((n-1)*p)], clamp,
+    sum — including singleton groups and all-equal values."""
+    from pyspark.sql import Window as W
+
+    data = [(g, float(v), i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, x double, rid long")
+    wo = W.partitionBy("g").orderBy("x", "rid")
+    wall = W.partitionBy("g")
+    ranked = df.select(
+        "g", "x",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    lo_r = F.floor((F.col("cnt") - 1) * 5 / 100) + 1
+    hi_r = F.floor((F.col("cnt") - 1) * 95 / 100) + 1
+    bounds = (
+        ranked.filter((F.col("rn") == lo_r) | (F.col("rn") == hi_r))
+        .groupBy("g")
+        .agg(
+            F.min(F.when(F.col("rn") == lo_r, F.col("x"))).alias("lo"),
+            F.max(F.when(F.col("rn") == hi_r, F.col("x"))).alias("hi"),
+        )
+    )
+    got = {
+        r["g"]: (r["lo"], r["hi"], r["s"])
+        for r in df.join(bounds, "g")
+        .groupBy("g")
+        .agg(
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum(F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))).alias("s"),
+        )
+        .collect()
+    }
+
+    import collections
+    groups = collections.defaultdict(list)
+    for g, v, i in data:
+        groups[g].append((v, i))
+    for g, vals in groups.items():
+        xs = [v for v, _ in sorted(vals)]
+        n = len(xs)
+        lo = xs[(n - 1) * 5 // 100]
+        hi = xs[(n - 1) * 95 // 100]
+        s = sum(min(max(v, lo), hi) for v in xs)
+        assert got[g][0] == lo and got[g][1] == hi
+        assert abs(got[g][2] - s) < 1e-9 * max(1.0, abs(s))

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gov_data_pipeline_spark.queries import (
     corpus_ops,
     dedup_sim,
+    events_analytics,
     ingest,
     llm_queries,
     quality,
@@ -36,7 +37,7 @@ from gov_data_pipeline_spark.queries import (
 
 _MODULES = (
     relational, scalar, textops, ingest, dedup_sim, llm_queries,
-    stream_queries, quality, corpus_ops,
+    stream_queries, quality, corpus_ops, events_analytics,
 )
 
 # The driver's per-round correctness run samples the FIRST 50 entries of
@@ -80,6 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     "q99_hybrid_retrieval",
     "q100_source_cap_sample",
     "q101_source_quality_gate",
+    "q102_funnel",
+    "q103_retention",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

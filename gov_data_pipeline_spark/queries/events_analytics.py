@@ -1,0 +1,160 @@
+"""Event-stream analytics: ordered funnels and cohort retention — the
+two canonical product-analytics queries over an event log (SURVEY
+§2.2's T15/T21/T31 families composed; the reference has no event
+analytics at all).
+
+Both are key-partitioned aggregate shapes: every stage shuffles on
+``user_id`` (or the tiny cohort key), so the event log is hashed once
+and the per-user reductions reuse that partitioning — no self-join of
+the raw log against itself, which is the classic funnel scale-killer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gov_data_pipeline_spark.catalog import read_table as _t
+
+
+# ---------------------------------------------------------------------------
+# q102 — ordered funnel: view -> click -> purchase.
+# ---------------------------------------------------------------------------
+
+
+def q102_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel completion: a user converts step N only
+    with an event at-or-after their step-N-1 time. Three per-user
+    aggregates chained by co-partitioned joins on user_id — the
+    shuffle is paid once and reused; nothing joins the raw log to
+    itself.
+
+    Output: one row per step with the surviving user count and the
+    conversion rate vs step 1 (rounded; step 1 rate is 1.0 by
+    definition).
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = t1.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).alias("step"), F.lit("view").alias("event_type"), "n"
+    )
+    n2 = t2.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(2).alias("step"), F.lit("click").alias("event_type"), "n"
+    )
+    n3 = t3.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(3).alias("step"), F.lit("purchase").alias("event_type"), "n"
+    )
+    steps = n1.unionByName(n2).unionByName(n3)
+    base = t1.agg(F.count(F.lit(1)).alias("n_base"))
+    return (
+        steps.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.greatest(F.col("n_base"), F.lit(1)), 4).alias(
+                "conversion"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+_Q102_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+  GROUP BY e.user_id),
+steps AS (
+  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM t1) AS n
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM t2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+SELECT step, event_type, n,
+       round(n / greatest((SELECT count(*) FROM t1), 1), 4) AS conversion
+FROM steps
+ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# q103 — cohort retention: first-activity-day cohorts x day offset.
+# ---------------------------------------------------------------------------
+
+
+def q103_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-activity day
+    (cohort), counted on each later activity day as a day offset.
+    Two key-partitioned aggregates (first-day per user; distinct
+    user-day) joined on user_id, then a tiny (cohort, offset) rollup —
+    the event log never self-joins.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.col("day"), F.col("cohort")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
+_Q103_SQL = """
+WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+first AS (
+  SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, day FROM ev)
+SELECT f.cohort,
+       datediff('day', f.cohort, a.day) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY f.cohort, datediff('day', f.cohort, a.day)
+ORDER BY cohort, day_offset
+"""
+
+
+QUERIES = {
+    "q102_funnel": q102_funnel,
+    "q103_retention": q103_retention,
+}
+
+ORACLE = {
+    "q102_funnel": _Q102_SQL,
+    "q103_retention": _Q103_SQL,
+}

@@ -104,3 +104,51 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` each. Returns the output file count.
+
+    The streaming ingest sinks (and any frequent-append producer)
+    accumulate one small file per micro-batch; at 100 TB that turns
+    every later scan into a listing + footer-read storm and starves
+    the scheduler with sub-split tasks. Compaction is the maintenance
+    pass that restores scan health: input size comes from the file
+    listing (driver metadata only, no data read), the rewrite is one
+    round-robin repartition to ceil(bytes/target) partitions, and
+    ``sort_within_by`` optionally restores a clustering order
+    (sortWithinPartitions — no extra shuffle) so min/max footer pruning
+    keeps working after compaction.
+
+    The rewrite lands in ``dest_path`` (write-then-swap is the caller's
+    atomic publish step — object stores have no atomic directory
+    rename, so the swap belongs to the catalog/manifest layer, not
+    here).
+    """
+    from pyspark.sql.functions import col
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(hconf)
+    it = fs.listFiles(p, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet") or name.startswith("part-"):
+            total += f.getLen()
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+
+    df = spark.read.parquet(src_path).repartition(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*[col(c) for c in sort_within_by])
+    df.write.mode("error").parquet(dest_path)
+    return n_files

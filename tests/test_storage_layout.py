@@ -171,3 +171,35 @@ class TestZOrder:
         assert z_touched <= 8  # z-order keeps y envelopes tight
         # and the z layout still prunes x too
         assert files_touched(z_path, "x", 0, 31) <= 8
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """200 tiny appended files must compact to the byte-target count,
+    preserve every row, and honor the within-file sort order."""
+    import glob
+
+    from gov_data_pipeline_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    # simulate a micro-batch producer: 20 appends of 10 rows each
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(1).write.mode("append").parquet(src)
+    assert len(glob.glob(src + "/part-*")) >= 20
+
+    # a large byte target -> everything in one file
+    n = compact_parquet(spark, src, dest, target_file_bytes=1 << 30,
+                        sort_within_by=["id"])
+    assert n == 1
+    parts = [p for p in glob.glob(dest + "/part-*") if not p.endswith(".crc")]
+    assert len(parts) == 1
+    back = spark.read.parquet(dest)
+    assert back.count() == 200
+    assert {r["id"] for r in back.collect()} == set(range(200))
+    # within-file order restored for footer pruning
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(parts[0], columns=["id"]).column("id").to_pylist()
+    assert ids == sorted(ids)

@@ -73,7 +73,7 @@ def write_bucketed(
     num_buckets: int,
     sort_cols: list[str] | None = None,
     path: str | None = None,
-    mode: str = "overwrite",
+    mode: str = "error",
 ) -> None:
     """Persist ``df`` hash-bucketed (and per-file sorted) on
     ``bucket_cols`` — Spark's pre-shuffled storage layout.
@@ -90,6 +90,8 @@ def write_bucketed(
     Bucketing metadata lives in the table catalog, so the write goes
     through ``saveAsTable`` (``path`` makes it an external table —
     the data survives the session even with an in-memory catalog).
+    ``mode`` defaults to ``error`` like every other sink in the
+    package — pass ``overwrite`` explicitly to replace a table.
     """
     # Pre-partition on the bucket hash so each task owns whole buckets:
     # one file per bucket instead of (tasks x buckets) shards — and
@@ -112,6 +114,7 @@ def compact_parquet(
     dest_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into files of
     ~``target_file_bytes`` each. Returns the output file count.
@@ -131,6 +134,13 @@ def compact_parquet(
     atomic publish step — object stores have no atomic directory
     rename, so the swap belongs to the catalog/manifest layer, not
     here).
+
+    Hive-partitioned sources MUST pass ``partition_by`` with their
+    partition columns: reading flattens the directory scheme into data
+    columns, and without re-partitioning the write the compacted copy
+    would silently lose partition pruning (and partition-value types
+    can change under inference — pair with an explicit read schema in
+    the catalog when that matters).
     """
     from pyspark.sql.functions import col
 
@@ -150,5 +160,16 @@ def compact_parquet(
     df = spark.read.parquet(src_path).repartition(n_files)
     if sort_within_by:
         df = df.sortWithinPartitions(*[col(c) for c in sort_within_by])
-    df.write.mode("error").parquet(dest_path)
-    return n_files
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest_path)
+    # Report the files actually written (empty round-robin partitions
+    # produce no file, so this can be < the computed partition count).
+    dp = jvm.org.apache.hadoop.fs.Path(dest_path)
+    dit = dp.getFileSystem(hconf).listFiles(dp, True)
+    written = 0
+    while dit.hasNext():
+        if dit.next().getPath().getName().startswith("part-"):
+            written += 1
+    return written

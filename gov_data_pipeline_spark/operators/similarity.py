@@ -6,13 +6,13 @@ Two paths, same contract:
   against the corpus, dot products via ``zip_with``/``aggregate``
   (native, codegen'd), per-query top-k via window. Correctness
   baseline and the right plan when |queries| is small.
-- ``hyperplane_lsh_buckets`` + ``ann_topk``: random-hyperplane LSH.
-  Each vector gets a b-bit signature (sign of dot with b pseudo-random
-  hyperplanes, derived deterministically from xxhash64 of
-  (plane, dim) — no stored model, reproducible on any cluster). ANN
-  search joins on bucket equality, so the corpus side is partitioned by
-  bucket and only same-bucket candidates are scored: the scale path for
-  large query sets.
+- ``ann_topk`` / ``lsh_cosine_pairs`` (over ``_with_lsh_buckets``):
+  random-hyperplane LSH. Each vector gets b-bit signatures (sign of
+  dot with pseudo-random hyperplanes derived deterministically from
+  xxhash64 or md5 of (plane, dim) — no stored model, reproducible on
+  any cluster). ANN search joins on bucket equality, so the corpus
+  side is partitioned by bucket and only same-bucket candidates are
+  scored: the scale path for large query sets.
 """
 
 from __future__ import annotations
@@ -130,6 +130,10 @@ def cosine_topk(
             4,
         ).alias("cosine_sim"),
     )
+    # A malformed vector (ragged row, zero norm) yields a NULL
+    # cosine_sim; without a threshold stage NULLs would otherwise rank
+    # into the tail of a small candidate set — drop them explicitly.
+    scored = scored.filter(F.col("cosine_sim").isNotNull())
     w = W.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -137,41 +141,6 @@ def cosine_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(query_id, "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
-    )
-
-
-def hyperplane_signature(vec: Column, bits: int = 16, plane_offset: int = 0) -> Column:
-    """b-bit random-hyperplane signature as a long.
-
-    Hyperplane p's component for dimension d is derived from
-    ``xxhash64(p, d)`` mapped to ±1 — deterministic, no model state,
-    identical on every executor. Sign of <v, h_p> sets bit p.
-    ``plane_offset`` selects a disjoint plane set per LSH table.
-    """
-    def plane_dot(p: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: x.cast("double")
-                * F.when(F.xxhash64(p, d).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(plane_offset), F.lit(plane_offset + bits - 1)),
-            lambda p: F.when(
-                plane_dot(p) > 0,
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), p - F.lit(plane_offset)
-                ),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a.bitwiseOR(x),
     )
 
 
@@ -201,6 +170,17 @@ def cosine_pairs_gemm(
     """
     import numpy as np
     import pandas as pd
+
+    from pyspark.sql import types as T
+
+    for side, name in ((queries, query_id), (corpus, corpus_id)):
+        dt = side.schema[name].dataType
+        if not isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            raise TypeError(
+                f"cosine_pairs_gemm requires integral ids (got {name}: "
+                f"{dt.simpleString()}); use cosine_topk/lsh_cosine_pairs "
+                "for arbitrary id types"
+            )
 
     spark = queries.sparkSession
     qrows = queries.select(query_id, query_vec).collect()
@@ -320,9 +300,13 @@ def ivf_topk(
     joined = c.join(q, "cid")
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
+    # No distinct: the corpus side is assigned exactly ONE cell, so a
+    # (query, neighbor) pair can arise from at most one shared cell —
+    # the dedup shuffle the multi-table LSH path needs would be a pure
+    # wasted exchange here.
     cand = joined.select(
         "__qid", "__qv", "__qn", "neighbor_id", "__cv", "__cn"
-    ).distinct()
+    )
     scored = cand.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
@@ -332,6 +316,10 @@ def ivf_topk(
             4,
         ).alias("cosine_sim"),
     )
+    # A malformed vector (ragged row, zero norm) yields a NULL
+    # cosine_sim; without a threshold stage NULLs would otherwise rank
+    # into the tail of a small candidate set — drop them explicitly.
+    scored = scored.filter(F.col("cosine_sim").isNotNull())
     w = W.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -397,7 +385,16 @@ def _with_lsh_buckets(
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0)),
         )
-        dim_signs = ex.select("__d").distinct().select("__d", signs.alias("__sg"))
+        if dim is not None:
+            # Vector width known: the dimension domain is 0..dim-1 by
+            # construction — build the sign table from range() instead
+            # of distinct-scanning the exploded (rows x dims) relation.
+            dims_df = df.sparkSession.range(dim).select(
+                F.col("id").cast("int").alias("__d")
+            )
+        else:
+            dims_df = ex.select("__d").distinct()
+        dim_signs = dims_df.select("__d", signs.alias("__sg"))
         ex = ex.join(F.broadcast(dim_signs), "__d")
         aggs = [
             F.sum(
@@ -535,6 +532,10 @@ def ann_topk(
             4,
         ).alias("cosine_sim"),
     )
+    # A malformed vector (ragged row, zero norm) yields a NULL
+    # cosine_sim; without a threshold stage NULLs would otherwise rank
+    # into the tail of a small candidate set — drop them explicitly.
+    scored = scored.filter(F.col("cosine_sim").isNotNull())
     w = W.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -52,8 +52,10 @@ def q102_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    n1 = t1.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit(1).alias("step"), F.lit("view").alias("event_type"), "n"
+    base = t1.agg(F.count(F.lit(1)).alias("n_base"))
+    n1 = base.select(
+        F.lit(1).alias("step"), F.lit("view").alias("event_type"),
+        F.col("n_base").alias("n"),
     )
     n2 = t2.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit(2).alias("step"), F.lit("click").alias("event_type"), "n"
@@ -62,7 +64,6 @@ def q102_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).alias("step"), F.lit("purchase").alias("event_type"), "n"
     )
     steps = n1.unionByName(n2).unionByName(n3)
-    base = t1.agg(F.count(F.lit(1)).alias("n_base"))
     return (
         steps.crossJoin(F.broadcast(base))
         .select(

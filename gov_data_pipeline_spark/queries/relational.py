@@ -975,11 +975,11 @@ def q92_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_bucketed(
         orders, f"gdp_orders_b_{tag}", ["o_orderkey"], 8,
-        path=os.path.join(root, "orders"),
+        path=os.path.join(root, "orders"), mode="overwrite",
     )
     write_bucketed(
         lineitem, f"gdp_lineitem_b_{tag}", ["l_orderkey"], 8,
-        path=os.path.join(root, "lineitem"),
+        path=os.path.join(root, "lineitem"), mode="overwrite",
     )
     o = spark.table(f"gdp_orders_b_{tag}").hint("merge")
     li = spark.table(f"gdp_lineitem_b_{tag}").hint("merge")

@@ -113,7 +113,9 @@ def write_jsonl(
     repartition is a round-robin exchange — one extra shuffle, paid
     only when the caller asks for a specific layout. ``partition_by``
     composes (e.g. partition by language, shard within)."""
-    out = df.repartition(shards) if shards else df
+    if shards is not None and shards < 1:
+        raise ValueError(f"write_jsonl: shards must be >= 1, got {shards}")
+    out = df.repartition(shards) if shards is not None else df
     writer = out.write.mode(mode)
     if compression:
         writer = writer.option("compression", compression)

@@ -212,10 +212,12 @@ class TestRound2OperatorPlans:
             "l_orderkey", "l_extendedprice"
         )
         write_bucketed(
-            orders, "t_plan_o", ["o_orderkey"], 8, path=os.path.join(root, "o")
+            orders, "t_plan_o", ["o_orderkey"], 8,
+            path=os.path.join(root, "o"), mode="overwrite",
         )
         write_bucketed(
-            li, "t_plan_l", ["l_orderkey"], 8, path=os.path.join(root, "l")
+            li, "t_plan_l", ["l_orderkey"], 8,
+            path=os.path.join(root, "l"), mode="overwrite",
         )
         j = (
             spark.table("t_plan_l")

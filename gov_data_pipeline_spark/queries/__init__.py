@@ -83,6 +83,8 @@ _PRIORITY: tuple[str, ...] = (
     "q101_source_quality_gate",
     "q102_funnel",
     "q103_retention",
+    "q104_embed_topk",
+    "q105_corpus_diff",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

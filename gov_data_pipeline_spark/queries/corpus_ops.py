@@ -599,6 +599,126 @@ ORDER BY s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q104 — text -> deterministic embedding -> cosine top-k, end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def q104_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full embed-then-search pipeline as one oracle-checked query:
+    documents are embedded with the deterministic hash featurizer
+    (``functions/embedding.hash_embedding_col`` — the stand-in whose
+    mapInPandas slot a real encoder fills) and the 3 lowest-id docs
+    retrieve their top-5 neighbors by exact cosine. Proves the
+    embedding plumbing (schema, generation, downstream operator
+    compatibility) against DuckDB end-to-end; components are exact
+    multiples of 1/1000, so parity is exact."""
+    from gov_data_pipeline_spark.functions.embedding import hash_embedding_col
+    from gov_data_pipeline_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", hash_embedding_col(F.col("text"), dim=8).alias("emb")
+    )
+    queries = docs.filter(F.col("doc_id") < 3)
+    return cosine_topk(
+        queries, docs, "doc_id", "doc_id", "emb", "emb", k=5, dim=8
+    ).orderBy("doc_id", "rk")
+
+
+_Q104_SQL = """
+WITH emb AS (
+  SELECT doc_id,
+         [ (('0x' || substr(md5(text || ':' || j), 1, 8))::BIGINT % 2000
+            - 1000) / 1000.0
+           FOR j IN range(8) ] AS emb
+  FROM documents),
+scored AS (
+  SELECT q.doc_id, c.doc_id AS neighbor_id,
+         round(list_cosine_similarity(q.emb, c.emb), 4) AS cosine_sim
+  FROM emb q JOIN emb c ON q.doc_id <> c.doc_id
+  WHERE q.doc_id < 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored)
+SELECT doc_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+ORDER BY doc_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# q105 — corpus snapshot diff (added / removed / changed).
+# ---------------------------------------------------------------------------
+
+
+def q105_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions: full-outer join on
+    the document key comparing content digests — the audit op behind
+    incremental re-training decisions ("what actually changed since
+    the last dump?"). The new version is synthesized in-query so both
+    engines diff identical snapshots: every 97th doc deleted, every
+    101st doc's text modified, every 103rd doc re-added under a new
+    id. Digests reduce each side to (id, sha) BEFORE the join — at
+    100 TB the join shuffles hashes, never document bytes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("h_old"))
+    base = docs.filter(F.col("doc_id") % 97 != 0)
+    changed = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 101 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 103 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    new = changed.unionByName(added).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h_new")
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .filter(F.col("status") != "unchanged")
+        .orderBy("doc_id")
+    )
+
+
+_Q105_SQL = """
+WITH old AS (
+  SELECT doc_id, sha256(text) AS h_old FROM documents),
+changed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0 THEN text || ' [v2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0),
+added AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 103 = 0),
+new AS (
+  SELECT doc_id, sha256(text) AS h_new FROM changed
+  UNION ALL
+  SELECT doc_id, sha256(text) AS h_new FROM added)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h_old IS NULL THEN 'added'
+            WHEN n.h_new IS NULL THEN 'removed'
+            WHEN o.h_old <> n.h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE (CASE WHEN o.h_old IS NULL THEN 'added'
+            WHEN n.h_new IS NULL THEN 'removed'
+            WHEN o.h_old <> n.h_new THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q95_inverted_index": q95_inverted_index,
@@ -608,6 +728,8 @@ QUERIES = {
     "q99_hybrid_retrieval": q99_hybrid_retrieval,
     "q100_source_cap_sample": q100_source_cap_sample,
     "q101_source_quality_gate": q101_source_quality_gate,
+    "q104_embed_topk": q104_embed_topk,
+    "q105_corpus_diff": q105_corpus_diff,
 }
 
 ORACLE = {
@@ -619,4 +741,6 @@ ORACLE = {
     "q99_hybrid_retrieval": _Q99_SQL,
     "q100_source_cap_sample": _Q100_SQL,
     "q101_source_quality_gate": _Q101_SQL,
+    "q104_embed_topk": _Q104_SQL,
+    "q105_corpus_diff": _Q105_SQL,
 }

@@ -33,6 +33,24 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is"]
 
 
+def term_rows(df, id_col: str, text: Column, term_col: str = "term"):
+    """(id, term) rows: lowercased whitespace terms with EMPTY TERMS
+    DROPPED — an empty or whitespace-only document yields zero rows,
+    never a ``''`` pseudo-term (which would otherwise enter unigram
+    vocabularies and inverted indexes as garbage). The single
+    tokenizer the corpus-stats/retrieval queries share; its DuckDB
+    mirror is ``unnest(string_split_regex(lower(trim(text)), '\\s+'))``
+    plus ``WHERE term <> ''`` — keep both sides in lockstep.
+    (``operators/search.py`` carries its own historical copy without
+    the empty guard; its scoring joins make the difference moot.)"""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(text)), r"\s+")).alias(term_col),
+    ).filter(F.col(term_col) != "")
+
+
 def n_tokens_col(text: Column) -> Column:
     """Token count under the BPE-ish regex (word runs + punctuation)."""
     return F.regexp_count(text, F.lit(TOKEN_PATTERN)).cast("bigint")

@@ -47,11 +47,10 @@ def q94_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc reduce is a doc_id hash aggregate. Nothing is quadratic,
     nothing collects.
     """
+    from gov_data_pipeline_spark.functions.textstats import term_rows
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    )
+    toks = term_rows(docs, "doc_id", F.col("text"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     return (
@@ -70,9 +69,10 @@ def q94_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q94_SQL = r"""
 WITH toks AS (
-  SELECT doc_id,
-         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-  FROM documents),
+  SELECT * FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents) WHERE term <> ''),
 v AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
 t AS (SELECT sum(cnt) AS total FROM v)
 SELECT doc_id, count(*) AS n_toks,
@@ -101,11 +101,10 @@ def q95_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot term's full posting list in the aggregation state first — the
     classic inverted-index OOM at scale.
     """
+    from gov_data_pipeline_spark.functions.textstats import term_rows
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    ).distinct()
+    pairs = term_rows(docs, "doc_id", F.col("text")).distinct()
     banded = (
         pairs.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -129,9 +128,10 @@ def q95_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q95_SQL = r"""
 WITH pairs AS (
-  SELECT DISTINCT doc_id,
-         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-  FROM documents),
+  SELECT DISTINCT * FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents) WHERE term <> ''),
 banded AS (
   SELECT term, count(*) AS df FROM pairs
   GROUP BY term HAVING count(*) BETWEEN 2 AND 20)
@@ -403,6 +403,8 @@ def q99_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract). Fusion is a full-outer join of two ≤50-row-per-query
     lists — driver-scale data, executor-side plan.
     """
+    from gov_data_pipeline_spark.functions.textstats import term_rows
+    from gov_data_pipeline_spark.operators.relational import top_k_per_group
     from gov_data_pipeline_spark.operators.similarity import (
         cosine_topk,
         embedding_dim,
@@ -415,19 +417,14 @@ def q99_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = embedding_dim(emb, "embedding")
 
-    toks = corpus.select(
-        "id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    ).distinct()
+    toks = term_rows(corpus, "id", F.col("text")).distinct()
     qt = toks.filter(F.col("id") < 5).select(F.col("id").alias("qid"), "term")
     ov = qt.join(toks, "term").groupBy("qid", "id").agg(
         F.count(F.lit(1)).alias("overlap")
     )
-    wlex = W.partitionBy("qid").orderBy(F.col("overlap").desc(), F.col("id").asc())
-    lex = (
-        ov.select("qid", "id", F.row_number().over(wlex).alias("lex_rk"))
-        .filter(F.col("lex_rk") <= 50)
-    )
+    lex = top_k_per_group(
+        ov, ["qid"], [F.col("overlap").desc(), F.col("id").asc()], 50, "lex_rk"
+    ).select("qid", "id", "lex_rk")
 
     qv = corpus.filter(F.col("id") < 5).select(
         F.col("id").alias("qid"), "embedding"
@@ -446,12 +443,11 @@ def q99_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf"),
     )
-    wr = W.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("id").asc())
     return (
-        fused.select(
-            "qid", "id", "rrf", F.row_number().over(wr).cast("int").alias("rk")
+        top_k_per_group(
+            fused, ["qid"], [F.col("rrf").desc(), F.col("id").asc()], 10, "rk"
         )
-        .filter(F.col("rk") <= 10)
+        .select("qid", "id", "rrf", F.col("rk").cast("int").alias("rk"))
         .orderBy("qid", "rk")
     )
 
@@ -461,9 +457,10 @@ WITH corpus AS (
   SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS emb
   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
 toks AS (
-  SELECT DISTINCT id,
-         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-  FROM corpus),
+  SELECT DISTINCT * FROM (
+    SELECT id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM corpus) WHERE term <> ''),
 qt AS (SELECT id AS qid, term FROM toks WHERE id < 5),
 ov AS (
   SELECT qt.qid, t.id, count(*) AS overlap
@@ -670,8 +667,14 @@ def q105_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 101 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
         ).otherwise(F.col("text")).alias("text"),
     )
-    added = docs.filter(F.col("doc_id") % 103 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    # Added ids live in a provably disjoint id space: offset by
+    # max(doc_id)+1 from the data, not a constant a big corpus could
+    # collide with.
+    off = docs.agg((F.max("doc_id") + 1).alias("__off"))
+    added = (
+        docs.filter(F.col("doc_id") % 103 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("__off")).alias("doc_id"), "text")
     )
     new = changed.unionByName(added).select(
         "doc_id", F.sha2(F.col("text"), 256).alias("h_new")
@@ -699,7 +702,8 @@ changed AS (
          CASE WHEN doc_id % 101 = 0 THEN text || ' [v2]' ELSE text END AS text
   FROM documents WHERE doc_id % 97 <> 0),
 added AS (
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+  FROM documents
   WHERE doc_id % 103 = 0),
 new AS (
   SELECT doc_id, sha256(text) AS h_new FROM changed

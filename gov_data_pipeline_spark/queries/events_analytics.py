@@ -130,7 +130,11 @@ def q103_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         .groupBy("cohort", "day_offset")
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        # plain count: rows are distinct (user_id, day) and day is
+        # determined by (cohort, offset), so each user appears at most
+        # once per group — a distinct aggregate would re-hash user_id
+        # for no semantic gain
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "day_offset")
     )
 
@@ -143,19 +147,71 @@ first AS (
 active AS (SELECT DISTINCT user_id, day FROM ev)
 SELECT f.cohort,
        datediff('day', f.cohort, a.day) AS day_offset,
-       count(DISTINCT a.user_id) AS n_users
+       count(*) AS n_users
 FROM active a JOIN first f ON a.user_id = f.user_id
 GROUP BY f.cohort, datediff('day', f.cohort, a.day)
 ORDER BY cohort, day_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# q106 — unpivot (melt): wide metric columns -> (metric, value) rows.
+# ---------------------------------------------------------------------------
+
+
+def q106_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T17's inverse surface: melt lineitem's three measure columns
+    into (metric, value) rows with ``unpivot`` (Spark's native melt —
+    compiles to a Generate/Expand, one pass, no join), then aggregate
+    per (returnflag, metric). The long form is what generic
+    metric-store sinks and per-metric quality monitors consume."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return (
+        melted.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+_Q106_SQL = """
+WITH melted AS (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+SELECT l_returnflag, metric,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM melted
+GROUP BY l_returnflag, metric
+ORDER BY l_returnflag, metric
+"""
+
+
 QUERIES = {
     "q102_funnel": q102_funnel,
     "q103_retention": q103_retention,
+    "q106_unpivot": q106_unpivot,
 }
 
 ORACLE = {
     "q102_funnel": _Q102_SQL,
     "q103_retention": _Q103_SQL,
+    "q106_unpivot": _Q106_SQL,
 }

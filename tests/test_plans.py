@@ -306,3 +306,31 @@ class TestCodegenBudget:
             q80_semantic_clusters_lsh(spark, sf_dir).collect()
         finally:
             spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+class TestEventAnalyticsPlans:
+    def test_q102_funnel_no_log_self_join(self, spark, sf_dir):
+        """The funnel must never join the raw event log to itself: the
+        join inputs are per-user aggregates (broadcast at small SF, key
+        shuffle at scale) — and the only nested-loop join allowed is
+        the 3-row steps x 1-row base cross."""
+        from gov_data_pipeline_spark.queries.events_analytics import q102_funnel
+
+        df = q102_funnel(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final
+        # every aggregate is partial before its exchange (map-side min)
+        assert "partial_min" in final
+
+    def test_q103_retention_no_distinct_aggregate(self, spark, sf_dir):
+        """Rows entering the rollup are provably unique per group, so
+        the plan must carry a plain count, not a two-phase distinct
+        aggregate."""
+        from gov_data_pipeline_spark.queries.events_analytics import (
+            q103_retention,
+        )
+
+        plan = _plan(q103_retention(spark, sf_dir))
+        assert "count(distinct" not in plan.lower()

@@ -152,3 +152,17 @@ def test_pack_sequences_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", "text", budget=0)
+
+
+def test_term_rows_drops_empty_pseudo_terms(spark):
+    """An empty or whitespace-only document must contribute ZERO terms
+    — not the '' pseudo-term that would pollute unigram vocabularies
+    and inverted indexes."""
+    from gov_data_pipeline_spark.functions.textstats import term_rows
+
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, ""), (3, "   "), (4, "one")],
+        "doc_id long, text string",
+    )
+    got = [(r["doc_id"], r["term"]) for r in term_rows(df, "doc_id", F.col("text")).collect()]
+    assert sorted(got) == [(1, "hello"), (1, "world"), (4, "one")]

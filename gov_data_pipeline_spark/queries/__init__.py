@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "q104_embed_topk",
     "q105_corpus_diff",
     "q106_unpivot",
+    "q107_negative_sampling",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

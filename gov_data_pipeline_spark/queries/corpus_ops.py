@@ -723,6 +723,62 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q107 — deterministic negative sampling for contrastive pairs.
+# ---------------------------------------------------------------------------
+
+
+def q107_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negatives: every document gets 3
+    pseudo-random negative partners, chosen by Knuth-hash arithmetic
+    (``(doc_id * 2654435761 + j + 1) mod N``) — reproducible on any
+    engine/cluster with zero stored state, and verified real by an
+    inner join back to the corpus (a gapped id space simply yields
+    fewer negatives; densify ids first with the q83 zipWithIndex
+    ingest when exact-k matters). Self-pairs are excluded.
+
+    Shape: one tiny count broadcast, a projection computing candidate
+    ids, and one equi-join against the (id)-projected corpus — linear,
+    shuffle-on-id. (The multiplier bounds: ids up to ~2^30 stay inside
+    int64 before the mod; beyond that, densified ids keep it safe.)
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    cands = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+            F.col("n"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.pmod(
+                F.col("doc_id") * F.lit(2654435761) + F.col("j") + 1, F.col("n")
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    real = docs.select(F.col("doc_id").alias("neg_id"))
+    return cands.join(real, "neg_id").select(
+        "doc_id", "j", "neg_id"
+    ).orderBy("doc_id", "j")
+
+
+_Q107_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+cands AS (
+  SELECT d.doc_id, j.j,
+         ((d.doc_id * 2654435761 + j.j + 1) % n.n + n.n) % n.n AS neg_id
+  FROM documents d CROSS JOIN n CROSS JOIN range(3) j(j)),
+flt AS (SELECT * FROM cands WHERE neg_id <> doc_id)
+SELECT f.doc_id, f.j, f.neg_id
+FROM flt f JOIN documents r ON f.neg_id = r.doc_id
+ORDER BY f.doc_id, f.j
+"""
+
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q95_inverted_index": q95_inverted_index,
@@ -734,6 +790,7 @@ QUERIES = {
     "q101_source_quality_gate": q101_source_quality_gate,
     "q104_embed_topk": q104_embed_topk,
     "q105_corpus_diff": q105_corpus_diff,
+    "q107_negative_sampling": q107_negative_sampling,
 }
 
 ORACLE = {
@@ -747,4 +804,5 @@ ORACLE = {
     "q101_source_quality_gate": _Q101_SQL,
     "q104_embed_topk": _Q104_SQL,
     "q105_corpus_diff": _Q105_SQL,
+    "q107_negative_sampling": _Q107_SQL,
 }

@@ -1,12 +1,13 @@
-"""Event-stream analytics: ordered funnels and cohort retention — the
-two canonical product-analytics queries over an event log (SURVEY
-§2.2's T15/T21/T31 families composed; the reference has no event
-analytics at all).
+"""Event/metric analytics: ordered funnels, cohort retention, and
+unpivot (melt) — the canonical product-analytics queries over an event
+log plus the wide→long reshaping surface (SURVEY §2.2's T15/T21/T31
+families composed; the reference has no event analytics at all).
 
-Both are key-partitioned aggregate shapes: every stage shuffles on
-``user_id`` (or the tiny cohort key), so the event log is hashed once
-and the per-user reductions reuse that partitioning — no self-join of
-the raw log against itself, which is the classic funnel scale-killer.
+The funnel/retention queries are key-partitioned aggregate shapes:
+every stage shuffles on ``user_id`` (or the tiny cohort key), so the
+event log is hashed once and the per-user reductions reuse that
+partitioning — no self-join of the raw log against itself, which is
+the classic funnel scale-killer. Unpivot is a single Generate pass.
 """
 
 from __future__ import annotations

@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "q105_corpus_diff",
     "q106_unpivot",
     "q107_negative_sampling",
+    "q108_time_weighted_avg",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

@@ -205,14 +205,78 @@ ORDER BY l_returnflag, metric
 """
 
 
+# ---------------------------------------------------------------------------
+# q108 — time-weighted average (irregular time series, hold-forward).
+# ---------------------------------------------------------------------------
+
+
+def q108_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean of ``value`` per user under hold-forward
+    semantics: each observation counts for the microseconds until the
+    user's next event (the last observation carries no duration). The
+    continuous-aggregate op plain ``avg`` gets WRONG on irregular
+    series — a value held for an hour must outweigh one held for a
+    second.
+
+    One window (lead over the user partition, fully tie-broken by
+    event_id) and one aggregate on the same key — a single shuffle.
+    Weights are integer microseconds in both engines, so only the
+    final weighted mean is float; users with a single event (no
+    duration at all) drop.
+    """
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).alias("w_us")
+    return (
+        ev.select("user_id", "value", us)
+        .filter(F.col("w_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum("w_us").alias("total_us"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("value") * F.col("w_us")), F.sum("w_us")
+                ),
+                4,
+            ).alias("tw_avg"),
+        )
+        .filter(F.col("total_us") > 0)
+        .orderBy("user_id")
+    )
+
+
+_Q108_SQL = """
+WITH weighted AS (
+  SELECT user_id, value,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS w_us
+  FROM events)
+SELECT user_id,
+       CAST(sum(w_us) AS BIGINT) AS total_us,
+       round(sum(value * w_us) / sum(w_us), 4) AS tw_avg
+FROM weighted
+WHERE w_us IS NOT NULL
+GROUP BY user_id
+HAVING sum(w_us) > 0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q102_funnel": q102_funnel,
     "q103_retention": q103_retention,
     "q106_unpivot": q106_unpivot,
+    "q108_time_weighted_avg": q108_time_weighted_avg,
 }
 
 ORACLE = {
     "q102_funnel": _Q102_SQL,
     "q103_retention": _Q103_SQL,
     "q106_unpivot": _Q106_SQL,
+    "q108_time_weighted_avg": _Q108_SQL,
 }

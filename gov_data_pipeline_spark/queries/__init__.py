@@ -88,6 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "q106_unpivot",
     "q107_negative_sampling",
     "q108_time_weighted_avg",
+    "q109_session_paths",
+    "q110_value_histogram",
     # r03 events-read casualties, need their re-green row
     "q06_asof_join",
     "q11_window_lag",

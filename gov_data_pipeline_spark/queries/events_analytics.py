@@ -12,7 +12,7 @@ the classic funnel scale-killer. Unpivot is a single Generate pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from gov_data_pipeline_spark.catalog import read_table as _t
 
@@ -267,11 +267,142 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q109 — session path analysis (top event-type sequences).
+# ---------------------------------------------------------------------------
+
+
+def q109_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which journeys do users actually take? Events sessionize (30 min
+    gap, the q13 operator), each session collapses to its ordered
+    event-type path string, and the most frequent paths surface.
+    Composition evidence: ``sessionize`` (T23) + ordered group-concat
+    (T18) + top-k (T25) chained as one oracle-checked query.
+
+    The path build is ONE aggregate per (user, session): collect the
+    (ts, event_id, type) structs, array_sort (codegen'd, fully
+    tie-broken), project the types — no per-session window re-sort.
+    Sessions are bounded by the 30-min gap, so the collected array is
+    small by construction; the path-frequency rollup then moves only
+    (path, count) pairs."""
+    from gov_data_pipeline_spark.operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        paths.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "path", "n_sessions")
+        .orderBy("rk")
+    )
+
+
+_Q109_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id),
+freq AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path),
+ranked AS (
+  SELECT path, n_sessions,
+         row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+  FROM freq)
+SELECT CAST(rk AS INT) AS rk, path, n_sessions
+FROM ranked WHERE rk <= 20
+ORDER BY rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# q110 — fixed-width value histogram per event type.
+# ---------------------------------------------------------------------------
+
+
+def q110_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling: 10 equal-width buckets of ``value`` per
+    event type between that type's min and max. The per-type extremes
+    are a 5-row aggregate broadcast back over the scan (the q93/q100
+    two-phase shape); the bucket expression is identical in both
+    engines so edge values land identically. A degenerate type
+    (min == max) collapses to bucket 0 via the null-safe division."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucket = F.coalesce(
+        F.least(
+            F.floor(
+                F.try_divide(
+                    F.col("value") - F.col("lo"),
+                    (F.col("hi") - F.col("lo")) / 10,
+                )
+            ),
+            F.lit(9),
+        ),
+        F.lit(0),
+    ).cast("int")
+    return (
+        ev.join(F.broadcast(ext), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+_Q110_SQL = """
+WITH ext AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(coalesce(least(floor((e.value - x.lo) / ((x.hi - x.lo) / 10)), 9),
+                     0) AS INT) AS bucket,
+       count(*) AS n
+FROM events e JOIN ext x ON e.event_type = x.event_type
+GROUP BY e.event_type, bucket
+ORDER BY e.event_type, bucket
+"""
+
+
 QUERIES = {
     "q102_funnel": q102_funnel,
     "q103_retention": q103_retention,
     "q106_unpivot": q106_unpivot,
     "q108_time_weighted_avg": q108_time_weighted_avg,
+    "q109_session_paths": q109_session_paths,
+    "q110_value_histogram": q110_value_histogram,
 }
 
 ORACLE = {
@@ -279,4 +410,6 @@ ORACLE = {
     "q103_retention": _Q103_SQL,
     "q106_unpivot": _Q106_SQL,
     "q108_time_weighted_avg": _Q108_SQL,
+    "q109_session_paths": _Q109_SQL,
+    "q110_value_histogram": _Q110_SQL,
 }

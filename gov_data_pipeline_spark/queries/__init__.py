@@ -31,13 +31,14 @@ from gov_data_pipeline_spark.queries import (
     quality,
     relational,
     scalar,
+    stats_ml,
     stream_queries,
     textops,
 )
 
 _MODULES = (
     relational, scalar, textops, ingest, dedup_sim, llm_queries,
-    stream_queries, quality, corpus_ops, events_analytics,
+    stream_queries, quality, corpus_ops, events_analytics, stats_ml,
 )
 
 # The driver's per-round correctness run samples the FIRST 50 entries of
@@ -100,6 +101,13 @@ _PRIORITY: tuple[str, ...] = (
     "q34_json",
     "q36_map",
     "q71_range_window",
+    # new in round 7 (statistical profiling / ML family)
+    "q111_grouped_percentiles",
+    "q112_correlation",
+    "q113_kmeans",
+    "q114_psi_drift",
+    "q115_weighted_sample",
+    "q116_mad_outliers",
     # stalest greens, r01 first then r02 (the driver samples the first
     # 50 names of this whole tuple — entries past 50 wait for the next
     # rotation, so the oldest driver rows must enumerate first)

@@ -1,0 +1,563 @@
+"""Statistical profiling + ML-adjacent operators: exact grouped
+percentiles, correlation matrices, fixed-iteration k-means with
+broadcast model state, PSI distribution-drift detection, weighted
+(probability-proportional-to-size) sampling, and MAD robust outliers.
+
+These are the data-quality / dataset-curation statistics a training
+pipeline runs continuously over its corpus and event telemetry — the
+reference has none of them (its quality surface is lint-only,
+``/root/reference/Justfile:1-14``), so this family extends SURVEY
+§2.2's L8 block the same way q93-q110 did.
+
+Scale shapes: every query is aggregate-dominant — grouped sketches of
+a single scan, a tiny (k rows / deciles) model broadcast back, never a
+self-join of the fact table. The k-means model state is a k-row
+centroid table collected to the driver and re-broadcast as literals:
+the canonical iterative-ML loop on Spark (model tiny, data huge) — at
+100 TB each Lloyd iteration is one scan + one k-group aggregate.
+
+Float policy (cross-engine value-hash oracles): every comparison that
+decides a row's fate is either pure integer (q115's keep decision),
+or pins its operands first (q113 rounds centroids to 4 dp before they
+re-enter distance arithmetic; q116 rounds median/MAD to 6 dp before
+the z-score) so both engines run bit-identical IEEE expressions.
+Output-only floats round to 2-6 dp, far above double ULP noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gov_data_pipeline_spark.catalog import read_table as _t
+
+
+# ---------------------------------------------------------------------------
+# q111 — exact grouped percentiles (interpolated), lineitem prices.
+# ---------------------------------------------------------------------------
+
+
+def q111_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (p25/p50/p75/p90/p99) of
+    the extended price per return flag — Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the type-7 definition (index
+    ``p*(n-1)``, interpolate between neighbors), so the values agree
+    to double precision and round(4) pins the hash.
+
+    Spark computes all five points in ONE aggregate over a single
+    scan (the percentage argument is an array); no per-percentile
+    re-sort, no window.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), pct.alias("pcts")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("pcts")[0], 4).alias("p25"),
+        F.round(F.col("pcts")[1], 4).alias("p50"),
+        F.round(F.col("pcts")[2], 4).alias("p75"),
+        F.round(F.col("pcts")[3], 4).alias("p90"),
+        F.round(F.col("pcts")[4], 4).alias("p99"),
+    ).orderBy("l_returnflag")
+
+
+_Q111_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q112 — pairwise correlation / covariance profile.
+# ---------------------------------------------------------------------------
+
+
+def q112_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-relationship profile per line status: Pearson
+    correlation for each measure pair plus sample covariance and
+    stddevs — the screening stats a feature-selection pass computes
+    before training. One grouped aggregate, one scan; the co-moment
+    sketches merge associatively so the plan is a plain partial+final
+    hash aggregate (no window, no join).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+            F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q112_SQL = """
+SELECT l_linestatus,
+       count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+       round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(stddev_samp(l_extendedprice), 2) AS sd_price
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q113 — k-means (Lloyd), k=4, deterministic init, 2 updates.
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+
+
+def _km_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rid, x, y) feature projection over the event log: value vs
+    hour-of-day×10 (events because ``event_id`` is the one fixture key
+    that is genuinely unique — lineitem's (orderkey, linenumber) is
+    not, and a colliding rid would make the seed order ambiguous)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("rid"),
+        F.col("value").alias("x"),
+        (F.hour("ts") * F.lit(10.0)).alias("y"),
+    )
+
+
+def _km_assign(feats: DataFrame, cents: list[tuple[int, float, float]]) -> DataFrame:
+    """Nearest-centroid id per row, as a PURE PROJECTION: the k-row
+    model enters as literals (the degenerate broadcast), distances
+    sort inside one codegen'd ``array_sort`` over struct(dist, cid) —
+    lexicographic struct order makes the tie-break (lowest cid)
+    explicit and engine-portable. No join, no shuffle."""
+    dists = F.array(
+        *[
+            F.struct(
+                (
+                    (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+                    + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cx, cy in cents
+        ]
+    )
+    return feats.withColumn("cid", F.array_sort(dists)[0]["cid"])
+
+
+def q113_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over (value, hour-of-day×10):
+    deterministic seeding (the k=4 rows with the smallest
+    ``(md5(rid), rid)``), two centroid updates, then a final
+    assignment census under the updated model.
+
+    This is the canonical iterative-ML shape on Spark: the MODEL is k
+    rows (collected to the driver each iteration — the one place a
+    ``collect`` is the right call, it IS the broadcast of model
+    state), the DATA never leaves the cluster, and each iteration is
+    one scan + one k-group aggregate. Cross-engine determinism:
+    centroids are rounded to 4 dp *before* re-entering the distance
+    expression, so both engines run identical IEEE arithmetic on
+    identical literals; an emptied cluster keeps its previous
+    centroid (the left-join/coalesce rule, mirrored in the oracle).
+
+    Oracle: the same two unrolled Lloyd iterations as recursive CTEs
+    (assignment via ``row_number() OVER (ORDER BY dist, cid)``).
+    """
+    feats = _km_feats(spark, sf_dir)
+
+    seed_rows = (
+        feats.orderBy(F.md5(F.col("rid").cast("string")), "rid")
+        .limit(_KM_K)
+        .select("x", "y")
+        .collect()
+    )
+    cents = [
+        (i, round(r["x"], 4), round(r["y"], 4)) for i, r in enumerate(seed_rows)
+    ]
+
+    for _ in range(2):  # Lloyd updates
+        assigned = _km_assign(feats, cents)
+        new = {
+            r["cid"]: (r["cx"], r["cy"])
+            for r in assigned.groupBy("cid")
+            .agg(
+                F.round(F.avg("x"), 4).alias("cx"),
+                F.round(F.avg("y"), 4).alias("cy"),
+            )
+            .collect()
+        }
+        cents = [
+            (cid, *new.get(cid, (cx, cy))) for cid, cx, cy in cents
+        ]
+
+    final = _km_assign(feats, cents)
+    counts = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
+    model = spark.createDataFrame(cents, "cid int, cx double, cy double")
+    return (
+        model.join(counts, "cid", "left")
+        .select(
+            "cid",
+            "cx",
+            "cy",
+            F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+        )
+        .orderBy("cid")
+    )
+
+
+# Two unrolled Lloyd iterations; assignment tie-break = lowest cid,
+# identical to the struct-sort on the Spark side.
+_Q113_SQL = """
+WITH feats AS (
+  SELECT event_id AS rid,
+         value AS x, extract(hour FROM ts) * 10.0 AS y
+  FROM events),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY md5(CAST(rid AS VARCHAR)), rid) - 1)
+           AS cid,
+         round(x, 4) AS cx, round(y, 4) AS cy
+  FROM feats
+  ORDER BY md5(CAST(rid AS VARCHAR)), rid
+  LIMIT 4),
+a1 AS (
+  SELECT rid, x, y, cid,
+         row_number() OVER (
+           PARTITION BY rid
+           ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), cid) AS rk
+  FROM feats CROSS JOIN c0),
+c1 AS (
+  SELECT c0.cid,
+         coalesce(round(avg(a.x), 4), c0.cx) AS cx,
+         coalesce(round(avg(a.y), 4), c0.cy) AS cy
+  FROM c0 LEFT JOIN (SELECT * FROM a1 WHERE rk = 1) a ON a.cid = c0.cid
+  GROUP BY c0.cid, c0.cx, c0.cy),
+a2 AS (
+  SELECT rid, x, y, cid,
+         row_number() OVER (
+           PARTITION BY rid
+           ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), cid) AS rk
+  FROM feats CROSS JOIN c1),
+c2 AS (
+  SELECT c1.cid,
+         coalesce(round(avg(a.x), 4), c1.cx) AS cx,
+         coalesce(round(avg(a.y), 4), c1.cy) AS cy
+  FROM c1 LEFT JOIN (SELECT * FROM a2 WHERE rk = 1) a ON a.cid = c1.cid
+  GROUP BY c1.cid, c1.cx, c1.cy),
+a3 AS (
+  SELECT rid, cid,
+         row_number() OVER (
+           PARTITION BY rid
+           ORDER BY (x - cx) * (x - cx) + (y - cy) * (y - cy), cid) AS rk
+  FROM feats CROSS JOIN c2)
+SELECT c2.cid, c2.cx, c2.cy,
+       coalesce(n.n_points, 0) AS n_points
+FROM c2
+LEFT JOIN (SELECT cid, count(*) AS n_points FROM a3 WHERE rk = 1
+           GROUP BY cid) n ON n.cid = c2.cid
+ORDER BY c2.cid
+"""
+
+
+# ---------------------------------------------------------------------------
+# q114 — PSI distribution drift per event type.
+# ---------------------------------------------------------------------------
+
+
+def q114_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: the even-user half of
+    the event log is the reference population, the odd-user half the
+    current one; per event type, bucket ``value`` by the REFERENCE
+    deciles and score PSI = Σ (p_cur − p_ref)·ln(p_cur / p_ref)
+    (ln operands floored at 1e-6 so an emptied bucket contributes a
+    large-but-finite term — the identical guard in both engines).
+
+    Scale shape: the model is the per-type decile table (types × 9
+    doubles) — one grouped ``percentile`` aggregate broadcast back
+    over the scan; bucketing is a codegen'd array filter; the final
+    PSI is a rollup of ≤ types×2×10 cells. The full
+    (type, cohort, bucket) spine is generated so absent cells enter
+    the formula as true zeros rather than silently dropping.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 2).alias("cohort")
+    )
+    edges = (
+        ev.filter(F.col("cohort") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,"
+                "0.6D,0.7D,0.8D,0.9D))"
+            ).alias("edges")
+        )
+    )
+    bucketed = (
+        ev.join(F.broadcast(edges), "event_type")
+        .select(
+            "event_type",
+            "cohort",
+            F.size(F.filter("edges", lambda e: F.col("value") > e)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("event_type", "cohort", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = (
+        edges.select("event_type")
+        .crossJoin(spark.range(2).select(F.col("id").cast("long").alias("cohort")))
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bucket")))
+    )
+    cells = spine.join(bucketed, ["event_type", "cohort", "bucket"], "left").select(
+        "event_type",
+        "cohort",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    props = (
+        cells.groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("cohort") == 0, F.col("n"))).alias("n_ref"),
+            F.sum(F.when(F.col("cohort") == 1, F.col("n"))).alias("n_cur"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ref").alias("tot_ref"),
+            F.sum("n_cur").alias("tot_cur"),
+            F.collect_list(F.struct("bucket", "n_ref", "n_cur")).alias("cells"),
+        )
+    )
+    p_ref = F.col("c.n_ref") / F.col("tot_ref")
+    p_cur = F.col("c.n_cur") / F.col("tot_cur")
+    term = (p_cur - p_ref) * F.log(
+        F.greatest(p_cur, F.lit(1e-6)) / F.greatest(p_ref, F.lit(1e-6))
+    )
+    return (
+        props.select(
+            "event_type",
+            "tot_ref",
+            "tot_cur",
+            F.round(
+                F.aggregate(
+                    F.col("cells"),
+                    F.lit(0.0),
+                    lambda acc, c: acc
+                    + (c["n_cur"] / F.col("tot_cur") - c["n_ref"] / F.col("tot_ref"))
+                    * F.log(
+                        F.greatest(c["n_cur"] / F.col("tot_cur"), F.lit(1e-6))
+                        / F.greatest(c["n_ref"] / F.col("tot_ref"), F.lit(1e-6))
+                    ),
+                ),
+                4,
+            ).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q114_SQL = """
+WITH ev AS (
+  SELECT event_type, value, user_id % 2 AS cohort FROM events),
+edges AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+  FROM ev WHERE cohort = 0 GROUP BY event_type),
+bucketed AS (
+  SELECT e.event_type, e.cohort,
+         len(list_filter(x.edges, edge -> e.value > edge)) AS bucket,
+         count(*) AS n
+  FROM ev e JOIN edges x ON e.event_type = x.event_type
+  GROUP BY e.event_type, e.cohort, bucket),
+spine AS (
+  SELECT x.event_type, c.cohort, b.bucket
+  FROM edges x
+  CROSS JOIN (SELECT unnest([0, 1]) AS cohort) c
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) b),
+cells AS (
+  SELECT s.event_type, s.cohort, s.bucket, coalesce(b.n, 0) AS n
+  FROM spine s
+  LEFT JOIN bucketed b
+    ON b.event_type = s.event_type AND b.cohort = s.cohort
+   AND b.bucket = s.bucket),
+pivoted AS (
+  SELECT event_type, bucket,
+         sum(CASE WHEN cohort = 0 THEN n END) AS n_ref,
+         sum(CASE WHEN cohort = 1 THEN n END) AS n_cur
+  FROM cells GROUP BY event_type, bucket),
+tot AS (
+  SELECT event_type, sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur
+  FROM pivoted GROUP BY event_type)
+SELECT p.event_type,
+       CAST(t.tot_ref AS BIGINT) AS tot_ref,
+       CAST(t.tot_cur AS BIGINT) AS tot_cur,
+       round(sum((p.n_cur / t.tot_cur - p.n_ref / t.tot_ref)
+                 * ln(greatest(p.n_cur / t.tot_cur, 1e-6)
+                      / greatest(p.n_ref / t.tot_ref, 1e-6))), 4) AS psi
+FROM pivoted p JOIN tot t ON p.event_type = t.event_type
+GROUP BY p.event_type, t.tot_ref, t.tot_cur
+ORDER BY p.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q115 — weighted (PPS / Poisson) corpus sampling, pure-integer.
+# ---------------------------------------------------------------------------
+
+
+def q115_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson sampling with inclusion probability proportional to
+    document size (the PPS step of quality-weighted corpus mixing):
+    target mean rate 1/5, so p_i = min(1, n_chars·N / (5·S)) with
+    S = Σ n_chars. The keep decision is PURE INTEGER —
+    ``bucket·5·S < n_chars·N·2^24`` with a 24-bit md5 bucket — so no
+    float can ever disagree between engines, runs, or retries, and a
+    document's fate is a stable function of its id (re-ingest safe).
+
+    (At 100 TB the cross-multiplication would be done in DECIMAL(38)
+    or with the shares pre-divided per source to keep the products in
+    int64 range; at fixture scale int64 has ~2 orders of headroom.)
+
+    Two-phase broadcast shape as q100: one 1-row total broadcast back
+    over the scan; the corpus crosses no exchange before the filter.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    bucket24 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    kept = (
+        docs.crossJoin(F.broadcast(tot))
+        .filter(
+            bucket24 * 5 * F.col("sum_chars")
+            < F.col("n_chars") * F.col("n_docs") * F.lit(16777216)
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q115_SQL = """
+WITH tot AS (
+  SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars FROM documents)
+SELECT d.source,
+       count(*) AS n_kept,
+       sum(d.n_chars) AS chars_kept
+FROM documents d CROSS JOIN tot
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::INT AS BIGINT)
+      * 5 * tot.sum_chars
+      < d.n_chars * tot.n_docs * 16777216
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q116 — robust outliers via median absolute deviation.
+# ---------------------------------------------------------------------------
+
+
+def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier census: modified z-score
+    0.6745·(v − median)/MAD with |z| > 3.5 flagged — the
+    outlier gate that, unlike q93's mean/stddev z-score, a few extreme
+    values cannot drag. Two grouped exact-median aggregates (the
+    second over deviations from the first, joined back as a broadcast
+    of ≤ #types rows); median and MAD are rounded to 6 dp BEFORE the
+    z expression so both engines threshold identical arithmetic.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5D)"), 6
+            ).alias("mad")
+        )
+    )
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .select("event_type", "med", "mad", z.alias("z"))
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.abs(F.col("z")) > 3.5, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+            F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q116_SQL = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, m.med,
+         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type, m.med)
+SELECT e.event_type, x.med, x.mad,
+       count(*) AS n,
+       sum(CASE WHEN abs(0.6745 * (e.value - x.med) / x.mad) > 3.5
+                THEN 1 ELSE 0 END) AS n_outliers,
+       round(max(abs(0.6745 * (e.value - x.med) / x.mad)), 4) AS max_abs_z
+FROM events e JOIN mad x ON e.event_type = x.event_type
+GROUP BY e.event_type, x.med, x.mad
+ORDER BY e.event_type
+"""
+
+
+QUERIES = {
+    "q111_grouped_percentiles": q111_grouped_percentiles,
+    "q112_correlation": q112_correlation,
+    "q113_kmeans": q113_kmeans,
+    "q114_psi_drift": q114_psi_drift,
+    "q115_weighted_sample": q115_weighted_sample,
+    "q116_mad_outliers": q116_mad_outliers,
+}
+
+ORACLE = {
+    "q111_grouped_percentiles": _Q111_SQL,
+    "q112_correlation": _Q112_SQL,
+    "q113_kmeans": _Q113_SQL,
+    "q114_psi_drift": _Q114_SQL,
+    "q115_weighted_sample": _Q115_SQL,
+    "q116_mad_outliers": _Q116_SQL,
+}

@@ -1,4 +1,4 @@
-"""Property-based tests (SURVEY §5.2-4): the Spark rewrites of the
+r"""Property-based tests (SURVEY §5.2-4): the Spark rewrites of the
 reference's stateful/scalar logic must agree with direct pure-Python
 ports of the reference algorithms on randomized inputs.
 

@@ -108,6 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "q114_psi_drift",
     "q115_weighted_sample",
     "q116_mad_outliers",
+    "q117_ohlc_bars",
+    "q118_embed_quantize",
+    "q119_trend_regression",
     # stalest greens, r01 first then r02 (the driver samples the first
     # 50 names of this whole tuple — entries past 50 wait for the next
     # rotation, so the oldest driver rows must enumerate first)

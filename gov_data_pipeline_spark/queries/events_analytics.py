@@ -396,6 +396,105 @@ ORDER BY e.event_type, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# q117 — OHLC time-bar resampling (irregular events -> hourly bars).
+# ---------------------------------------------------------------------------
+
+
+def q117_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the irregular event stream to hourly OHLC bars per
+    event type — the continuous-aggregate / time-bar op every metrics
+    hypertable serves. Open/close are ``min_by``/``max_by`` over the
+    struct key (ts, event_id) — fully tie-broken, and the whole bar is
+    ONE hash aggregate over one scan; the textbook formulation needs
+    two window passes over the log (the oracle runs that form, so the
+    single-aggregate rewrite is value-verified against it).
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bar"))
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            # sum, not mean: fixture values carry 2 decimals, so the
+            # bar total rounds exactly at 2 dp in both engines — a mean
+            # (÷n) can land precisely on a round-half boundary where
+            # Spark (HALF_UP) and DuckDB disagree in the last digit
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+_Q117_SQL = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM events)
+SELECT event_type, bar,
+       round(max(CASE WHEN rf = 1 THEN value END), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(max(CASE WHEN rl = 1 THEN value END), 4) AS close,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM ranked
+GROUP BY event_type, bar
+ORDER BY event_type, bar
+"""
+
+
+# ---------------------------------------------------------------------------
+# q119 — per-type linear trend (built-in OLS aggregates).
+# ---------------------------------------------------------------------------
+
+
+def q119_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric drift as a regression: value ~ time (in days), per event
+    type, via the built-in OLS co-moment aggregates (``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2``) — one partial+final hash
+    aggregate over one scan, the sketch merging associatively exactly
+    like q112's correlations. The time axis is integer microseconds
+    divided by a constant, so both engines regress on bit-identical
+    doubles."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(86400000000.0)).alias("x_days"),
+        "value",
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("value", "x_days"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("value", "x_days"), 4).alias("intercept"),
+            F.round(F.regr_r2("value", "x_days"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q119_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6)
+         AS slope_per_day,
+       round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+         AS intercept,
+       round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q102_funnel": q102_funnel,
     "q103_retention": q103_retention,
@@ -403,6 +502,8 @@ QUERIES = {
     "q108_time_weighted_avg": q108_time_weighted_avg,
     "q109_session_paths": q109_session_paths,
     "q110_value_histogram": q110_value_histogram,
+    "q117_ohlc_bars": q117_ohlc_bars,
+    "q119_trend_regression": q119_trend_regression,
 }
 
 ORACLE = {
@@ -412,4 +513,6 @@ ORACLE = {
     "q108_time_weighted_avg": _Q108_SQL,
     "q109_session_paths": _Q109_SQL,
     "q110_value_histogram": _Q110_SQL,
+    "q117_ohlc_bars": _Q117_SQL,
+    "q119_trend_regression": _Q119_SQL,
 }

@@ -544,6 +544,89 @@ ORDER BY e.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q118 — int8 embedding quantization + reconstruction error.
+# ---------------------------------------------------------------------------
+
+
+def q118_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale, the storage/ANN-memory shrink every 100 TB vector
+    corpus applies) with the reconstruction-error audit that decides
+    whether the quantized index is servable.
+
+    Everything is a PROJECTION over one scan — elementwise transform /
+    aggregate lambdas stay in codegen; no UDF, no shuffle before the
+    per-label rollup. Cross-engine determinism: elements are widened
+    float32→double (exact), the quantizer is ``floor(x·127/scale+0.5)``
+    (identical IEEE ops; no engine-specific round-half rule), and the
+    per-vector error sums run in array order in both engines.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec = emb.select(
+        "label",
+        xd.alias("xd"),
+        F.array_max(F.transform(xd, lambda x: F.abs(x))).alias("scale"),
+    )
+    # per-element squared reconstruction error; a zero-scale (all-zero)
+    # vector quantizes to zeros, so its term is x² — same CASE in SQL
+    sq_err = F.transform(
+        F.col("xd"),
+        lambda x: F.when(F.col("scale") == 0, x * x).otherwise(
+            (x - F.floor(x * 127 / F.col("scale") + 0.5) * F.col("scale") / 127)
+            * (x - F.floor(x * 127 / F.col("scale") + 0.5) * F.col("scale") / 127)
+        ),
+    )
+    per_vec = vec.select(
+        "label",
+        "scale",
+        F.sqrt(
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, e: acc + e)
+        ).alias("err"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("err"), 6).alias("avg_l2_err"),
+            F.round(F.max("err"), 6).alias("max_l2_err"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q118_SQL = """
+WITH vec AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings),
+scaled AS (
+  SELECT vec_id, label, xd,
+         list_aggregate(list_transform(xd, x -> abs(x)), 'max') AS scale
+  FROM vec),
+quant AS (
+  SELECT vec_id, label, scale,
+         sqrt(list_aggregate(
+           list_transform(xd,
+             x -> CASE WHEN scale = 0 THEN x * x
+                       ELSE (x - floor(x * 127 / scale + 0.5) * scale / 127)
+                            * (x - floor(x * 127 / scale + 0.5) * scale / 127)
+                  END),
+           'sum')) AS err
+  FROM scaled)
+SELECT label,
+       count(*) AS n,
+       round(avg(scale), 6) AS avg_scale,
+       round(avg(err), 6) AS avg_l2_err,
+       round(max(err), 6) AS max_l2_err
+FROM quant
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "q111_grouped_percentiles": q111_grouped_percentiles,
     "q112_correlation": q112_correlation,
@@ -551,6 +634,7 @@ QUERIES = {
     "q114_psi_drift": q114_psi_drift,
     "q115_weighted_sample": q115_weighted_sample,
     "q116_mad_outliers": q116_mad_outliers,
+    "q118_embed_quantize": q118_embed_quantize,
 }
 
 ORACLE = {
@@ -560,4 +644,5 @@ ORACLE = {
     "q114_psi_drift": _Q114_SQL,
     "q115_weighted_sample": _Q115_SQL,
     "q116_mad_outliers": _Q116_SQL,
+    "q118_embed_quantize": _Q118_SQL,
 }

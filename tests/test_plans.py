@@ -334,3 +334,120 @@ class TestEventAnalyticsPlans:
 
         plan = _plan(q103_retention(spark, sf_dir))
         assert "count(distinct" not in plan.lower()
+
+
+class TestStatsMLPlans:
+    def test_q111_single_aggregate_no_join(self, spark, sf_dir):
+        """All five percentile points must come out of ONE grouped
+        aggregate over one scan — no per-percentile re-aggregation,
+        no join, no window."""
+        from gov_data_pipeline_spark.queries.stats_ml import (
+            q111_grouped_percentiles,
+        )
+
+        plan = _plan(q111_grouped_percentiles(spark, sf_dir))
+        assert "Join" not in plan and "Window" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_q112_partial_comoments_before_shuffle(self, spark, sf_dir):
+        """Correlation sketches merge associatively: the plan must show
+        map-side partial aggregation (the co-moment combine) before the
+        group exchange."""
+        from gov_data_pipeline_spark.queries.stats_ml import q112_correlation
+
+        df = q112_correlation(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "partial_corr" in plan or "partial" in plan
+        assert "Join" not in plan
+
+    def test_q113_assignment_is_projection(self, spark, sf_dir):
+        """The k-means hot path: nearest-centroid assignment must be a
+        pure projection (model enters as literals), never a join of the
+        data against a centroid relation."""
+        from gov_data_pipeline_spark.queries.stats_ml import (
+            _km_assign,
+            _km_feats,
+        )
+
+        feats = _km_feats(spark, sf_dir)
+        assigned = _km_assign(
+            feats, [(0, 1.0, 2.0), (1, 3.0, 4.0), (2, 5.0, 6.0), (3, 7.0, 8.0)]
+        )
+        plan = _plan(assigned)
+        assert "Join" not in plan and "Exchange" not in plan
+        assert "Project" in plan
+
+    def test_q114_decile_model_broadcast(self, spark, sf_dir):
+        """The per-type decile table is the model: it must broadcast
+        back over the event scan (no key shuffle of the log against a
+        types-sized relation), and no cartesian bigger than the tiny
+        spine may appear."""
+        from gov_data_pipeline_spark.queries.stats_ml import q114_psi_drift
+
+        df = q114_psi_drift(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert "CartesianProduct" not in final
+
+    def test_q115_integer_filter_before_any_exchange(self, spark, sf_dir):
+        """PPS sampling is a scan-side decision: the only plan nodes
+        between the document scan and the keep-filter are the 1-row
+        totals broadcast — the corpus itself must cross no exchange
+        before it is filtered."""
+        from gov_data_pipeline_spark.queries.stats_ml import (
+            q115_weighted_sample,
+        )
+
+        df = q115_weighted_sample(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        # 1-row totals arrive via a broadcast nested-loop cross; the
+        # corpus side of that join must sit directly on the file scan.
+        assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+
+    def test_q116_median_model_broadcast(self, spark, sf_dir):
+        """Both median and MAD come back as broadcasts of a <=#types-row
+        model; the event log itself is never key-shuffled for a join."""
+        from gov_data_pipeline_spark.queries.stats_ml import q116_mad_outliers
+
+        df = q116_mad_outliers(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        assert "SortMergeJoin" not in final
+
+    def test_q117_single_aggregate_no_window(self, spark, sf_dir):
+        """OHLC bars must be ONE hash aggregate (min_by/max_by over the
+        struct key) — the two-window textbook form the oracle runs is
+        exactly what the plan must NOT contain."""
+        from gov_data_pipeline_spark.queries.events_analytics import (
+            q117_ohlc_bars,
+        )
+
+        plan = _plan(q117_ohlc_bars(spark, sf_dir))
+        assert "Window" not in plan and "Join" not in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_q118_projection_until_label_rollup(self, spark, sf_dir):
+        """Quantization + error audit stay elementwise: no join, no
+        exchange before the per-label aggregate, no Python UDF."""
+        from gov_data_pipeline_spark.queries.stats_ml import q118_embed_quantize
+
+        plan = _plan(q118_embed_quantize(spark, sf_dir))
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert plan.count("Exchange") <= 2  # group hash + final sort
+
+    def test_q119_ols_is_one_aggregate(self, spark, sf_dir):
+        from gov_data_pipeline_spark.queries.events_analytics import (
+            q119_trend_regression,
+        )
+
+        plan = _plan(q119_trend_regression(spark, sf_dir))
+        assert "Window" not in plan and "Join" not in plan
+        assert plan.count("Scan parquet") == 1

@@ -6,6 +6,10 @@ from gov_data_pipeline_spark.streaming.ingest import (  # noqa: F401
     incremental_dedup_sink,
     incremental_neardup_sink,
 )
+from gov_data_pipeline_spark.streaming.monitor import (  # noqa: F401
+    psi_drift_sink,
+    reference_profile,
+)
 from gov_data_pipeline_spark.streaming.windows import (  # noqa: F401
     EVENTS_SCHEMA,
     click_purchase_join,

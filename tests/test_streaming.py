@@ -398,3 +398,67 @@ def test_ingest_sinks_survive_precreated_empty_corpus_dir(spark, tmp_path):
         q = mk(stream, corpus, ckpt).trigger(availableNow=True).start()
         q.awaitTermination(120)
         assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1}
+
+
+def test_psi_drift_sink_flags_shifted_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of q114: a micro-batch drawn from the reference
+    distribution must score ~0 PSI; a shifted batch must score high.
+    Output lands under batch_id=N partitions (overwrite-idempotent)."""
+    from gov_data_pipeline_spark.streaming.monitor import (
+        psi_drift_sink,
+        reference_profile,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    profile = reference_profile(events)
+
+    stream_src = str(tmp_path / "src")
+    # file 1: the reference data itself; file 2: hard distribution shift
+    events.coalesce(1).write.parquet(f"{stream_src}/f1")
+    events.withColumn("value", F.col("value") * 5 + 50).coalesce(1).write.parquet(
+        f"{stream_src}/f2"
+    )
+    # flatten into one source dir so maxFilesPerTrigger=1 -> 2 batches
+    import glob as _glob
+    import shutil as _shutil
+
+    src = str(tmp_path / "stream")
+    (tmp_path / "stream").mkdir()
+    for i, f in enumerate(
+        sorted(_glob.glob(f"{stream_src}/f*/part-*.parquet"))
+    ):
+        _shutil.copy(f, f"{src}/file_{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        psi_drift_sink(stream, profile, out, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    hist = spark.read.parquet(out)
+    assert set(hist.columns) == {"event_type", "n_events", "psi", "batch_id"}
+    per_batch = {
+        r["batch_id"]: r["mean_psi"]
+        for r in hist.groupBy("batch_id")
+        .agg(F.avg("psi").alias("mean_psi"))
+        .collect()
+    }
+    assert len(per_batch) == 2
+    lo, hi = sorted(per_batch.values())
+    # reference batch reproduces the reference proportions exactly
+    assert lo < 0.01, per_batch
+    # the x5+50 shift empties most reference buckets
+    assert hi > 0.5, per_batch
+    # every type in both batches was scored
+    n_types = profile.count()
+    assert hist.count() == 2 * n_types

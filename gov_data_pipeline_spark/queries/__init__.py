@@ -101,7 +101,13 @@ _PRIORITY: tuple[str, ...] = (
     "q34_json",
     "q36_map",
     "q71_range_window",
-    # new in round 7 (statistical profiling / ML family)
+    # new in round 7 (statistical profiling / ML family). Positions
+    # 48+ of this tuple: with 47 never-sampled/errored entries ahead
+    # of them (the 7 streaming + 38 round-4/5/6 queries + 9 r03
+    # casualties, all of which the round-3 verdict orders re-greened
+    # first), only q111-q113 fit the driver's 50-query window this
+    # rotation; q114-q119 are locally oracle-verified at three SFs and
+    # take the next rotation's slots.
     "q111_grouped_percentiles",
     "q112_correlation",
     "q113_kmeans",
@@ -111,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "q117_ohlc_bars",
     "q118_embed_quantize",
     "q119_trend_regression",
+    "q120_token_entropy",
+    "q121_zipf_slope",
     # stalest greens, r01 first then r02 (the driver samples the first
     # 50 names of this whole tuple — entries past 50 wait for the next
     # rotation, so the oldest driver rows must enumerate first)

@@ -779,8 +779,143 @@ ORDER BY f.doc_id, f.j
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q120 — per-document token entropy (boilerplate gate) by source.
+# ---------------------------------------------------------------------------
+
+
+def q120_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution, rolled up
+    per source — the boilerplate detector: templated/repetitive pages
+    score low entropy while natural prose scores high, so a source
+    whose average entropy collapses is shipping generated sludge.
+
+    One explode → (doc, term) count → per-doc aggregate chain (the
+    q94/q95 shuffle shape: tokens cross the exchange once). Entropy
+    comes out of ONE aggregate via H = ln(N) − Σ c·ln(c) / N, so no
+    per-doc two-pass is needed; the per-source rollup then moves one
+    row per document. Tokenizer = the shared `term_rows` (empty terms
+    dropped, DuckDB mirror in lockstep).
+    """
+    from gov_data_pipeline_spark.functions.textstats import term_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = term_rows(docs, "doc_id", F.col("text"))
+    counts = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    ent = counts.groupBy("doc_id").agg(
+        (
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("h")
+    )
+    return (
+        ent.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.sum(F.when(F.col("h") < 4.0, 1).otherwise(0)).alias("n_low"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q120_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+counts AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+ent AS (
+  SELECT doc_id, ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+  FROM counts GROUP BY doc_id)
+SELECT d.source,
+       count(*) AS n_docs,
+       round(avg(e.h), 4) AS avg_entropy,
+       sum(CASE WHEN e.h < 4.0 THEN 1 ELSE 0 END) AS n_low
+FROM ent e JOIN documents d ON e.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q121 — Zipf rank-frequency slope per language (vocabulary health).
+# ---------------------------------------------------------------------------
+
+
+def q121_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit ln(freq) ~ ln(rank) over each language's top-500 terms — the
+    Zipf health check: natural language sits near slope −1, while
+    scraped boilerplate, key-value dumps, or deduplication bugs bend
+    the curve. Composes the shared tokenizer, a vocabulary aggregate,
+    a per-language ranking window over vocabulary-sized data (never
+    documents), and the q119 OLS aggregates.
+
+    Rank ties are fully broken (count desc, then term), so both
+    engines rank identically; the regression inputs ln(freq)/ln(rank)
+    are then bit-identical.
+    """
+    from gov_data_pipeline_spark.functions.textstats import term_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = term_rows(docs, "doc_id", F.col("text")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    vocab = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    ranked = vocab.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 500
+    )
+
+    def _nn(c):
+        return F.nanvl(c, F.lit(None).cast("double"))
+
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                _nn(F.regr_slope(F.log("cnt"), F.log("rk"))), 4
+            ).alias("zipf_slope"),
+            F.round(
+                _nn(F.regr_r2(F.log("cnt"), F.log("rk"))), 4
+            ).alias("r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q121_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+vocab AS (
+  SELECT d.lang, t.term, count(*) AS cnt
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE t.term <> ''
+  GROUP BY d.lang, t.term),
+ranked AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, term) AS rk
+  FROM vocab)
+SELECT lang,
+       count(*) AS n_terms,
+       round(regr_slope(ln(cnt), ln(rk)), 4) AS zipf_slope,
+       round(regr_r2(ln(cnt), ln(rk)), 4) AS r2
+FROM ranked
+WHERE rk <= 500
+GROUP BY lang
+ORDER BY lang
+"""
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
+    "q120_token_entropy": q120_token_entropy,
+    "q121_zipf_slope": q121_zipf_slope,
     "q95_inverted_index": q95_inverted_index,
     "q96_winsorize": q96_winsorize,
     "q97_time_rollup": q97_time_rollup,
@@ -795,6 +930,8 @@ QUERIES = {
 
 ORACLE = {
     "q94_unigram_logprob": _Q94_SQL,
+    "q120_token_entropy": _Q120_SQL,
+    "q121_zipf_slope": _Q121_SQL,
     "q95_inverted_index": _Q95_SQL,
     "q96_winsorize": _Q96_SQL,
     "q97_time_rollup": _Q97_SQL,

@@ -469,13 +469,18 @@ def q119_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) / F.lit(86400000000.0)).alias("x_days"),
         "value",
     )
+    def _nn(c):
+        # zero-variance degenerate group: Spark's regr_* yield NaN,
+        # DuckDB NULL — pin NULL so the engines can never diverge
+        return F.nanvl(c, F.lit(None).cast("double"))
+
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.regr_slope("value", "x_days"), 6).alias("slope_per_day"),
-            F.round(F.regr_intercept("value", "x_days"), 4).alias("intercept"),
-            F.round(F.regr_r2("value", "x_days"), 6).alias("r2"),
+            F.round(_nn(F.regr_slope("value", "x_days")), 6).alias("slope_per_day"),
+            F.round(_nn(F.regr_intercept("value", "x_days")), 4).alias("intercept"),
+            F.round(_nn(F.regr_r2("value", "x_days")), 6).alias("r2"),
         )
         .orderBy("event_type")
     )

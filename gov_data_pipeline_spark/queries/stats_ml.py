@@ -95,13 +95,19 @@ def q112_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
     )
+
+    def _corr(a: str, b: str):
+        # degenerate group (zero variance): Spark's corr yields NaN,
+        # DuckDB yields NULL — pin NULL so engines can never diverge
+        return F.nanvl(F.corr(a, b), F.lit(None).cast("double"))
+
     return (
         li.groupBy("l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-            F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
-            F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+            F.round(_corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(_corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+            F.round(_corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
             F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
             F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
@@ -185,6 +191,14 @@ def q113_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same two unrolled Lloyd iterations as recursive CTEs
     (assignment via ``row_number() OVER (ORDER BY dist, cid)``).
     """
+    import math
+
+    def _round4(v: float) -> float:
+        # SQL ROUND (half away from zero), NOT Python's banker's round:
+        # a seed coordinate on a representable .xxxx5 boundary must
+        # produce the same literal both engines' c0 computes.
+        return math.copysign(math.floor(abs(v) * 10**4 + 0.5) / 10**4, v)
+
     feats = _km_feats(spark, sf_dir)
 
     seed_rows = (
@@ -194,7 +208,7 @@ def q113_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cents = [
-        (i, round(r["x"], 4), round(r["y"], 4)) for i, r in enumerate(seed_rows)
+        (i, _round4(r["x"]), _round4(r["y"])) for i, r in enumerate(seed_rows)
     ]
 
     for _ in range(2):  # Lloyd updates
@@ -313,14 +327,17 @@ def q114_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edges")
         )
     )
+    from gov_data_pipeline_spark.functions.drift import (
+        bucket_by_edges,
+        psi_term,
+    )
+
     bucketed = (
         ev.join(F.broadcast(edges), "event_type")
         .select(
             "event_type",
             "cohort",
-            F.size(F.filter("edges", lambda e: F.col("value") > e)).alias(
-                "bucket"
-            ),
+            bucket_by_edges("edges").alias("bucket"),
         )
         .groupBy("event_type", "cohort", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -349,11 +366,6 @@ def q114_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("bucket", "n_ref", "n_cur")).alias("cells"),
         )
     )
-    p_ref = F.col("c.n_ref") / F.col("tot_ref")
-    p_cur = F.col("c.n_cur") / F.col("tot_cur")
-    term = (p_cur - p_ref) * F.log(
-        F.greatest(p_cur, F.lit(1e-6)) / F.greatest(p_ref, F.lit(1e-6))
-    )
     return (
         props.select(
             "event_type",
@@ -364,10 +376,9 @@ def q114_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cells"),
                     F.lit(0.0),
                     lambda acc, c: acc
-                    + (c["n_cur"] / F.col("tot_cur") - c["n_ref"] / F.col("tot_ref"))
-                    * F.log(
-                        F.greatest(c["n_cur"] / F.col("tot_cur"), F.lit(1e-6))
-                        / F.greatest(c["n_ref"] / F.col("tot_ref"), F.lit(1e-6))
+                    + psi_term(
+                        c["n_cur"] / F.col("tot_cur"),
+                        c["n_ref"] / F.col("tot_ref"),
                     ),
                 ),
                 4,
@@ -508,7 +519,14 @@ def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad")
         )
     )
-    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    # Explicit NULL when MAD degenerates to 0 (>=50% of a type tied at
+    # its median): pinned in BOTH engines so the result never depends
+    # on an engine's x/0.0 convention (duckdb 1.0 -> NULL like Spark,
+    # but >=1.1 defaults to IEEE inf — the guard makes that irrelevant)
+    z = F.when(
+        F.col("mad") != 0,
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"),
+    )
     return (
         ev.join(F.broadcast(mad), "event_type")
         .select("event_type", "med", "mad", z.alias("z"))
@@ -535,9 +553,12 @@ mad AS (
   GROUP BY e.event_type, m.med)
 SELECT e.event_type, x.med, x.mad,
        count(*) AS n,
-       sum(CASE WHEN abs(0.6745 * (e.value - x.med) / x.mad) > 3.5
+       sum(CASE WHEN x.mad <> 0
+                 AND abs(0.6745 * (e.value - x.med) / x.mad) > 3.5
                 THEN 1 ELSE 0 END) AS n_outliers,
-       round(max(abs(0.6745 * (e.value - x.med) / x.mad)), 4) AS max_abs_z
+       round(max(CASE WHEN x.mad <> 0
+                      THEN abs(0.6745 * (e.value - x.med) / x.mad) END),
+             4) AS max_abs_z
 FROM events e JOIN mad x ON e.event_type = x.event_type
 GROUP BY e.event_type, x.med, x.mad
 ORDER BY e.event_type
@@ -562,7 +583,21 @@ def q118_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical IEEE ops; no engine-specific round-half rule), and the
     per-vector error sums run in array order in both engines.
     """
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # Malformed vectors (null / empty / null element) are excluded with
+    # the IDENTICAL predicate in both engines: the engines' fold
+    # semantics differ exactly there (Spark's aggregate returns 0.0 on
+    # an empty array and NULL-poisons on a null element; DuckDB's
+    # list sum returns NULL on empty and SKIPS null elements), so the
+    # only portable contract is to gate them out before the math.
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
+    )
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vec = emb.select(
         "label",
@@ -601,7 +636,10 @@ _Q118_SQL = """
 WITH vec AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
-  FROM embeddings),
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 scaled AS (
   SELECT vec_id, label, xd,
          list_aggregate(list_transform(xd, x -> abs(x)), 'max') AS scale

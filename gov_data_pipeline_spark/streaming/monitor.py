@@ -25,15 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
-_N_BUCKETS = 10
-_LN_FLOOR = 1e-6
-
-
-def _bucket(edges_col: str | Column) -> Column:
-    """Bucket index 0..9: how many reference decile edges ``value``
-    exceeds — identical to q114's bucketing expression."""
-    edges = F.col(edges_col) if isinstance(edges_col, str) else edges_col
-    return F.size(F.filter(edges, lambda e: F.col("value") > e))
+from gov_data_pipeline_spark.functions.drift import (
+    N_BUCKETS as _N_BUCKETS,
+    bucket_by_edges as _bucket,
+    psi_term as _psi_term,
+)
 
 
 def reference_profile(events: DataFrame) -> DataFrame:
@@ -81,18 +77,15 @@ def reference_profile(events: DataFrame) -> DataFrame:
 
 def _psi(m: Column, tot_cur: Column, props: Column) -> Column:
     """PSI of the batch's bucket-count map vs reference proportions —
-    q114's formula: Σ (p_cur − p_ref)·ln(p_cur / p_ref), ln operands
-    floored at 1e-6 so an emptied bucket contributes a finite term."""
+    q114's formula via the shared :func:`psi_term` (one definition for
+    batch and stream)."""
 
     def term(acc: Column, b: Column) -> Column:
         p_cur = (
             F.coalesce(F.element_at(m, b), F.lit(0)).cast("double") / tot_cur
         )
         p_ref = F.element_at(props, b + 1)  # element_at is 1-based
-        return acc + (p_cur - p_ref) * F.log(
-            F.greatest(p_cur, F.lit(_LN_FLOOR))
-            / F.greatest(p_ref, F.lit(_LN_FLOOR))
-        )
+        return acc + _psi_term(p_cur, p_ref)
 
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(_N_BUCKETS - 1)), F.lit(0.0), term
@@ -114,11 +107,20 @@ def psi_drift_sink(
     score), exactly as q114's inner join does; an empty batch writes an
     empty partition. Reading ``out_path`` as parquet yields the full
     monitor history with ``batch_id`` as a partition column.
+
+    The profile is MATERIALIZED here, once: collecting the (types ×
+    19 doubles) rows freezes the baseline so (a) every micro-batch
+    scores against the same numbers even if the reference files are
+    later overwritten, and (b) batches don't lazily re-execute the
+    profile's two reference scans + percentile aggregate per trigger.
     """
+    frozen = profile.collect()
+    schema = profile.schema
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        prof = batch_df.sparkSession.createDataFrame(frozen, schema)
         counts = (
-            batch_df.join(F.broadcast(profile), "event_type")
+            batch_df.join(F.broadcast(prof), "event_type")
             .select("event_type", _bucket("edges").alias("bucket"))
             .groupBy("event_type", "bucket")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -129,7 +131,7 @@ def psi_drift_sink(
                 "m"
             ),
         )
-        scored = cur.join(F.broadcast(profile), "event_type").select(
+        scored = cur.join(F.broadcast(prof), "event_type").select(
             "event_type",
             "n_events",
             F.round(_psi(F.col("m"), F.col("n_events"), F.col("props")), 4).alias(

@@ -358,7 +358,8 @@ class TestStatsMLPlans:
         df = q112_correlation(spark, sf_dir)
         df.collect()
         plan = _plan(df)
-        assert "partial_corr" in plan or "partial" in plan
+        # the specific co-moment partial, not just any partial aggregate
+        assert "partial_corr" in plan
         assert "Join" not in plan
 
     def test_q113_assignment_is_projection(self, spark, sf_dir):
@@ -408,6 +409,13 @@ class TestStatsMLPlans:
         # 1-row totals arrive via a broadcast nested-loop cross; the
         # corpus side of that join must sit directly on the file scan.
         assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+        # and nothing below the keep-filter may shuffle: the plan text
+        # lists a node's subtree after it, so no hash/range exchange is
+        # allowed after the first Filter (BroadcastExchange is the
+        # totals build and is fine)
+        below_filter = final.split("Filter", 1)[1]
+        assert "Exchange hashpartitioning" not in below_filter
+        assert "Exchange rangepartitioning" not in below_filter
 
     def test_q116_median_model_broadcast(self, spark, sf_dir):
         """Both median and MAD come back as broadcasts of a <=#types-row

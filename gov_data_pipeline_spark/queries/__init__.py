@@ -119,6 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     "q119_trend_regression",
     "q120_token_entropy",
     "q121_zipf_slope",
+    "q122_k_anonymity",
+    "q123_markov_transitions",
+    "q124_ab_welch",
     # stalest greens, r01 first then r02 (the driver samples the first
     # 50 names of this whole tuple — entries past 50 wait for the next
     # rotation, so the oldest driver rows must enumerate first)

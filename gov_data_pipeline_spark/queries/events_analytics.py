@@ -500,6 +500,127 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q124 — A/B comparison with Welch's t statistic.
+# ---------------------------------------------------------------------------
+
+
+def q124_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: split users into A/B by the deterministic
+    user_id parity (the q114 cohort rule), compare mean ``value`` per
+    event type, and report Welch's t — the unequal-variance test a
+    metrics platform runs on every experiment metric. ONE grouped
+    aggregate computes both arms via conditional aggregation (no
+    self-join, no second scan); the t statistic is assembled from the
+    six broadcast-sized moments.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 2).alias("g")
+    )
+    a = F.col("g") == 0
+    b = F.col("g") == 1
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("m_a"),
+        F.avg(F.when(b, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(a, F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(b, F.col("value"))).alias("v_b"),
+    )
+    t = (F.col("m_b") - F.col("m_a")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a"), 4).alias("mean_a"),
+        F.round(F.col("m_b"), 4).alias("mean_b"),
+        F.round(F.col("m_b") - F.col("m_a"), 4).alias("lift"),
+        F.round(t, 4).alias("welch_t"),
+    ).orderBy("event_type")
+
+
+_Q124_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+         count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+         avg(CASE WHEN user_id % 2 = 0 THEN value END) AS m_a,
+         avg(CASE WHEN user_id % 2 = 1 THEN value END) AS m_b,
+         var_samp(CASE WHEN user_id % 2 = 0 THEN value END) AS v_a,
+         var_samp(CASE WHEN user_id % 2 = 1 THEN value END) AS v_b
+  FROM events GROUP BY event_type)
+SELECT event_type, n_a, n_b,
+       round(m_a, 4) AS mean_a,
+       round(m_b, 4) AS mean_b,
+       round(m_b - m_a, 4) AS lift,
+       round((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 4) AS welch_t
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q123 — Markov transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+
+def q123_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: P(next event type |
+    current event type), estimated from each user's time-ordered
+    sequence. One lag window co-partitioned on user_id (the q11/q13
+    key), one (prev, next) count aggregate, and the per-prev totals
+    come back as a broadcast of a #types-sized relation — the log
+    never self-joins and only (prev, next, n) pairs cross the final
+    exchange. Transition probability is an exact integer ratio, so
+    both engines round the identical double.
+    """
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 4).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_Q123_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+totals AS (
+  SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, p.n,
+       round(p.n / t.tot, 4) AS p
+FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+ORDER BY p.prev_type, p.next_type
+"""
+
+
 QUERIES = {
     "q102_funnel": q102_funnel,
     "q103_retention": q103_retention,
@@ -509,6 +630,8 @@ QUERIES = {
     "q110_value_histogram": q110_value_histogram,
     "q117_ohlc_bars": q117_ohlc_bars,
     "q119_trend_regression": q119_trend_regression,
+    "q123_markov_transitions": q123_markov_transitions,
+    "q124_ab_welch": q124_ab_welch,
 }
 
 ORACLE = {
@@ -520,4 +643,6 @@ ORACLE = {
     "q110_value_histogram": _Q110_SQL,
     "q117_ohlc_bars": _Q117_SQL,
     "q119_trend_regression": _Q119_SQL,
+    "q123_markov_transitions": _Q123_SQL,
+    "q124_ab_welch": _Q124_SQL,
 }

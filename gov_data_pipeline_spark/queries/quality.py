@@ -159,12 +159,71 @@ ORDER BY event_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q122 — k-anonymity audit over quasi-identifiers.
+# ---------------------------------------------------------------------------
+
+
+def q122_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: treat (lang, source, size-band) as the
+    quasi-identifier tuple and report, per language, how many
+    equivalence classes fall below k=5 and how many rows sit in them —
+    the rows a k-anonymous release must suppress or generalize.
+    Pure-integer bucketing (n_chars // 500) and counts, so the engines
+    cannot diverge; two hash aggregates over one scan, the second over
+    class-sized data.
+    """
+    # floor, not a bare int cast: DuckDB's CAST(double AS INT) rounds
+    # half-up while Spark's truncates — floor() pins both engines
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 500).cast("int").alias("size_band"),
+    )
+    classes = docs.groupBy("lang", "source", "size_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        classes.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).alias(
+                "n_small_classes"
+            ),
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).alias(
+                "n_rows_at_risk"
+            ),
+            F.min("n").alias("min_class_size"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q122_SQL = """
+WITH classes AS (
+  SELECT lang, source, CAST(floor(n_chars / 500) AS INT) AS size_band,
+         count(*) AS n
+  FROM documents
+  GROUP BY lang, source, size_band)
+SELECT lang,
+       count(*) AS n_classes,
+       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS n_small_classes,
+       sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS n_rows_at_risk,
+       min(n) AS min_class_size
+FROM classes
+GROUP BY lang
+ORDER BY lang
+"""
+
 QUERIES = {
+    "q122_k_anonymity": q122_k_anonymity,
     "q90_pii_redact": q90_pii_redact,
     "q93_outlier_zscore": q93_outlier_zscore,
 }
 
 ORACLE = {
+    "q122_k_anonymity": _Q122_SQL,
     "q90_pii_redact": _Q90_SQL,
     "q93_outlier_zscore": _Q93_SQL,
 }

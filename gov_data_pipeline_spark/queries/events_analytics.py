@@ -501,6 +501,112 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q126 — hourly percentile bands (the latency-dashboard query).
+# ---------------------------------------------------------------------------
+
+
+def q126_hourly_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 bands of ``value`` per (event type, hour-of-day) — the
+    dashboard query behind every latency/size SLO panel. One grouped
+    array-percentile aggregate over one scan (the q111 shape with a
+    time dimension): 5 types × 24 hours = 120 output rows however big
+    the log is. Exact percentiles here are the oracle-checkable
+    baseline; the 100 TB swap is `approx_percentile` with the plan
+    shape unchanged (q26/q111 note)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    agg = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, array(0.5D, 0.95D))").alias("p"),
+    )
+    return agg.select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(F.col("p")[0], 4).alias("p50"),
+        F.round(F.col("p")[1], 4).alias("p95"),
+    ).orderBy("event_type", "hod")
+
+
+_Q126_SQL = """
+SELECT event_type,
+       CAST(extract(hour FROM ts) AS INT) AS hod,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY event_type, hod
+ORDER BY event_type, hod
+"""
+
+
+# ---------------------------------------------------------------------------
+# q127 — time-to-convert distribution (view -> purchase latency).
+# ---------------------------------------------------------------------------
+
+
+def q127_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long does conversion take? Per user, the delay from first
+    view to the first purchase at-or-after it (q102's strict ordering
+    rule), summarized as exact p50/p90 in minutes. Two per-user min
+    aggregates chained on the co-partitioned user key — the q102
+    funnel shape — then one global percentile over user-sized data.
+    The delay is integer microseconds divided by a constant, so both
+    engines aggregate bit-identical doubles."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+        .join(t1, "user_id")
+        .select(
+            (
+                (F.unix_micros("tp") - F.unix_micros("t1"))
+                / F.lit(60000000.0)
+            ).alias("mins")
+        )
+    )
+    base = t1.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return (
+        tp.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.expr("percentile(mins, 0.5D)"), 2).alias("p50_mins"),
+            F.round(F.expr("percentile(mins, 0.9D)"), 2).alias("p90_mins"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select("n_viewers", "n_converted", "p50_mins", "p90_mins")
+    )
+
+
+_Q127_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+tp AS (
+  SELECT e.user_id, min(e.ts) AS tp FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t1.t1
+  GROUP BY e.user_id),
+delays AS (
+  SELECT date_diff('microsecond', t1.t1, tp.tp) / 60000000.0 AS mins
+  FROM tp JOIN t1 ON tp.user_id = t1.user_id)
+SELECT (SELECT count(*) FROM t1) AS n_viewers,
+       count(*) AS n_converted,
+       round(quantile_cont(mins, 0.5), 2) AS p50_mins,
+       round(quantile_cont(mins, 0.9), 2) AS p90_mins
+FROM delays
+"""
+
+
+# ---------------------------------------------------------------------------
 # q124 — A/B comparison with Welch's t statistic.
 # ---------------------------------------------------------------------------
 
@@ -632,6 +738,8 @@ QUERIES = {
     "q119_trend_regression": q119_trend_regression,
     "q123_markov_transitions": q123_markov_transitions,
     "q124_ab_welch": q124_ab_welch,
+    "q126_hourly_percentile_bands": q126_hourly_percentile_bands,
+    "q127_time_to_convert": q127_time_to_convert,
 }
 
 ORACLE = {
@@ -645,4 +753,6 @@ ORACLE = {
     "q119_trend_regression": _Q119_SQL,
     "q123_markov_transitions": _Q123_SQL,
     "q124_ab_welch": _Q124_SQL,
+    "q126_hourly_percentile_bands": _Q126_SQL,
+    "q127_time_to_convert": _Q127_SQL,
 }

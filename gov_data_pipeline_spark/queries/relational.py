@@ -1112,7 +1112,58 @@ ORDER BY o_orderkey
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q125 — heavy-hitter key diagnosis (pre-salting skew report).
+# ---------------------------------------------------------------------------
+
+
+def q125_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report an engineer runs BEFORE reaching for q29/q73's salted
+    shapes: the top-10 heaviest join keys on orders.o_custkey with each
+    key's share of the table — a key above a few percent is the one
+    that stalls a reducer at 100 TB. One count aggregate (key-sized),
+    a 1-row total broadcast back, and a top-k window over keys, never
+    rows. Share is an exact integer ratio, so both engines round the
+    identical double.
+    """
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    w = W.partitionBy(F.lit(1)).orderBy(F.col("n").desc(), "o_custkey")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rk",
+            "o_custkey",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("rk")
+    )
+
+
+_Q125_SQL = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+t AS (SELECT sum(n) AS total FROM counts),
+ranked AS (
+  SELECT o_custkey, n,
+         row_number() OVER (ORDER BY n DESC, o_custkey) AS rk
+  FROM counts)
+SELECT CAST(r.rk AS INT) AS rk, r.o_custkey, r.n,
+       round(r.n / t.total, 6) AS share
+FROM ranked r CROSS JOIN t
+WHERE r.rk <= 10
+ORDER BY r.rk
+"""
+
 QUERIES = {
+    "q125_heavy_hitters": q125_heavy_hitters,
     "q01_pricing_summary": q01_pricing_summary,
     "q71_range_window": q71_range_window,
     "q78_grouping_sets": q78_grouping_sets,
@@ -1147,6 +1198,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q125_heavy_hitters": _Q125_SQL,
     "q01_pricing_summary": _Q01_SQL,
     "q71_range_window": _Q71_SQL,
     "q78_grouping_sets": _Q78_SQL,

@@ -1,13 +1,16 @@
-"""Event/metric analytics: ordered funnels, cohort retention, and
-unpivot (melt) — the canonical product-analytics queries over an event
-log plus the wide→long reshaping surface (SURVEY §2.2's T15/T21/T31
-families composed; the reference has no event analytics at all).
+"""Event/metric analytics: the product-analytics surface over an
+event log — ordered funnels, cohort retention, unpivot (melt),
+time-weighted averages, session paths, value histograms, OHLC time
+bars, OLS trend detection, Markov transition matrices, Welch A/B
+readouts, hourly percentile bands, and time-to-convert latency
+(SURVEY §2.2's T15/T21/T31 families composed; the reference has no
+event analytics at all).
 
-The funnel/retention queries are key-partitioned aggregate shapes:
-every stage shuffles on ``user_id`` (or the tiny cohort key), so the
-event log is hashed once and the per-user reductions reuse that
-partitioning — no self-join of the raw log against itself, which is
-the classic funnel scale-killer. Unpivot is a single Generate pass.
+Shared scale shape: every query is either a key-partitioned aggregate
+chain (the log hashes once on ``user_id``/``event_type`` and each
+stage reuses that partitioning — no self-join of the raw log, the
+classic funnel scale-killer) or a single grouped aggregate whose
+output is bounded by group count, never row count.
 """
 
 from __future__ import annotations

@@ -10,6 +10,10 @@ from gov_data_pipeline_spark.streaming.monitor import (  # noqa: F401
     psi_drift_sink,
     reference_profile,
 )
+from gov_data_pipeline_spark.streaming.rollup import (  # noqa: F401
+    incremental_hourly_rollup_sink,
+    read_hourly_rollup,
+)
 from gov_data_pipeline_spark.streaming.windows import (  # noqa: F401
     EVENTS_SCHEMA,
     click_purchase_join,

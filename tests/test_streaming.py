@@ -462,3 +462,59 @@ def test_psi_drift_sink_flags_shifted_batch(spark, sf_dir, tmp_path):
     # every type in both batches was scored
     n_types = profile.count()
     assert hist.count() == 2 * n_types
+
+
+def test_incremental_rollup_matches_batch_and_is_replay_idempotent(
+    spark, sf_dir, stream_dir, tmp_path
+):
+    """The combined batch partials must equal the one-shot batch hourly
+    aggregate exactly (counts) / to rounding (double sums), and
+    re-running the same stream against the same output (fresh
+    checkpoint -> every batch replays) must leave the rollup unchanged
+    — the batch_id partition overwrite is the exactly-once mechanism."""
+    from gov_data_pipeline_spark.streaming.rollup import (
+        incremental_hourly_rollup_sink,
+        read_hourly_rollup,
+    )
+
+    out = str(tmp_path / "rollup")
+
+    def run(ckpt: str) -> None:
+        stream = read_events_stream(spark, stream_dir)
+        q = (
+            incremental_hourly_rollup_sink(stream, out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    rolled = read_hourly_rollup(spark, out).toPandas()
+
+    events = read_table(spark, sf_dir, "events")
+    direct = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .withColumn("mean_v", F.col("sum_v") / F.col("n"))
+        .orderBy("event_type", "bar")
+        .toPandas()
+    )
+    assert len(rolled) == len(direct)
+    assert (rolled["n"].values == direct["n"].values).all()
+    assert (rolled["min_v"].values == direct["min_v"].values).all()
+    assert (rolled["max_v"].values == direct["max_v"].values).all()
+    # double sums merge in a different order than the one-shot plan;
+    # equality holds to far beyond 2 dp
+    assert (rolled["sum_v"].round(2).values == direct["sum_v"].round(2).values).all()
+
+    # full replay with a fresh checkpoint: same batches, same batch_ids,
+    # same partitions overwritten -> identical rollup
+    run(str(tmp_path / "ckpt2"))
+    replayed = read_hourly_rollup(spark, out).toPandas()
+    assert (replayed["n"].values == rolled["n"].values).all()
+    assert (replayed["sum_v"].round(2).values == rolled["sum_v"].round(2).values).all()

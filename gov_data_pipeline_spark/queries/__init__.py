@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "q125_heavy_hitters",
     "q126_hourly_percentile_bands",
     "q127_time_to_convert",
+    "q128_expectations",
     # stalest greens, r01 first then r02 (the driver samples the first
     # 50 names of this whole tuple — entries past 50 wait for the next
     # rotation, so the oldest driver rows must enumerate first)

@@ -216,13 +216,94 @@ GROUP BY lang
 ORDER BY lang
 """
 
+
+# ---------------------------------------------------------------------------
+# q128 — declarative expectations report (the ingest contract gate).
+# ---------------------------------------------------------------------------
+
+
+def q128_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-test the lineitem ingest: five row-level expectations
+    evaluated in ONE conditional aggregate over one scan, plus a
+    referential-integrity check against orders (left-anti on the key),
+    emitted as a uniform (check, n_rows, n_violations, pass_rate)
+    report — what a production pipeline publishes to its quality
+    dashboard after every load. NULL verdicts count as violations
+    (strict posture, identical CASE semantics in both engines).
+    """
+    from gov_data_pipeline_spark.operators.expect import (
+        expectations_report,
+        fk_violation_count,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    report = expectations_report(
+        li,
+        [
+            ("discount_in_range", F.col("l_discount").between(0.0, 0.1)),
+            ("price_positive", F.col("l_extendedprice") > 0),
+            ("qty_in_range", F.col("l_quantity").between(1, 50)),
+            ("returnflag_enum", F.col("l_returnflag").isin("A", "N", "R")),
+            ("shipdate_not_null", F.col("l_shipdate").isNotNull()),
+        ],
+    )
+    n_li = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    fk = (
+        fk_violation_count(li, orders, "l_orderkey", "o_orderkey")
+        .crossJoin(F.broadcast(n_li))
+        .select(
+            F.lit("fk_orderkey_in_orders").alias("check"),
+            "n_rows",
+            "n_violations",
+            F.round(
+                (F.col("n_rows") - F.col("n_violations")) / F.col("n_rows"), 6
+            ).alias("pass_rate"),
+        )
+    )
+    return report.unionByName(fk).orderBy("check")
+
+
+_Q128_SQL = """
+WITH row_checks AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END)
+           AS v_discount,
+         sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_price,
+         sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v_qty,
+         sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END)
+           AS v_flag,
+         sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS v_ship
+  FROM lineitem),
+fk AS (
+  SELECT count(*) AS n_violations FROM lineitem l
+  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL),
+rows_out AS (
+  SELECT 'discount_in_range' AS "check", n_rows, v_discount AS n_violations
+  FROM row_checks
+  UNION ALL SELECT 'price_positive', n_rows, v_price FROM row_checks
+  UNION ALL SELECT 'qty_in_range', n_rows, v_qty FROM row_checks
+  UNION ALL SELECT 'returnflag_enum', n_rows, v_flag FROM row_checks
+  UNION ALL SELECT 'shipdate_not_null', n_rows, v_ship FROM row_checks
+  UNION ALL
+  SELECT 'fk_orderkey_in_orders', (SELECT n_rows FROM row_checks),
+         n_violations FROM fk)
+SELECT "check", n_rows, n_violations,
+       round((n_rows - n_violations) / n_rows, 6) AS pass_rate
+FROM rows_out
+ORDER BY "check"
+"""
+
 QUERIES = {
+    "q128_expectations": q128_expectations,
     "q122_k_anonymity": q122_k_anonymity,
     "q90_pii_redact": q90_pii_redact,
     "q93_outlier_zscore": q93_outlier_zscore,
 }
 
 ORACLE = {
+    "q128_expectations": _Q128_SQL,
     "q122_k_anonymity": _Q122_SQL,
     "q90_pii_redact": _Q90_SQL,
     "q93_outlier_zscore": _Q93_SQL,

@@ -240,3 +240,39 @@ class TestOutlierDegenerate:
             .collect()
         )
         assert out == []
+
+
+class TestExpectations:
+    def test_null_verdicts_count_as_violations(self, spark):
+        """A NULL comparison result (NULL value under a range check)
+        must count as a violation — strict posture, pinned."""
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.expect import (
+            expectations_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (None,), (99.0,)], "v double"
+        )
+        rep = expectations_report(
+            df, [("v_in_range", F.col("v").between(0, 10))]
+        ).collect()
+        assert rep[0]["n_rows"] == 3
+        # 99.0 fails the range, NULL fails strictly -> 2 violations
+        assert rep[0]["n_violations"] == 2
+
+    def test_fk_null_keys_are_orphans(self, spark):
+        from gov_data_pipeline_spark.operators.expect import (
+            fk_violation_count,
+        )
+
+        child = spark.createDataFrame(
+            [(1,), (None,), (7,)], "k int"
+        )
+        parent = spark.createDataFrame([(1,), (2,)], "pk int")
+        n = fk_violation_count(child, parent, "k", "pk").collect()[0][
+            "n_violations"
+        ]
+        # 7 has no parent; NULL never matches -> both orphans
+        assert n == 2

@@ -8,12 +8,13 @@ Each submodule declares two dicts:
   parquet tables, producing the identical result (same column names —
   the driver's comparator sorts columns by name before hashing).
 
-Names missing from ``ORACLE`` get the driver's weaker rows-only check;
-that set is exactly ``{q26_approx_agg}`` — the HLL++/quantile sketches
-with no cross-engine-exact form. Everything else, including the hash
-sketches (md5 families) and the streaming operators (batch twins),
-carries a full value-hash oracle; ``tests/test_registry.py`` pins the
-set.
+Every registered query carries an oracle — including the HLL++/quantile
+sketches (q26), which use a *bounds* oracle: the Spark side emits the
+exact statistic plus booleans asserting each sketch landed inside its
+documented accuracy guarantee, and DuckDB computes the same exact values
+with ``TRUE`` literals for the booleans. The hash sketches (md5
+families) and the streaming operators (batch twins) carry full
+value-hash oracles; ``tests/test_registry.py`` pins total coverage.
 """
 
 from __future__ import annotations
@@ -42,75 +43,16 @@ _MODULES = (
 )
 
 # The driver's per-round correctness run samples the FIRST 50 entries of
-# ``queries()`` (insertion order).  Queries that have never had a driver
-# CORRECTNESS row — or whose last sample predates their oracle — are listed
-# here so they enumerate first; everything else (already driver-green in
-# r01/r02) follows in module order.  New queries added in a round should be
-# appended here until they earn a green row.
+# ``queries()`` (insertion order).  Invariant for this tuple: queries with
+# no driver-green row yet enumerate first, then greens from stalest round
+# to freshest; everything green in the LATEST driver round is demoted past
+# position 50 (falls through to module order).  Re-derive the ordering
+# from CORRECTNESS_r{N}.json every round — never trust last round's order.
 _PRIORITY: tuple[str, ...] = (
-    # never driver-green in any round (r03 errored on the events read,
-    # fixed in catalog.read_table this round)
-    "q60_tumbling",
-    "q61_sliding",
-    "q62_session_window",
-    "q63_stream_dedup",
-    "q64_gapfill",
-    "q66_cumulative_alerts",
-    "q76_stream_join",
-    # new in round 4
-    "q80_semantic_clusters_lsh",
-    "q81_xlsx_image_extract",
-    "q82_docx_ingest",
-    "q83_row_index_ingest",
-    "q84_frame_sample",
-    "q85_chunk_documents",
-    "q86_sequence_pack",
-    "q87_decontaminate",
-    "q88_repetition_filter",
-    "q89_curation_pipeline",
-    # new in round 5
-    "q90_pii_redact",
-    "q91_scd2_history",
-    "q92_bucketed_join",
-    "q93_outlier_zscore",
-    # new in round 6
-    "q94_unigram_logprob",
-    "q95_inverted_index",
-    "q96_winsorize",
-    "q97_time_rollup",
-    "q98_point_in_time_join",
-    "q99_hybrid_retrieval",
-    "q100_source_cap_sample",
-    "q101_source_quality_gate",
-    "q102_funnel",
-    "q103_retention",
-    "q104_embed_topk",
-    "q105_corpus_diff",
-    "q106_unpivot",
-    "q107_negative_sampling",
-    "q108_time_weighted_avg",
-    "q109_session_paths",
-    "q110_value_histogram",
-    # r03 events-read casualties, need their re-green row
-    "q06_asof_join",
-    "q11_window_lag",
-    "q13_sessionize",
-    "q17_pivot",
-    "q27_sql_api",
-    "q29_salted_agg",
-    "q34_json",
-    "q36_map",
-    "q71_range_window",
-    # new in round 7 (statistical profiling / ML family). Positions
-    # 48+ of this tuple: with 47 never-sampled/errored entries ahead
-    # of them (the 7 streaming + 38 round-4/5/6 queries + 9 r03
-    # casualties, all of which the round-3 verdict orders re-greened
-    # first), only q111-q113 fit the driver's 50-query window this
-    # rotation; q114-q119 are locally oracle-verified at three SFs and
-    # take the next rotation's slots.
-    "q111_grouped_percentiles",
-    "q112_correlation",
-    "q113_kmeans",
+    # never driver-hash-green: q26 gained its bounds oracle in r05 (all
+    # prior rows were rows-only); q114-q128 were added after the r04
+    # sample was drawn; q129+ are new in r05.
+    "q26_approx_agg",
     "q114_psi_drift",
     "q115_weighted_sample",
     "q116_mad_outliers",
@@ -126,9 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "q126_hourly_percentile_bands",
     "q127_time_to_convert",
     "q128_expectations",
-    # stalest greens, r01 first then r02 (the driver samples the first
-    # 50 names of this whole tuple — entries past 50 wait for the next
-    # rotation, so the oldest driver rows must enumerate first)
+    # last green in r01 (stalest)
     "q41_jaccard_pairs",
     "q44_cosine_topk",
     "q46_cosine_neardup",
@@ -136,14 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "q48_lang_id",
     "q49_fingerprint",
     "q57_winnowing",
-    "q67_dedup_clusters",
-    "q68_bm25",
-    "q69_stratified_sample",
-    "q70_frequent_terms",
-    "q74_semantic_clusters",
-    "q75_corpus_pipeline",
-    "q77_fuzzy_join",
-    "q40_exact_dedup",
+    # last green in r02
     "q20_clean_text",
     "q21_reg_num",
     "q22_exclusion",
@@ -152,6 +85,50 @@ _PRIORITY: tuple[str, ...] = (
     "q33_math",
     "q35_array",
     "q37_base64",
+    "q40_exact_dedup",
+    "q67_dedup_clusters",
+    "q68_bm25",
+    "q69_stratified_sample",
+    "q70_frequent_terms",
+    "q74_semantic_clusters",
+    "q75_corpus_pipeline",
+    "q77_fuzzy_join",
+    # last green in r03 (fill the sample window to 50)
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_semi_join",
+    "q04_anti_join",
+    "q05_band_join",
+    "q07_rollup",
+    "q08_cube",
+    "q09_group_concat",
+    "q10_window_rank",
+    "q12_running_sum",
+    "q14_topk_orders",
+    # --- driver sample boundary (~50) ---
+    "q15_intersect",
+    "q16_except",
+    "q18_row_index",
+    "q19_count_distinct",
+    "q25_header_promotion",
+    "q28_redact",
+    "q30_string_funcs",
+    "q31_regex",
+    "q32_dates",
+    "q42_minhash_lsh",
+    "q43_simhash",
+    "q45_ann_lsh",
+    "q50_llm_enrich",
+    "q51_llm_correction",
+    "q52_multimodal",
+    "q55_ann_ivf",
+    "q56_cosine_neardup_gemm",
+    "q58_overlap_pairs",
+    "q59_incremental_dedup",
+    "q72_upsert_latest",
+    "q73_salted_join",
+    "q78_grouping_sets",
+    "q79_ntile",
 )
 
 

@@ -615,10 +615,11 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# T17 — distinct counting: exact (oracle-checked) and sketch-based
+# T17 — distinct counting: exact (value-oracle-checked) and sketch-based
 # (approx_count_distinct / percentile_approx — HLL/KLL sketches have no
-# cross-engine-identical result, so the approx query takes the driver's
-# rows-only check; the unit bound lives in tests).
+# cross-engine-identical result, so q26 carries a *bounds* oracle: the
+# hash covers the exact distinct counts plus booleans asserting each
+# sketch landed inside its documented accuracy guarantee).
 # ---------------------------------------------------------------------------
 
 
@@ -647,22 +648,63 @@ ORDER BY l_returnflag
 
 
 def q26_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (rows-only check): HLL++ distinct counts and
-    approximate percentiles — the 100 TB path where exact distinct
-    would shuffle every key."""
+    """Sketch aggregates with a *bounds* oracle: HLL++ distinct counts
+    and approximate percentiles — the 100 TB path where exact distinct
+    would shuffle every raw key.
+
+    Sketch values have no cross-engine-identical form, so the oracle
+    contract is the documented accuracy guarantee instead of the value:
+    the Spark side computes both the sketch AND the exact statistic in
+    one grouped aggregate and emits boolean ``*_ok`` columns
+    (``|approx − exact| ≤ ε(exact)``); DuckDB computes the same exact
+    distinct count and asserts the booleans as ``TRUE`` literals.  The
+    value-hash therefore fails unless every sketch really lands inside
+    its guarantee: HLL++ at rsd=0.02 checked at 3σ (±6%), and the
+    accuracy=10000 percentiles checked against generous exact rank
+    brackets ([0.45,0.55] for p50, [0.93,0.97] for p95) — rank error
+    1e-4 is sub-row at test SFs, so the bracket, not the point value,
+    is the portable contract.  Exact percentiles for the bracket are
+    computed Spark-side only (they never cross engines, so float
+    interpolation differences cannot flake the hash)."""
     li = _t(spark, sf_dir, "lineitem")
     pct = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            # Scalar columns, not array<double>: the driver comparator
-            # canonicalizes cell values by hashing and chokes on lists.
-            F.element_at(pct, 1).alias("price_p50"),
-            F.element_at(pct, 2).alias("price_p95"),
-        )
-        .orderBy("l_returnflag")
+    exact_pct = F.expr(
+        "percentile(l_extendedprice, array(0.45D, 0.55D, 0.93D, 0.97D))"
     )
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        # Scalar columns, not array<double>: the driver comparator
+        # canonicalizes cell values by hashing and chokes on lists.
+        F.element_at(pct, 1).alias("p50"),
+        F.element_at(pct, 2).alias("p95"),
+        F.element_at(exact_pct, 1).alias("lo50"),
+        F.element_at(exact_pct, 2).alias("hi50"),
+        F.element_at(exact_pct, 3).alias("lo95"),
+        F.element_at(exact_pct, 4).alias("hi95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 3 * 0.02 * F.col("exact_orders")
+        ).alias("orders_ok"),
+        F.col("p50").between(F.col("lo50"), F.col("hi50")).alias("p50_ok"),
+        F.col("p95").between(F.col("lo95"), F.col("hi95")).alias("p95_ok"),
+    ).orderBy("l_returnflag")
+
+
+_Q26_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS orders_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1226,6 +1268,7 @@ ORACLE = {
     "q18_row_index": _Q18_SQL,
     "q19_count_distinct": _Q19_SQL,
     "q25_header_promotion": _Q25_SQL,
+    "q26_approx_agg": _Q26_SQL,
     "q27_sql_api": _Q27_SQL,
     "q28_redact": _Q28_SQL,
     "q29_salted_agg": _Q29_SQL,

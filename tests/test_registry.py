@@ -48,9 +48,10 @@ def test_phantom_priority_name_raises(monkeypatch):
         reg.all_queries()
 
 
-def test_oracle_coverage_is_total_except_sketches():
-    """Every registered query carries a DuckDB oracle except q26's
-    engine-specific HLL++/quantile sketches — the contract the docs
-    claim. A new no-oracle query must be added here deliberately."""
+def test_oracle_coverage_is_total():
+    """Every registered query carries a DuckDB oracle — including q26,
+    whose sketches are checked through a bounds oracle (exact values +
+    within-guarantee booleans). A new no-oracle query must relax this
+    test deliberately."""
     missing = set(all_queries()) - set(all_oracles())
-    assert missing == {"q26_approx_agg"}, missing
+    assert missing == set(), missing

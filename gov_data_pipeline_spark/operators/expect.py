@@ -4,13 +4,15 @@ pass_rate) report — the contract-testing layer a pipeline runs on
 every ingest before anything downstream sees the data.
 
 Scale shape: all row-level checks compile into a single conditional
-aggregate (one scan, map-side partials, a handful of output rows), and
-the wide→long reshape of the counters is a driver-side projection of
-one aggregated row — no unpivot of the data itself. Referential
-integrity is the one check that needs a second relation; it is a
-LEFT ANTI join on the key (broadcast when the parent's keys are small,
-key-shuffle otherwise — Catalyst/AQE picks), counting orphans without
-materializing them.
+aggregate (one scan, map-side partials) whose output is ONE row
+carrying an array<struct<check,n_violations>>; the wide→long reshape
+is an ``explode`` of that one-row array — a Generate over the
+aggregate, never a union of per-check branches (a union re-plans into
+N independent aggregates, i.e. N scans; ``tests/test_plans.py`` pins
+the single scan). Referential integrity is the one check that needs a
+second relation; it is a LEFT ANTI join on the key (broadcast when the
+parent's keys are small, key-shuffle otherwise — Catalyst/AQE picks),
+counting orphans without materializing them.
 
 The reference has no quality layer (its gates are lint-only,
 `/root/reference/Justfile:1-14`); this extends SURVEY §2.2's L8/T7
@@ -35,32 +37,53 @@ def expectations_report(
 
     Returns one row per check: (check, n_rows, n_violations,
     pass_rate) ordered by check name.
+
+    Check names carry through as string literals inside the aggregate
+    (never as intermediate column aliases), so a name can never collide
+    with an internal alias; duplicates and reserved output names are
+    still rejected up front because they would make the report itself
+    ambiguous.
     """
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
-    for name, ok in checks:
-        aggs.append(
-            F.sum(F.when(ok, 0).otherwise(1)).alias(name)
+    if not checks:
+        raise ValueError("expectations_report needs at least one check")
+    reserved = {"check", "n_rows", "n_violations", "pass_rate"}
+    seen: set[str] = set()
+    for name, _ in checks:
+        if not name or not isinstance(name, str):
+            raise ValueError(f"check name must be a non-empty str: {name!r}")
+        if name in seen:
+            raise ValueError(f"duplicate check name: {name!r}")
+        if name in reserved:
+            raise ValueError(
+                f"check name {name!r} collides with a report column"
+            )
+        seen.add(name)
+    counters = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.sum(F.when(ok, 0).otherwise(1)).alias("n_violations"),
+            )
+            for name, ok in checks
+        ]
+    )
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_rows"), counters.alias("__counters")
+    )
+    return (
+        row.select("n_rows", F.explode("__counters").alias("kv"))
+        .select(
+            F.col("kv.check").alias("check"),
+            "n_rows",
+            F.col("kv.n_violations").alias("n_violations"),
+            F.round(
+                (F.col("n_rows") - F.col("kv.n_violations"))
+                / F.col("n_rows"),
+                6,
+            ).alias("pass_rate"),
         )
-    row = df.agg(*aggs)
-    per_check = [
-        row.select(
-            F.lit(name).alias("check"),
-            F.col("__n_rows").alias("n_rows"),
-            F.col(name).alias("n_violations"),
-        )
-        for name, _ in checks
-    ]
-    out = per_check[0]
-    for p in per_check[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "check",
-        "n_rows",
-        "n_violations",
-        F.round(
-            (F.col("n_rows") - F.col("n_violations")) / F.col("n_rows"), 6
-        ).alias("pass_rate"),
-    ).orderBy("check")
+        .orderBy("check")
+    )
 
 
 def fk_violation_count(

@@ -441,14 +441,17 @@ def q115_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson sampling with inclusion probability proportional to
     document size (the PPS step of quality-weighted corpus mixing):
     target mean rate 1/5, so p_i = min(1, n_chars·N / (5·S)) with
-    S = Σ n_chars. The keep decision is PURE INTEGER —
+    S = Σ n_chars. The keep decision is PURE fixed-point —
     ``bucket·5·S < n_chars·N·2^24`` with a 24-bit md5 bucket — so no
     float can ever disagree between engines, runs, or retries, and a
     document's fate is a stable function of its id (re-ingest safe).
 
-    (At 100 TB the cross-multiplication would be done in DECIMAL(38)
-    or with the shares pre-divided per source to keep the products in
-    int64 range; at fixture scale int64 has ~2 orders of headroom.)
+    The cross-multiplication runs in DECIMAL(38,0) on both sides:
+    int64 would wrap (silently, in Spark's non-ANSI mode) once
+    S exceeds ~1.1e11 chars (2^63/(5·2^24)) while DuckDB promotes to
+    HUGEINT — a silent cross-engine divergence at corpus scale.
+    DECIMAL(38,0) keeps the decision exact to S ≈ 1e30, far past
+    100 TB, at the cost of one widened comparison per row.
 
     Two-phase broadcast shape as q100: one 1-row total broadcast back
     over the scan; the corpus crosses no exchange before the filter.
@@ -460,11 +463,14 @@ def q115_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket24 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
     ).cast("long")
+    dec = "decimal(38,0)"
     kept = (
         docs.crossJoin(F.broadcast(tot))
         .filter(
-            bucket24 * 5 * F.col("sum_chars")
-            < F.col("n_chars") * F.col("n_docs") * F.lit(16777216)
+            bucket24.cast(dec) * 5 * F.col("sum_chars").cast(dec)
+            < F.col("n_chars").cast(dec)
+            * F.col("n_docs").cast(dec)
+            * F.lit(16777216)
         )
     )
     return (
@@ -484,9 +490,9 @@ SELECT d.source,
        count(*) AS n_kept,
        sum(d.n_chars) AS chars_kept
 FROM documents d CROSS JOIN tot
-WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::INT AS BIGINT)
-      * 5 * tot.sum_chars
-      < d.n_chars * tot.n_docs * 16777216
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::INT AS DECIMAL(38,0))
+      * 5 * CAST(tot.sum_chars AS DECIMAL(38,0))
+      < CAST(d.n_chars AS DECIMAL(38,0)) * CAST(tot.n_docs AS DECIMAL(38,0)) * 16777216
 GROUP BY d.source
 ORDER BY d.source
 """

@@ -459,3 +459,50 @@ class TestStatsMLPlans:
         plan = _plan(q119_trend_regression(spark, sf_dir))
         assert "Window" not in plan and "Join" not in plan
         assert plan.count("Scan parquet") == 1
+
+    def test_q128_row_checks_single_scan(self, spark, sf_dir):
+        """The expectations row-check portion must be ONE scan + ONE
+        aggregate: counters come out as an array<struct> from a single
+        agg and reshape via explode. The union-of-selects form this
+        replaced re-planned into N independent aggregates (q128 scanned
+        lineitem 14 times — round-4 ADVICE)."""
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.operators.expect import (
+            expectations_report,
+        )
+        from pyspark.sql import functions as F
+
+        li = read_table(spark, sf_dir, "lineitem")
+        rep = expectations_report(
+            li,
+            [
+                ("price_positive", F.col("l_extendedprice") > 0),
+                ("qty_in_range", F.col("l_quantity").between(1, 50)),
+                ("flag_enum", F.col("l_returnflag").isin("A", "N", "R")),
+            ],
+        )
+        plan = _plan(rep)
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("Union") == 0
+        # full q128 (row checks + FK anti-join + total) stays bounded too
+        from gov_data_pipeline_spark.queries.quality import q128_expectations
+
+        full = _plan(q128_expectations(spark, sf_dir))
+        assert full.count("Scan parquet") <= 4
+
+    def test_expectations_rejects_bad_names(self, spark, sf_dir):
+        import pytest
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.operators.expect import (
+            expectations_report,
+        )
+        from pyspark.sql import functions as F
+
+        li = read_table(spark, sf_dir, "lineitem")
+        ok = F.col("l_quantity") > 0
+        with pytest.raises(ValueError, match="duplicate"):
+            expectations_report(li, [("a", ok), ("a", ok)])
+        with pytest.raises(ValueError, match="collides"):
+            expectations_report(li, [("n_rows", ok)])
+        with pytest.raises(ValueError, match="at least one"):
+            expectations_report(li, [])

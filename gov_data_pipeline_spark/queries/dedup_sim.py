@@ -18,13 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gov_data_pipeline_spark.catalog import read_table as _t
 from gov_data_pipeline_spark.functions import (
     lang_id_col,
-    n_tokens_col,
-    punct_ratio_col,
-    quality_score_col,
-    stopword_ratio_col,
     word_fingerprint_col,
 )
-from gov_data_pipeline_spark.functions.textstats import n_words_col
 from gov_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -189,7 +184,19 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle relation is scanned once and verify never re-joins it
     # (measured ~30% faster than the sig-then-reindex form at sf0.1;
     # see minhash_doc_profile for the scale argument).
-    prof = minhash_doc_profile(ex, "doc_id", num_hashes=32, hash_family="md5")
+    # The profile fans out to THREE consumers (band a-side, band b-side,
+    # verify's two profile lookups); per-consumer column pruning makes
+    # their subtrees structurally different, so Catalyst's exchange
+    # reuse cannot dedupe them and the scan+md5+aggregate pipeline runs
+    # once per consumer (24 parquet scans observed). Persisting the
+    # profile — one compact row per doc: 32-long signature + hash set —
+    # computes it once; MEMORY_AND_DISK spills rather than OOMs when
+    # the corpus outgrows executor storage.
+    from pyspark import StorageLevel
+
+    prof = minhash_doc_profile(
+        ex, "doc_id", num_hashes=32, hash_family="md5"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(prof, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32)
     verified = verify_candidates_hashset(cands, prof, "doc_id", threshold=0.5)
     return verified.orderBy("a_id", "b_id")
@@ -495,16 +502,59 @@ def q56_cosine_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q47_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics, fused: each regex scans the text
+    exactly ONCE, materialized as an intermediate counter column, and
+    the ratios/quality score are arithmetic over those counters.  The
+    compositional form (``punct_ratio_col`` + ``quality_score_col``)
+    re-evaluates the punct regex and the interpreted stopword HOF
+    inside the quality expression — measured +15% on q47 at sf0.1.
+    Stopwords are counted with one codegen'd lookaround regex over the
+    lowered text (token-boundary-anchored, so it matches exactly the
+    whitespace-split tokens) instead of split + higher-order filter —
+    HOFs are interpreted, not codegen'd.  Results are bit-identical to
+    the compositional form (pinned in tests)."""
+    from gov_data_pipeline_spark.functions.textstats import (
+        PUNCT_PATTERN,
+        STOPWORDS,
+        TOKEN_PATTERN,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    stop_re = (
+        r"(?<=\s|^)("
+        + "|".join(sorted(STOPWORDS, key=len, reverse=True))
+        + r")(?=\s|$)"
+    )
+    base = docs.select(
         "doc_id",
         F.length(t).cast("bigint").alias("n_chars"),
-        n_words_col(t).alias("n_words"),
-        n_tokens_col(t).alias("n_tokens"),
-        F.round(punct_ratio_col(t), 4).alias("punct_ratio"),
-        F.round(stopword_ratio_col(t), 4).alias("stopword_ratio"),
-        quality_score_col(t).alias("quality"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("bigint").alias("n_words"),
+        F.regexp_count(t, F.lit(TOKEN_PATTERN)).cast("bigint").alias("n_tokens"),
+        F.regexp_count(t, F.lit(PUNCT_PATTERN)).cast("double").alias("__n_punct"),
+        F.regexp_count(F.lower(F.trim(t)), F.lit(stop_re))
+        .cast("double")
+        .alias("__n_stop"),
+    )
+    praw = F.col("__n_punct") / F.greatest(
+        F.col("n_chars").cast("double"), F.lit(1.0)
+    )
+    sraw = F.col("__n_stop") / F.greatest(
+        F.col("n_words").cast("double"), F.lit(1.0)
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_tokens",
+        F.round(praw, 4).alias("punct_ratio"),
+        F.round(sraw, 4).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+            + 0.3 * (F.lit(1.0) - F.least(praw * 5.0, F.lit(1.0)))
+            + 0.3 * F.least(sraw * 4.0, F.lit(1.0)),
+            4,
+        ).alias("quality"),
     ).orderBy("doc_id")
 
 

@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (coalesce/skew-split) underneath persisted
+        # plans too: cache materialization otherwise runs at the raw
+        # shuffle-partition default with no runtime coalescing, which
+        # both wastes tasks locally and pins cluster cache writes at
+        # whatever width the static plan guessed (q42's profile cache).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # --- python <-> jvm ------------------------------------------

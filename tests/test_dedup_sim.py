@@ -437,3 +437,37 @@ class TestReviewRegressions:
         )
         rows = bm25_scores(docs, "id", F.col("t"), ["Paris"]).collect()
         assert [r["id"] for r in rows] == [1]  # capitalized query used to match nothing
+
+
+def test_q47_fused_matches_compositional(spark, sf_dir):
+    """q47's fused single-scan-per-regex form must stay bit-identical
+    to the compositional textstats API it optimized away."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.catalog import read_table
+    from gov_data_pipeline_spark.functions.textstats import (
+        n_tokens_col,
+        n_words_col,
+        punct_ratio_col,
+        quality_score_col,
+        stopword_ratio_col,
+    )
+    from gov_data_pipeline_spark.queries.dedup_sim import q47_text_stats
+
+    t = F.col("text")
+    reference = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length(t).cast("bigint").alias("n_chars"),
+            n_words_col(t).alias("n_words"),
+            n_tokens_col(t).alias("n_tokens"),
+            F.round(punct_ratio_col(t), 4).alias("punct_ratio"),
+            F.round(stopword_ratio_col(t), 4).alias("stopword_ratio"),
+            quality_score_col(t).alias("quality"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    fused = q47_text_stats(spark, sf_dir).toPandas()
+    assert fused.equals(reference)

@@ -93,11 +93,16 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - record and keep measuring
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
+    sink_timings, sink_errors = bench_streaming_sinks(spark, sf_dir)
+    errors.update(sink_errors)
+
     out = {
         "metric": "headline_queries_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "streaming_sinks_wall_clock": round(sum(sink_timings.values()), 3),
+        "streaming_sinks": sink_timings,
         "sf": sf,
     }
     if errors:
@@ -105,6 +110,78 @@ def main() -> None:
     print(json.dumps(out))
     if errors:
         sys.exit(1)
+
+
+def bench_streaming_sinks(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Wall-clock per foreachBatch sink: feed the sf tables through a
+    4-file file stream (4 micro-batches, availableNow) and time
+    start->termination. Not a per-query steady-state number — it is a
+    REGRESSION TRIPWIRE for the three foreachBatch paths (near-dup
+    ingest, PSI monitor, hourly rollup), which the headline set never
+    executes. Timings include checkpoint and sink I/O by design: that
+    is what a production micro-batch pays."""
+    import shutil
+    import tempfile
+
+    from gov_data_pipeline_spark.catalog import read_table
+    from gov_data_pipeline_spark.streaming import incremental_neardup_sink
+    from gov_data_pipeline_spark.streaming.monitor import (
+        psi_drift_sink,
+        reference_profile,
+    )
+    from gov_data_pipeline_spark.streaming.rollup import (
+        incremental_hourly_rollup_sink,
+    )
+    from gov_data_pipeline_spark.streaming.windows import read_events_stream
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        esrc = f"{work}/events_src"
+        events.repartition(4).write.mode("overwrite").parquet(esrc)
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        dsrc = f"{work}/docs_src"
+        docs.repartition(4).write.mode("overwrite").parquet(dsrc)
+        profile = reference_profile(events)
+
+        jobs = {
+            "neardup_ingest": lambda: incremental_neardup_sink(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(dsrc),
+                f"{work}/corpus",
+                "text",
+                "doc_id",
+                f"{work}/ckpt_neardup",
+                threshold=0.5,
+            ),
+            "psi_monitor": lambda: psi_drift_sink(
+                read_events_stream(spark, esrc),
+                profile,
+                f"{work}/psi_out",
+                f"{work}/ckpt_psi",
+            ),
+            "hourly_rollup": lambda: incremental_hourly_rollup_sink(
+                read_events_stream(spark, esrc),
+                f"{work}/rollup",
+                f"{work}/ckpt_rollup",
+            ),
+        }
+        for name, mk in jobs.items():
+            try:
+                t0 = time.perf_counter()
+                q = mk().trigger(availableNow=True).start()
+                q.awaitTermination(300)
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001 - record and keep measuring
+                errors[f"sink_{name}"] = f"{type(e).__name__}: {e}"[:300]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return timings, errors
 
 
 if __name__ == "__main__":

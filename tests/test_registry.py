@@ -55,3 +55,33 @@ def test_oracle_coverage_is_total():
     test deliberately."""
     missing = set(all_queries()) - set(all_oracles())
     assert missing == set(), missing
+
+
+def test_registered_schemas_are_sortable_scalars(spark):
+    """Driver-comparator contract: the canonicalizer sorts each result
+    column with pandas before hashing, which throws on array/map/struct
+    cells (r01's q26 row died exactly that way). Every registered query
+    must therefore output only scalar, orderable column types. Running
+    each query at sf0.001 resolves the ACTUAL result schema (several
+    queries build schemas dynamically), so this is the contract test,
+    not a convention note.
+
+    A future query that genuinely needs a complex output column should
+    serialize it (to_json / array_join / hash) — and if the driver's
+    comparator ever learns complex types, relax this pin deliberately.
+    """
+    from pyspark.sql import types as T
+
+    scalar_ok = (
+        T.StringType, T.BooleanType, T.ByteType, T.ShortType,
+        T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+        T.DecimalType, T.DateType, T.TimestampType, T.TimestampNTZType,
+        T.BinaryType,
+    )
+    bad: list[str] = []
+    for name, fn in all_queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if not isinstance(f.dataType, scalar_ok):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-scalar output columns break the driver hash: {bad}"

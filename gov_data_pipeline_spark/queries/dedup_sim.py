@@ -24,7 +24,7 @@ from gov_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
 )
-from gov_data_pipeline_spark.operators.similarity import ann_topk, cosine, cosine_topk, ivf_topk
+from gov_data_pipeline_spark.operators.similarity import ann_topk, cosine_topk, ivf_topk
 
 _MUT_OFFSET = 1_000_000
 
@@ -452,17 +452,41 @@ def q46_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold filter runs on the 4-decimal-ROUNDED similarity in
     BOTH engines (the oracle's WHERE mirrors it): comparing raw floats
     against 0.99 would let a pair in [0.98995, 0.99) pass one engine's
-    filter and fail the other's."""
+    filter and fail the other's.
+
+    Norms are precomputed per side (``_pair_cosine``): the fully
+    unrolled per-pair cosine (dot + 2 norms, ~3·dim chained ops)
+    overflowed the JVM's 64 KB method limit inside the join stage and
+    silently dropped the whole pair stage to interpreted evaluation —
+    the same janino fallback q80's fix removed from the LSH tier.
+    Bit-identical results (same IEEE expression, evaluated per vector
+    instead of per pair)."""
+    from gov_data_pipeline_spark.operators.similarity import _norm, _pair_cosine
+
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mutants = _mutant_embeddings(emb)
     dim = _emb_dim(spark, sf_dir)
-    joined = mutants.alias("m").crossJoin(emb.alias("o"))
+    m = mutants.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("__va"),
+        _norm(F.col("embedding"), dim).alias("__na"),
+    )
+    o = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("__vb"),
+        _norm(F.col("embedding"), dim).alias("__nb"),
+    )
     return (
-        joined.select(
-            F.col("m.vec_id").alias("a_id"),
-            F.col("o.vec_id").alias("b_id"),
+        m.crossJoin(o)
+        .select(
+            "a_id",
+            "b_id",
             F.round(
-                cosine(F.col("m.embedding"), F.col("o.embedding"), dim), 4
+                _pair_cosine(
+                    F.col("__va"), F.col("__vb"),
+                    F.col("__na"), F.col("__nb"), dim,
+                ),
+                4,
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.99)
@@ -1364,19 +1388,37 @@ def q74_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact tier."""
     from gov_data_pipeline_spark.operators.graph import dedup_clusters
 
+    from gov_data_pipeline_spark.operators.similarity import _norm, _pair_cosine
+
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mutants = _mutant_embeddings(emb)
     dim = _emb_dim(spark, sf_dir)
     corpus = emb.unionByName(mutants)
-    joined = mutants.alias("m").crossJoin(emb.alias("o"))
+    # norms precomputed per side — same 64 KB-codegen fix as q46; the
+    # pair stage stays whole-stage-compiled instead of interpreted
+    m = mutants.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("__va"),
+        _norm(F.col("embedding"), dim).alias("__na"),
+    )
+    o = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("__vb"),
+        _norm(F.col("embedding"), dim).alias("__nb"),
+    )
     # threshold on the ROUNDED similarity, mirrored by the oracle —
     # raw-float thresholds can disagree across engines by ulps
     pairs = (
-        joined.select(
-            F.col("m.vec_id").alias("a_id"),
-            F.col("o.vec_id").alias("b_id"),
+        m.crossJoin(o)
+        .select(
+            "a_id",
+            "b_id",
             F.round(
-                cosine(F.col("m.embedding"), F.col("o.embedding"), dim), 4
+                _pair_cosine(
+                    F.col("__va"), F.col("__vb"),
+                    F.col("__na"), F.col("__nb"), dim,
+                ),
+                4,
             ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.99)

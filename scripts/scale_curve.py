@@ -1,0 +1,72 @@
+"""sf0.1 -> sf1.0 scale curve: run the headline queries plus the
+round-4/7 scale representatives at both SFs (steady-state best-of-3,
+same methodology as bench.py) and print one markdown table with the
+time ratio per 10x data.
+
+Usage: python scripts/scale_curve.py [sf01_dir] [sf10_dir]
+(sf10_dir defaults to /tmp/sf1.0 — build it with make_scaled_sf.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gov_data_pipeline_spark.queries import all_queries
+from gov_data_pipeline_spark.session import get_spark
+
+NAMES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q06_asof_join",
+    "q09_group_concat",
+    "q10_window_rank",
+    "q13_sessionize",
+    "q41_jaccard_pairs",
+    "q42_minhash_lsh",
+    "q44_cosine_topk",
+    "q47_text_stats",
+    "q50_llm_enrich",
+    "q57_winnowing",
+    "q60_tumbling",
+    "q66_cumulative_alerts",
+    "q80_semantic_clusters_lsh",
+    "q89_curation_pipeline",
+    "q113_kmeans",
+]
+
+
+def best_of_3(fn, spark) -> float:
+    fn().collect()  # codegen warm-up
+    best = float("inf")
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn().collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
+    spark = get_spark(app_name="scale_curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    print("| query | sf0.1 | sf1.0 | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for name in NAMES:
+        fn = registry[name]
+        a = best_of_3(lambda: fn(spark, sf01), spark)
+        b = best_of_3(lambda: fn(spark, sf10), spark)
+        print(
+            f"| {name} | {a:.2f} s | {b:.2f} s | {b / a:.2f}x |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

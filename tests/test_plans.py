@@ -307,6 +307,24 @@ class TestCodegenBudget:
         finally:
             spark.conf.set("spark.sql.codegen.fallback", old)
 
+    def test_brute_force_baselines_compile(self, spark, sf_dir):
+        """Same 64 KB pin for the all-pairs recall baselines: q46/q74
+        used the fully unrolled per-pair cosine and were the last two
+        queries still tripping the Janino fallback (found round 5 by
+        sweeping the registry with fallback disabled)."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q46_cosine_neardup,
+            q74_semantic_clusters,
+        )
+
+        old = spark.conf.get("spark.sql.codegen.fallback", "true")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            q46_cosine_neardup(spark, sf_dir).collect()
+            q74_semantic_clusters(spark, sf_dir).collect()
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old)
+
 
 class TestEventAnalyticsPlans:
     def test_q102_funnel_no_log_self_join(self, spark, sf_dir):

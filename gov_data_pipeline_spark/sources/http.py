@@ -27,7 +27,7 @@ import base64
 import time
 from collections.abc import Iterator
 from typing import Any
-from urllib.request import ProxyHandler, Request, build_opener, urlopen
+from urllib.request import ProxyHandler, Request, build_opener
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -76,7 +76,12 @@ def _fetch_one(
             hdrs["Proxy-Authorization"] = f"Basic {cred}"
         open_fn = opener.open
     else:
-        open_fn = urlopen  # env proxies (http_proxy/no_proxy) apply
+        # env proxies (http_proxy/no_proxy) apply — via a FRESH opener:
+        # plain urlopen() installs a process-global opener whose
+        # ProxyHandler snapshots the environment at first use, so a
+        # proxy exported after any earlier urlopen call in the same
+        # interpreter would silently never apply.
+        open_fn = build_opener().open
 
     delay = retry_delay
     last_status = -1

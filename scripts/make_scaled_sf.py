@@ -61,8 +61,12 @@ def _mutate(table: str, df: DataFrame, k: int) -> DataFrame:
         rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
         df = df.withColumn("text", F.translate("text", VOWELS, rot))
     if table == "embeddings" and k > 0:
+        # rotate by k positions — k must stay below the vector width or
+        # two copies would share a rotation and plant exact cross-copy
+        # vector twins (k=8 ≡ k=0 under a %8 was exactly that bug:
+        # +40% spurious near-dup pairs at factor 10)
         n = F.size("embedding")
-        r = F.lit(k % 8)
+        r = F.lit(k)
         df = df.withColumn(
             "embedding",
             F.concat(

@@ -5,6 +5,9 @@ time ratio per 10x data.
 
 Usage: python scripts/scale_curve.py [sf01_dir] [sf10_dir]
 (sf10_dir defaults to /tmp/sf1.0 — build it with make_scaled_sf.py).
+Env: SCALE_CURVE_ONLY="q01_...,q42_..." restricts to a subset (for
+chunked runs under a wall-clock cap); SCALE_CURVE_RUNS sets the
+best-of count (default 3).
 """
 
 from __future__ import annotations
@@ -40,9 +43,10 @@ NAMES = [
 
 
 def best_of_3(fn, spark) -> float:
+    runs = int(os.environ.get("SCALE_CURVE_RUNS", "3"))
     fn().collect()  # codegen warm-up
     best = float("inf")
-    for _ in range(3):
+    for _ in range(runs):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn().collect()
@@ -56,9 +60,11 @@ def main() -> None:
     spark = get_spark(app_name="scale_curve")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
-    print("| query | sf0.1 | sf1.0 | ratio (10x data) |")
-    print("|---|---|---|---|")
-    for name in NAMES:
+    only = os.environ.get("SCALE_CURVE_ONLY")
+    names = [n for n in NAMES if n in only.split(",")] if only else NAMES
+    print("| query | sf0.1 | sf1.0 | ratio (10x data) |", flush=True)
+    print("|---|---|---|---|", flush=True)
+    for name in names:
         fn = registry[name]
         a = best_of_3(lambda: fn(spark, sf01), spark)
         b = best_of_3(lambda: fn(spark, sf10), spark)

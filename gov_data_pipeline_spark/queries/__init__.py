@@ -68,6 +68,8 @@ _PRIORITY: tuple[str, ...] = (
     "q126_hourly_percentile_bands",
     "q127_time_to_convert",
     "q128_expectations",
+    "q129_html_extract",
+    "q130_url_normalize",
     # last green in r01 (stalest)
     "q41_jaccard_pairs",
     "q44_cosine_topk",

@@ -225,14 +225,116 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q129 — HTML -> text/title extraction (crawl ingest: the step between
+# R1's fetch_urls and the documents table). Synthesize-inside-the-query:
+# each document is wrapped in a full HTML page with a styled head, a
+# script block containing '<' and a fake close tag, a comment, and
+# entity-escaped body text — then the rule-chain extractor must recover
+# EXACTLY the title/body the oracle states directly from the raw
+# columns (ground truth is engine-independent, not a mirrored regex).
+# ---------------------------------------------------------------------------
+
+
+def q129_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.web import (
+        html_text_col,
+        html_title_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    html = F.concat(
+        F.lit("<html><head><title> "),
+        F.col("source"),
+        F.lit(" &amp; page "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { color: red; }</style></head><body>"),
+        F.lit('<script type="text/javascript">var x = 1 < 2 && "</div>";</script>'),
+        F.lit("<!-- boilerplate\n nav -->"),
+        F.lit("<h1 class='hd'>"),
+        F.upper(F.col("source")),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit("</p><p>&lt;escaped&gt; &quot;q&quot; &#39;s&nbsp;end</p>"),
+        F.lit("</body></html>"),
+    )
+    page = docs.select("doc_id", html.alias("__html"))
+    return page.select(
+        "doc_id",
+        html_title_col(F.col("__html")).alias("title"),
+        html_text_col(F.col("__html")).alias("text"),
+    ).orderBy("doc_id")
+
+
+_Q129_SQL = r"""
+SELECT doc_id,
+       source || ' & page ' || CAST(doc_id AS VARCHAR) AS title,
+       source || ' & page ' || CAST(doc_id AS VARCHAR) || ' '
+         || upper(source) || ' '
+         || trim(regexp_replace(text, '\s+', ' ', 'g'))
+         || ' <escaped> "q" ''s end' AS text
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q130 — URL canonicalization for frontier/corpus dedup: scheme+host
+# lowercased, default port and fragment dropped, tracking params
+# stripped, surviving params sorted. The oracle states the expected
+# canonical string directly from the raw columns.
+# ---------------------------------------------------------------------------
+
+
+def q130_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.web import url_normalize_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    messy = F.concat(
+        F.lit("HTTP://Registry."),
+        F.upper(F.col("source")),
+        F.lit(".Example.GOV:80/Files/Doc-"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?z=9&gclid=xyz&a=1#sec-2"))
+        .otherwise(F.lit("#top")),
+    )
+    return (
+        docs.select("doc_id", messy.alias("url"))
+        .select("doc_id", "url", url_normalize_col(F.col("url")).alias("url_norm"))
+        .orderBy("doc_id")
+    )
+
+
+_Q130_SQL = """
+SELECT doc_id,
+       'HTTP://Registry.' || upper(source) || '.Example.GOV:80/Files/Doc-'
+         || CAST(doc_id AS VARCHAR)
+         || CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                            WHEN 1 THEN '?z=9&gclid=xyz&a=1#sec-2'
+                            ELSE '#top' END AS url,
+       'http://registry.' || source || '.example.gov/Files/Doc-'
+         || CAST(doc_id AS VARCHAR)
+         || CASE doc_id % 3 WHEN 0 THEN '?a=1&b=2'
+                            WHEN 1 THEN '?a=1&z=9'
+                            ELSE '' END AS url_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q81_xlsx_image_extract": q81_xlsx_image_extract,
     "q82_docx_ingest": q82_docx_ingest,
     "q83_row_index_ingest": q83_row_index_ingest,
+    "q129_html_extract": q129_html_extract,
+    "q130_url_normalize": q130_url_normalize,
 }
 
 ORACLE = {
     "q81_xlsx_image_extract": _Q81_SQL,
     "q82_docx_ingest": _Q82_SQL,
     "q83_row_index_ingest": _Q83_SQL,
+    "q129_html_extract": _Q129_SQL,
+    "q130_url_normalize": _Q130_SQL,
 }

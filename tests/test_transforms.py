@@ -166,3 +166,57 @@ def test_term_rows_drops_empty_pseudo_terms(spark):
     )
     got = [(r["doc_id"], r["term"]) for r in term_rows(df, "doc_id", F.col("text")).collect()]
     assert sorted(got) == [(1, "hello"), (1, "world"), (4, "one")]
+
+
+class TestWebFunctions:
+    """Edge pins for the crawl-side HTML/URL surface (functions/web.py)."""
+
+    def _one(self, spark, col_fn, value: str) -> str:
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(value,)], "v string")
+        return df.select(col_fn(F.col("v")).alias("o")).collect()[0]["o"]
+
+    def test_html_text_strips_blocks_and_decodes(self, spark):
+        from gov_data_pipeline_spark.functions.web import html_text_col
+
+        html = (
+            "<html><head><style>a{x:1}</style></head><body>"
+            "<script>if (a < b) { s = '</div>'; }</script>"
+            "<!-- hidden -->Hello&nbsp;&amp;lt; <b>world</b></body></html>"
+        )
+        # &amp;lt; decodes to the literal '&lt;' (amp decoded LAST),
+        # never double-decodes to '<'
+        assert self._one(spark, html_text_col, html) == "Hello &lt; world"
+
+    def test_html_title_missing_is_empty(self, spark):
+        from gov_data_pipeline_spark.functions.web import html_title_col
+
+        assert self._one(spark, html_title_col, "<html><body>x</body></html>") == ""
+        assert (
+            self._one(
+                spark,
+                html_title_col,
+                "<title lang='en'>\n A&nbsp;&amp;\tB </title>",
+            )
+            == "A & B"
+        )
+
+    def test_url_normalize_rules(self, spark):
+        from gov_data_pipeline_spark.functions.web import url_normalize_col
+
+        cases = {
+            # host/scheme lowered, :443 dropped for https, fragment gone
+            "HTTPS://Ex.COM:443/A/b#frag": "https://ex.com/A/b",
+            # :80 kept for https (not the default port of that scheme)
+            "https://ex.com:80/x": "https://ex.com:80/x",
+            # params sorted, tracking stripped, empty path -> /
+            "http://ex.com?b=2&utm_source=s&a=1": "http://ex.com/?a=1&b=2",
+            # all params stripped -> no '?'
+            "http://EX.com/p?utm_campaign=c&gclid=1#f": "http://ex.com/p",
+            # non-http passes through untouched
+            "ftp://Mixed.Case/Path": "ftp://Mixed.Case/Path",
+            "not a url": "not a url",
+        }
+        for raw, want in cases.items():
+            assert self._one(spark, url_normalize_col, raw) == want, raw

@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "q128_expectations",
     "q129_html_extract",
     "q130_url_normalize",
+    "q131_pagerank",
     # last green in r01 (stalest)
     "q41_jaccard_pairs",
     "q44_cosine_topk",

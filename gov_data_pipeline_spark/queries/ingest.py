@@ -323,12 +323,93 @@ ORDER BY doc_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q131 — fixed-point PageRank over a deterministic link graph (crawl
+# frontier prioritization — the authority score any registry crawler
+# ranks its frontier by). Graph synthesized from documents: each doc
+# links to 3 quadratic neighbors mod N ((id² + 17j + 7) mod N — the
+# squaring is non-bijective, so in-degrees are genuinely skewed and a
+# uniform-rank bug cannot pass), and the structure exists identically
+# at every SF. INTEGER fixed-point (scale 1e12, d=0.85,
+# 4 iterations): floating PageRank sums are partition-order-sensitive;
+# the fixed-point form is bit-identical across engines and retries,
+# which is what lets the oracle unroll the same 4 iterations in SQL
+# and hash-match exactly. See operators/graph.pagerank.
+# ---------------------------------------------------------------------------
+
+
+def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    link = F.explode(
+        F.array(*[F.lit(j) for j in (0, 1, 2)])
+    ).alias("j")
+    edges = docs.select("doc_id", link).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * F.col("doc_id") + F.col("j") * 17 + 7) % n).alias("dst"),
+    )
+    return (
+        pagerank(
+            edges,
+            docs,
+            id_col="doc_id",
+            iterations=4,
+            damping=0.85,
+            fixed_point_scale=10**12,
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_sql(iterations: int = 4, scale: int = 10**12) -> str:
+    """Unroll the identical fixed-point iterations as chained CTEs."""
+    head = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         (doc_id * doc_id + j * 17 + 7) % nn.n AS dst
+  FROM documents CROSS JOIN nn
+  CROSS JOIN (VALUES (0), (1), (2)) t(j)),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, CAST({scale} // nn.n AS BIGINT) AS r
+       FROM documents CROSS JOIN nn)"""
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f""",
+it{i} AS (
+  SELECT nd.doc_id,
+         CAST((15 * ({scale} // nn.n)) // 100
+              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, sum(p.r // d.deg) AS s
+    FROM edges e
+    JOIN {prev} p ON p.doc_id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON c.dst = nd.doc_id)""")
+        prev = f"it{i}"
+    tail = f"""
+SELECT doc_id, r AS rank FROM {prev} ORDER BY doc_id
+"""
+    return head + "".join(its) + tail
+
+
+_Q131_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "q81_xlsx_image_extract": q81_xlsx_image_extract,
     "q82_docx_ingest": q82_docx_ingest,
     "q83_row_index_ingest": q83_row_index_ingest,
     "q129_html_extract": q129_html_extract,
     "q130_url_normalize": q130_url_normalize,
+    "q131_pagerank": q131_pagerank,
 }
 
 ORACLE = {
@@ -337,4 +418,5 @@ ORACLE = {
     "q83_row_index_ingest": _Q83_SQL,
     "q129_html_extract": _Q129_SQL,
     "q130_url_normalize": _Q130_SQL,
+    "q131_pagerank": _Q131_SQL,
 }

@@ -471,3 +471,77 @@ def test_q47_fused_matches_compositional(spark, sf_dir):
     )
     fused = q47_text_stats(spark, sf_dir).toPandas()
     assert fused.equals(reference)
+
+
+class TestPageRank:
+    def test_star_graph_center_dominates(self, spark):
+        """Hub-and-spoke: every spoke links to the center; the center
+        links to one spoke. Center rank must dominate, spokes that
+        receive nothing sit at the base mass, and total mass stays
+        conserved (float mode redistributes nothing, so mass = 1 minus
+        nothing here: every node has out-edges)."""
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.graph import pagerank
+
+        n = 10
+        nodes = spark.range(n).select(F.col("id"))
+        spokes = spark.range(1, n).select(
+            F.col("id").alias("src"), F.lit(0).alias("dst")
+        )
+        center = spark.createDataFrame([(0, 1)], "src long, dst long")
+        edges = spokes.unionByName(center)
+        ranks = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, nodes, iterations=40).collect()
+        }
+        # analytic equilibrium of the hub/spoke-1 2-cycle:
+        #   rh = 0.015 + 0.85(r1 + 8*0.015), r1 = 0.015 + 0.85*rh
+        assert abs(ranks[0] - 0.12975 / 0.2775) < 1e-3
+        assert abs(ranks[1] - (0.015 + 0.85 * 0.12975 / 0.2775)) < 1e-3
+        base = 0.15 / n
+        for spoke in range(2, n):
+            assert abs(ranks[spoke] - base) < 1e-12  # no in-edges
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
+
+    def test_fixed_point_tracks_float(self, spark):
+        """Fixed-point ranks must agree with float ranks to the
+        truncation error (a few units per iteration at scale 1e12)."""
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.graph import pagerank
+
+        n = 50
+        nodes = spark.range(n).select(F.col("id"))
+        edges = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("src"),
+                ((F.col("id") * F.col("id") + 7) % n).alias("dst"),
+            )
+        )
+        fl = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, nodes, iterations=4).collect()
+        }
+        fp = {
+            r["id"]: r["rank"]
+            for r in pagerank(
+                edges, nodes, iterations=4, fixed_point_scale=10**12
+            ).collect()
+        }
+        for i in range(n):
+            assert abs(fp[i] / 10**12 - fl[i]) < 1e-6, i
+
+    def test_fixed_point_rejects_irrational_damping(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.graph import pagerank
+
+        nodes = spark.range(3).select(F.col("id"))
+        edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with pytest.raises(ValueError, match="/100"):
+            pagerank(
+                edges, nodes, damping=0.8567, fixed_point_scale=10**12
+            )

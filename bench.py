@@ -175,8 +175,16 @@ def bench_streaming_sinks(
             try:
                 t0 = time.perf_counter()
                 q = mk().trigger(availableNow=True).start()
-                q.awaitTermination(300)
-                timings[name] = round(time.perf_counter() - t0, 3)
+                finished = q.awaitTermination(300)
+                if not finished:
+                    # awaitTermination(timeout) returns False WITHOUT
+                    # raising — stop the straggler so it can't keep
+                    # burning the cluster under later measurements, and
+                    # record the timeout as an error, not a timing.
+                    q.stop()
+                    errors[f"sink_{name}"] = "timeout after 300s"
+                else:
+                    timings[name] = round(time.perf_counter() - t0, 3)
             except Exception as e:  # noqa: BLE001 - record and keep measuring
                 errors[f"sink_{name}"] = f"{type(e).__name__}: {e}"[:300]
     finally:

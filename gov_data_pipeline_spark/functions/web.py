@@ -107,3 +107,137 @@ def url_normalize_col(url: Column) -> Column:
     ).otherwise(F.lit(""))
     normalized = F.concat(scheme, F.lit("://"), auth, path, qpart)
     return F.when(scheme.isin("http", "https"), normalized).otherwise(url)
+
+
+def sitemap_locs_col(xml: Column) -> Column:
+    """All ``<loc>`` URLs of a sitemap (or sitemap-index) document, in
+    document order, whitespace-trimmed and the four XML entities
+    decoded (sitemaps escape ``&`` in query strings as ``&amp;``).
+    Returns array<string>; explode it into a crawl frontier."""
+    locs = F.regexp_extract_all(xml, F.lit(r"(?is)<loc[^>]*>(.*?)</loc>"), 1)
+    return F.transform(
+        locs,
+        lambda u: F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(F.trim(u), F.lit("&lt;"), F.lit("<")),
+                    F.lit("&gt;"),
+                    F.lit(">"),
+                ),
+                F.lit("&quot;"),
+                F.lit('"'),
+            ),
+            F.lit("&amp;"),
+            F.lit("&"),
+        ),
+    )
+
+
+def robots_rules_col(robots_txt: Column, agent: Column | None = None) -> Column:
+    """Allow/Disallow prefix rules that apply to ``agent`` (default
+    ``*``) from a robots.txt document, as array<struct<allow:boolean,
+    prefix:string>>.
+
+    Group semantics (RFC 9309): a group is one or more consecutive
+    ``User-agent:`` lines followed by rules; a group applies when one
+    of its agent tokens equals the caller's agent (exact,
+    case-insensitive) or ``*``; specific-agent groups take precedence
+    over ``*`` groups — if any group names the agent exactly, only
+    those groups' rules apply. Blank ``Disallow:`` (allow-all) yields
+    no rule. Comments (#) stripped; field names case-insensitive.
+
+    Pure column expression: split to lines, tag each line with its
+    group ordinal (a running count of group STARTS — a User-agent line
+    whose predecessor is not also a User-agent line), then one filter/
+    transform chain. No UDF; mirrors line-for-line in DuckDB list
+    functions for the oracle.
+    """
+    agent_c = F.lower(agent) if agent is not None else F.lit("*")
+    lines = F.split(F.regexp_replace(robots_txt, r"(?m)#.*$", ""), r"\r?\n")
+    # (line, is_ua, group_id) — group_id = running count of group starts
+    tagged = F.transform(
+        lines,
+        lambda ln, i: F.struct(
+            F.trim(ln).alias("ln"),
+            F.trim(ln).rlike(r"(?i)^user-agent\s*:").alias("is_ua"),
+            F.when(
+                F.trim(ln).rlike(r"(?i)^user-agent\s*:")
+                & ~F.when(i > 0, F.trim(F.element_at(lines, i)))
+                .otherwise(F.lit(""))
+                .rlike(r"(?i)^user-agent\s*:"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("starts"),
+            i.alias("i"),
+        ),
+    )
+    with_gid = F.transform(
+        tagged,
+        lambda s, i: F.struct(
+            s["ln"].alias("ln"),
+            s["is_ua"].alias("is_ua"),
+            F.aggregate(
+                F.slice(tagged, 1, i + 1),
+                F.lit(0),
+                lambda acc, x: acc + x["starts"],
+            ).alias("gid"),
+        ),
+    )
+    # agent tokens per group (lowercased)
+    ua_of = lambda s: F.lower(  # noqa: E731
+        F.trim(F.regexp_replace(s["ln"], r"(?i)^user-agent\s*:", ""))
+    )
+    groups_for_agent = F.array_distinct(
+        F.transform(
+            F.filter(
+                with_gid, lambda s: s["is_ua"] & (ua_of(s) == agent_c)
+            ),
+            lambda s: s["gid"],
+        )
+    )
+    groups_wildcard = F.array_distinct(
+        F.transform(
+            F.filter(
+                with_gid, lambda s: s["is_ua"] & (ua_of(s) == F.lit("*"))
+            ),
+            lambda s: s["gid"],
+        )
+    )
+    active = F.when(F.size(groups_for_agent) > 0, groups_for_agent).otherwise(
+        groups_wildcard
+    )
+    rule_re = r"(?i)^(allow|disallow)\s*:"
+    rules = F.filter(
+        with_gid,
+        lambda s: F.array_contains(active, s["gid"])
+        & s["ln"].rlike(rule_re)
+        & (F.trim(F.regexp_replace(s["ln"], rule_re, "")) != ""),
+    )
+    return F.transform(
+        rules,
+        lambda s: F.struct(
+            F.lower(s["ln"]).startswith("allow").alias("allow"),
+            F.trim(F.regexp_replace(s["ln"], rule_re, "")).alias("prefix"),
+        ),
+    )
+
+
+def robots_allowed_col(rules: Column, path: Column) -> Column:
+    """Longest-match verdict for ``path`` against
+    :func:`robots_rules_col` output: among rules whose prefix starts
+    the path, the LONGEST wins; a length tie goes to Allow (the RFC
+    9309 / Google tie-break); no matching rule means allowed."""
+    matching = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("len"),
+                # allow sorts AFTER disallow at equal length -> wins ties
+                r["allow"].cast("int").alias("allow_rank"),
+                r["allow"].alias("allow"),
+            ),
+        )
+    )
+    return F.when(F.size(matching) == 0, F.lit(True)).otherwise(best["allow"])

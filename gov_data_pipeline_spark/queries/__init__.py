@@ -71,6 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "q129_html_extract",
     "q130_url_normalize",
     "q131_pagerank",
+    "q132_sitemap_extract",
+    "q133_robots_gate",
     # last green in r01 (stalest)
     "q41_jaccard_pairs",
     "q44_cosine_topk",
@@ -103,12 +105,12 @@ _PRIORITY: tuple[str, ...] = (
     "q04_anti_join",
     "q05_band_join",
     "q07_rollup",
+    # --- driver sample boundary (first 50 end here) ---
     "q08_cube",
     "q09_group_concat",
     "q10_window_rank",
     "q12_running_sum",
     "q14_topk_orders",
-    # --- driver sample boundary (~50) ---
     "q15_intersect",
     "q16_except",
     "q18_row_index",

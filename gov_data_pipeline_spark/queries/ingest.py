@@ -403,6 +403,120 @@ SELECT doc_id, r AS rank FROM {prev} ORDER BY doc_id
 _Q131_SQL = _pagerank_sql()
 
 
+# ---------------------------------------------------------------------------
+# q132 — sitemap ingestion: per-source sitemap XML (built from that
+# source's documents, entity-escaped query strings) -> ordered <loc>
+# frontier rows. The oracle states each source's URL list directly.
+# ---------------------------------------------------------------------------
+
+
+def q132_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.web import sitemap_locs_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    entry = F.concat(
+        F.lit("<url><loc> https://"),
+        F.col("source"),
+        F.lit(".example.gov/doc?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&amp;v=1 </loc></url>"),
+    )
+    sitemaps = docs.groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", entry.alias("e")))
+                    ),
+                    lambda s: s["e"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("__xml")
+    )
+    return (
+        sitemaps.select(
+            "source",
+            F.posexplode(sitemap_locs_col(F.col("__xml"))).alias("pos", "loc"),
+        )
+        .orderBy("source", "pos")
+    )
+
+
+_Q132_SQL = """
+SELECT source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS pos,
+       'https://' || source || '.example.gov/doc?id='
+         || CAST(doc_id AS VARCHAR) || '&v=1' AS loc
+FROM documents
+ORDER BY source, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# q133 — robots.txt crawl gate: per-source robots documents (group
+# semantics, specific-agent precedence, longest-prefix match with the
+# RFC 9309 allow tie-break) evaluated against each document's URL
+# path. The oracle computes the verdict from the CONSTRUCTION rules,
+# not from a mirrored parser — so a parsing bug on either layer
+# (grouping, precedence, longest-match) breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def q133_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.web import (
+        robots_allowed_col,
+        robots_rules_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    robots = F.concat(
+        F.lit("# registry crawl policy\nUser-agent: googlebot\nDisallow: /private\n\nUser-agent: *\n"),
+        F.when(
+            srcnum % 3 == 0,
+            F.lit("Allow: /files/public\nDisallow: /files\n"),
+        )
+        .when(srcnum % 3 == 1, F.lit("Disallow: /tmp\n"))
+        .otherwise(F.lit("Disallow:\n")),
+    )
+    path = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/files/public/doc-"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/files/doc-"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/tmp/doc-"))
+        .otherwise(F.lit("/doc-")),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            path.alias("path"),
+            robots_allowed_col(
+                robots_rules_col(robots), path
+            ).alias("allowed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q133_SQL = """
+SELECT doc_id,
+       source,
+       CASE doc_id % 4 WHEN 0 THEN '/files/public/doc-'
+                       WHEN 1 THEN '/files/doc-'
+                       WHEN 2 THEN '/tmp/doc-'
+                       ELSE '/doc-' END || CAST(doc_id AS VARCHAR) AS path,
+       CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 AND doc_id % 4 = 1 THEN FALSE
+            WHEN CAST(substr(source, 4) AS INT) % 3 = 1 AND doc_id % 4 = 2 THEN FALSE
+            ELSE TRUE END AS allowed
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q81_xlsx_image_extract": q81_xlsx_image_extract,
     "q82_docx_ingest": q82_docx_ingest,
@@ -410,6 +524,8 @@ QUERIES = {
     "q129_html_extract": q129_html_extract,
     "q130_url_normalize": q130_url_normalize,
     "q131_pagerank": q131_pagerank,
+    "q132_sitemap_extract": q132_sitemap_extract,
+    "q133_robots_gate": q133_robots_gate,
 }
 
 ORACLE = {
@@ -419,4 +535,6 @@ ORACLE = {
     "q129_html_extract": _Q129_SQL,
     "q130_url_normalize": _Q130_SQL,
     "q131_pagerank": _Q131_SQL,
+    "q132_sitemap_extract": _Q132_SQL,
+    "q133_robots_gate": _Q133_SQL,
 }

@@ -220,3 +220,59 @@ class TestWebFunctions:
         }
         for raw, want in cases.items():
             assert self._one(spark, url_normalize_col, raw) == want, raw
+
+    def test_sitemap_locs_order_and_entities(self, spark):
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.functions.web import sitemap_locs_col
+
+        xml = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc> http://a.gov/x?a=1&amp;b=2 </loc></url>"
+            "<url><LOC>http://a.gov/y</LOC></url>"
+            "</urlset>"
+        )
+        df = spark.createDataFrame([(xml,)], "s string")
+        locs = df.select(sitemap_locs_col(F.col("s")).alias("l")).collect()[0]["l"]
+        assert locs == ["http://a.gov/x?a=1&b=2", "http://a.gov/y"]
+
+    def test_robots_group_precedence_and_longest_match(self, spark):
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.functions.web import (
+            robots_allowed_col,
+            robots_rules_col,
+        )
+
+        robots = (
+            "# policy\n"
+            "User-agent: googlebot\n"
+            "Disallow: /private\n"
+            "\n"
+            "User-agent: *\n"
+            "User-agent: legacybot\n"  # multi-agent group header
+            "Allow: /files/public\n"
+            "Disallow: /files\n"
+            "Disallow: /tmp\n"
+            "Disallow:\n"  # blank = allow-all, yields no rule
+        )
+        df = spark.createDataFrame([(robots,)], "r string")
+
+        def verdict(path, agent=None):
+            rules = robots_rules_col(
+                F.col("r"), F.lit(agent) if agent else None
+            )
+            return df.select(
+                robots_allowed_col(rules, F.lit(path)).alias("ok")
+            ).collect()[0]["ok"]
+
+        # longest-prefix: Allow /files/public beats Disallow /files
+        assert verdict("/files/public/x") is True
+        assert verdict("/files/secret") is False
+        assert verdict("/tmp/a") is False
+        assert verdict("/other") is True
+        # specific-agent group REPLACES the * group entirely
+        assert verdict("/files/secret", agent="GoogleBot") is True
+        assert verdict("/private/x", agent="googlebot") is False
+        # legacybot shares the * group's rules via the multi-agent header
+        assert verdict("/files/secret", agent="legacybot") is False

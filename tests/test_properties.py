@@ -502,3 +502,127 @@ def test_rank_winsorize_matches_python_model(spark, rows):
         s = sum(min(max(v, lo), hi) for v in xs)
         assert got[g][0] == lo and got[g][1] == hi
         assert abs(got[g][2] - s) < 1e-9 * max(1.0, abs(s))
+
+
+# ---------------------------------------------------------------------------
+# Crawl-side web surface (functions/web.py): URL normalization
+# idempotence + robots evaluation vs a pure-Python RFC 9309 model.
+# ---------------------------------------------------------------------------
+
+_url_path_chars = list("abcXYZ09/._-%")
+_url_q_chars = list("abz09=&_")
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    host=st.text(alphabet=list("aBc09.-"), min_size=1, max_size=12),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.text(alphabet=_url_path_chars, min_size=0, max_size=20),
+    query=st.text(alphabet=_url_q_chars, min_size=0, max_size=20),
+    frag=st.sampled_from(["", "#x", "#sec-1"]),
+)
+def test_url_normalize_idempotent(spark, scheme, host, port, path, query, frag):
+    """normalize(normalize(u)) == normalize(u): canonicalization must
+    be a projection — a second pass changes nothing (the property that
+    makes frontier dedup by string equality sound)."""
+    from gov_data_pipeline_spark.functions.web import url_normalize_col
+
+    url = f"{scheme}://{host}{port}/{path}"
+    if query:
+        url += f"?{query}"
+    url += frag
+    df = spark.createDataFrame([(url,)], "u string")
+    once = df.select(url_normalize_col(F.col("u")).alias("n"))
+    row = once.select(
+        "n", url_normalize_col(F.col("n")).alias("n2")
+    ).collect()[0]
+    assert row["n"] == row["n2"], url
+
+
+def _model_robots_allowed(robots_txt: str, agent: str, path: str) -> bool:
+    """Sequential RFC 9309 model: group parsing, specific-agent
+    precedence, longest-prefix match, allow tie-break."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_header = False
+    for raw in re.sub(r"(?m)#.*$", "", robots_txt).splitlines():
+        line = raw.strip()
+        m = re.match(r"(?i)^user-agent\s*:(.*)$", line)
+        if m:
+            if not in_header:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_header = True
+            cur_agents.append(m.group(1).strip().lower())
+            continue
+        in_header = False
+        m = re.match(r"(?i)^(allow|disallow)\s*:(.*)$", line)
+        if m and m.group(2).strip():
+            cur_rules.append(
+                (m.group(1).lower() == "allow", m.group(2).strip())
+            )
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    agent = agent.lower()
+    exact = [g for g in groups if agent in g[0]]
+    star = [g for g in groups if "*" in g[0]]
+    active = exact if exact else star
+    rules = [r for g in active for r in g[1]]
+    matching = [r for r in rules if path.startswith(r[1])]
+    if not matching:
+        return True
+    # longest prefix wins; ties go to allow
+    return max(matching, key=lambda r: (len(r[1]), r[0]))[0]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["*", "googlebot", "ourbot", "other"]),
+                min_size=1,
+                max_size=2,
+            ),
+            st.lists(
+                st.tuples(
+                    st.booleans(),
+                    st.sampled_from(
+                        ["/a", "/a/b", "/a/bc", "/tmp", "/files", ""]
+                    ),
+                ),
+                min_size=0,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    agent=st.sampled_from(["ourbot", "googlebot", "nobody"]),
+    path=st.sampled_from(["/a/b/c", "/a/bcd", "/tmp/x", "/files", "/else"]),
+)
+def test_robots_matches_model(spark, groups, agent, path):
+    from gov_data_pipeline_spark.functions.web import (
+        robots_allowed_col,
+        robots_rules_col,
+    )
+
+    lines = []
+    for agents, rules in groups:
+        for a in agents:
+            lines.append(f"User-agent: {a}")
+        for allow, prefix in rules:
+            lines.append(f"{'Allow' if allow else 'Disallow'}: {prefix}")
+        lines.append("")
+    robots = "\n".join(lines)
+    df = spark.createDataFrame([(robots,)], "r string")
+    got = df.select(
+        robots_allowed_col(
+            robots_rules_col(F.col("r"), F.lit(agent)), F.lit(path)
+        ).alias("ok")
+    ).collect()[0]["ok"]
+    want = _model_robots_allowed(robots, agent, path)
+    assert got == want, f"{robots!r} agent={agent} path={path}"

@@ -276,3 +276,33 @@ class TestWebFunctions:
         assert verdict("/private/x", agent="googlebot") is False
         # legacybot shares the * group's rules via the multi-agent header
         assert verdict("/files/secret", agent="legacybot") is False
+
+    def test_crawl_frontier_example_end_to_end(self, spark, sf_dir):
+        """examples/crawl_frontier.py composes the whole web surface;
+        pin its stage contract: the messy sitemap duplicates collapse
+        under normalization, the robots gate drops exactly the ids the
+        policy names, and every doc survives to pages/ranks."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "crawl_frontier",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "examples",
+                "crawl_frontier.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        counts = mod.run(spark, sf_dir)
+        n = 500  # docs at sf0.001
+        assert counts["frontier_raw"] == 2 * n
+        assert counts["frontier_canonical"] == n  # dups collapsed
+        # robots rules are PREFIX matches: Disallow /doc/17 blocks id
+        # 17 AND 170-179; id 7 ("/doc/7") matches no two-digit rule
+        prefixes = tuple(f"{d}7" for d in range(10))
+        n_blocked = sum(1 for d in range(n) if str(d).startswith(prefixes))
+        assert n_blocked == 49
+        assert counts["frontier_fetchable"] == n - n_blocked
+        assert counts["pages"] == n and counts["ranked"] == n

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "q131_pagerank",
     "q132_sitemap_extract",
     "q133_robots_gate",
+    "q134_image_dims",
     # last green in r01 (stalest)
     "q41_jaccard_pairs",
     "q44_cosine_topk",
@@ -104,8 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     "q03_semi_join",
     "q04_anti_join",
     "q05_band_join",
-    "q07_rollup",
     # --- driver sample boundary (first 50 end here) ---
+    "q07_rollup",
     "q08_cube",
     "q09_group_concat",
     "q10_window_rank",

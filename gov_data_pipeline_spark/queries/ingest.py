@@ -517,6 +517,68 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q134 — image-header metadata at scale: real PNG/GIF binaries (built
+# through the stdlib PNG codec on the driver for the 35 distinct
+# dimension combos, broadcast-joined onto the corpus) probed by the
+# PURE-COLUMN header parser — no Python crossing, O(header) bytes per
+# row. The oracle states every dimension from the doc_id arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def q134_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from gov_data_pipeline_spark.sources.multimodal import image_header_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rows = []
+    for m7 in range(7):
+        for m5 in range(5):
+            rows.append(
+                (
+                    m7,
+                    m5,
+                    solid_png(m7 + 1, m5 + 1, (m7 * 30, m5 * 40, 7)),
+                    b"GIF89a"
+                    + struct.pack("<HH", 100 + m7, 50 + m5)
+                    + b"\x00\x00\x00",
+                )
+            )
+    lookup = spark.createDataFrame(
+        rows, "m7 int, m5 int, png binary, gif binary"
+    )
+    media = docs.join(
+        F.broadcast(lookup),
+        (F.col("doc_id") % 7 == F.col("m7"))
+        & (F.col("doc_id") % 5 == F.col("m5")),
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("gif"))
+        .otherwise(F.col("png"))
+        .alias("data"),
+    )
+    hdr = image_header_col(F.col("data"))
+    return media.select(
+        "doc_id",
+        hdr["format"].alias("format"),
+        hdr["width"].alias("width"),
+        hdr["height"].alias("height"),
+    ).orderBy("doc_id")
+
+
+_Q134_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'gif' ELSE 'png' END AS format,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 100 + doc_id % 7
+                 ELSE doc_id % 7 + 1 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 50 + doc_id % 5
+                 ELSE doc_id % 5 + 1 END AS BIGINT) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q81_xlsx_image_extract": q81_xlsx_image_extract,
     "q82_docx_ingest": q82_docx_ingest,
@@ -526,6 +588,7 @@ QUERIES = {
     "q131_pagerank": q131_pagerank,
     "q132_sitemap_extract": q132_sitemap_extract,
     "q133_robots_gate": q133_robots_gate,
+    "q134_image_dims": q134_image_dims,
 }
 
 ORACLE = {
@@ -537,4 +600,5 @@ ORACLE = {
     "q131_pagerank": _Q131_SQL,
     "q132_sitemap_extract": _Q132_SQL,
     "q133_robots_gate": _Q133_SQL,
+    "q134_image_dims": _Q134_SQL,
 }

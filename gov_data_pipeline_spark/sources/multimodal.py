@@ -264,3 +264,47 @@ def resize_media(
             yield pd.DataFrame(cols, index=pdf.index)
 
     return df.mapInPandas(mapper, schema=out_schema)
+
+
+def image_header_col(data: Column) -> Column:
+    """Container-header probe as a PURE COLUMN EXPRESSION:
+    struct<format, width, height> for PNG and GIF binaries, nulls for
+    anything else. The JVM-side twin of :func:`png_codec.image_info`
+    — at 100 TB of images the metadata pass must not ship every blob
+    through Arrow to Python just to read 24 header bytes; this stays
+    inside whole-stage codegen and reads O(header) bytes per row
+    (``substring`` on binary slices, no full-blob hex).
+
+    JPEG is deliberately absent here: its dimensions live in an SOFn
+    segment at a data-dependent offset (a scan, not a fixed slice) —
+    the ``mapInPandas`` prober handles it; probing a JPEG with this
+    returns format=null.
+    """
+
+    def be32(pos: int) -> Column:
+        return F.conv(F.hex(F.substring(data, pos, 4)), 16, 10).cast("long")
+
+    def u8(pos: int) -> Column:
+        return F.conv(F.hex(F.substring(data, pos, 1)), 16, 10).cast("long")
+
+    def le16(pos: int) -> Column:
+        return u8(pos) + 256 * u8(pos + 1)
+
+    is_png = (F.hex(F.substring(data, 1, 8)) == "89504E470D0A1A0A") & (
+        F.hex(F.substring(data, 13, 4)) == "49484452"  # IHDR
+    )
+    is_gif = F.hex(F.substring(data, 1, 3)) == "474946"
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    width = (
+        F.when(is_png, be32(17)).when(is_gif, le16(7)).otherwise(F.lit(None))
+    )
+    height = (
+        F.when(is_png, be32(21)).when(is_gif, le16(9)).otherwise(F.lit(None))
+    )
+    return F.struct(
+        fmt.alias("format"), width.alias("width"), height.alias("height")
+    )

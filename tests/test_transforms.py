@@ -306,3 +306,40 @@ class TestWebFunctions:
         assert n_blocked == 49
         assert counts["frontier_fetchable"] == n - n_blocked
         assert counts["pages"] == n and counts["ranked"] == n
+
+    def test_image_header_col_matches_python_prober(self, spark):
+        """The JVM column prober must agree with png_codec.image_info
+        on PNG (incl. >64k dims), GIF, and junk bytes."""
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.sources.multimodal import image_header_col
+        from gov_data_pipeline_spark.sources.png_codec import image_info, solid_png
+
+        rows = [
+            ("png3x2", solid_png(3, 2, (1, 2, 3))),
+            (
+                "png_huge",
+                b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR"
+                + struct.pack(">II", 300, 70000)
+                + b"\x00" * 5,
+            ),
+            ("gif", b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00" * 3),
+            ("junk", bytes(range(16))),
+        ]
+        df = spark.createDataFrame(rows, "name string, data binary")
+        got = {
+            r["name"]: r["hdr"].asDict()
+            for r in df.select(
+                "name", image_header_col(F.col("data")).alias("hdr")
+            ).collect()
+        }
+        for name, data in rows:
+            py = image_info(data)
+            if py is None or py["format"] == "jpeg":
+                assert got[name]["format"] is None
+            else:
+                assert got[name]["format"] == py["format"]
+                assert got[name]["width"] == int(py["width"])
+                assert got[name]["height"] == int(py["height"])

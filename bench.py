@@ -148,45 +148,55 @@ def bench_streaming_sinks(
         docs.repartition(4).write.mode("overwrite").parquet(dsrc)
         profile = reference_profile(events)
 
-        jobs = {
-            "neardup_ingest": lambda: incremental_neardup_sink(
-                spark.readStream.schema("doc_id long, text string")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(dsrc),
-                f"{work}/corpus",
-                "text",
-                "doc_id",
-                f"{work}/ckpt_neardup",
-                threshold=0.5,
-            ),
-            "psi_monitor": lambda: psi_drift_sink(
-                read_events_stream(spark, esrc),
-                profile,
-                f"{work}/psi_out",
-                f"{work}/ckpt_psi",
-            ),
-            "hourly_rollup": lambda: incremental_hourly_rollup_sink(
-                read_events_stream(spark, esrc),
-                f"{work}/rollup",
-                f"{work}/ckpt_rollup",
-            ),
-        }
-        for name, mk in jobs.items():
-            try:
-                t0 = time.perf_counter()
-                q = mk().trigger(availableNow=True).start()
-                finished = q.awaitTermination(300)
-                if not finished:
-                    # awaitTermination(timeout) returns False WITHOUT
-                    # raising — stop the straggler so it can't keep
-                    # burning the cluster under later measurements, and
-                    # record the timeout as an error, not a timing.
-                    q.stop()
-                    errors[f"sink_{name}"] = "timeout after 300s"
-                else:
-                    timings[name] = round(time.perf_counter() - t0, 3)
-            except Exception as e:  # noqa: BLE001 - record and keep measuring
-                errors[f"sink_{name}"] = f"{type(e).__name__}: {e}"[:300]
+        # run(name, attempt) builds the sink against FRESH state dirs:
+        # sinks are side-effecting (corpus/checkpoint/output), so
+        # best-of-N must give every attempt its own directories or the
+        # second run measures a no-op replay.
+        def run(name: str, attempt: int):
+            d = f"{work}/{name}_{attempt}"
+            if name == "neardup_ingest":
+                return incremental_neardup_sink(
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(dsrc),
+                    f"{d}/corpus",
+                    "text",
+                    "doc_id",
+                    f"{d}/ckpt",
+                    threshold=0.5,
+                )
+            if name == "psi_monitor":
+                return psi_drift_sink(
+                    read_events_stream(spark, esrc),
+                    profile,
+                    f"{d}/out",
+                    f"{d}/ckpt",
+                )
+            return incremental_hourly_rollup_sink(
+                read_events_stream(spark, esrc), f"{d}/out", f"{d}/ckpt"
+            )
+
+        for name in ("neardup_ingest", "psi_monitor", "hourly_rollup"):
+            best = float("inf")
+            for attempt in range(2):  # best-of-2: harness throttling waves
+                try:
+                    t0 = time.perf_counter()
+                    q = run(name, attempt).trigger(availableNow=True).start()
+                    finished = q.awaitTermination(300)
+                    if not finished:
+                        # awaitTermination(timeout) returns False WITHOUT
+                        # raising — stop the straggler so it can't keep
+                        # burning the cluster under later measurements,
+                        # and record the timeout as an error.
+                        q.stop()
+                        errors[f"sink_{name}"] = "timeout after 300s"
+                        break
+                    best = min(best, time.perf_counter() - t0)
+                except Exception as e:  # noqa: BLE001 - record, keep measuring
+                    errors[f"sink_{name}"] = f"{type(e).__name__}: {e}"[:300]
+                    break
+            if best < float("inf"):
+                timings[name] = round(best, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return timings, errors

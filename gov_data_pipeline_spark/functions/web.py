@@ -151,6 +151,12 @@ def robots_rules_col(robots_txt: Column, agent: Column | None = None) -> Column:
     whose predecessor is not also a User-agent line), then one filter/
     transform chain. No UDF; mirrors line-for-line in DuckDB list
     functions for the oracle.
+
+    The running count is an ``aggregate(slice(...))`` prefix sum —
+    O(L²) in the file's LINE count per row. robots.txt files are tens
+    of lines (Google caps parsing at 500 KiB; rule counts stay small),
+    so this never matters; parsing a million-line file through this
+    would be the wrong tool (parse once, broadcast the rules).
     """
     agent_c = F.lower(agent) if agent is not None else F.lit("*")
     lines = F.split(F.regexp_replace(robots_txt, r"(?m)#.*$", ""), r"\r?\n")

@@ -579,6 +579,109 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q135 — media-container metadata at scale: real ISO-BMFF (MP4) boxes
+# walked by the Arrow-batched prober and canonical PCM WAV headers
+# probed by the pure-column parser — the no-decode metadata pass over
+# a mixed audio/video corpus. Binaries built by the spec-shaped
+# fixture builders for the 105 distinct parameter combos on the
+# driver and broadcast onto the corpus; the oracle states every field
+# from the doc_id arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def q135_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    from gov_data_pipeline_spark.sources.mp4_boxes import build_minimal_mp4
+    from gov_data_pipeline_spark.sources.multimodal import (
+        probe_video_meta,
+        wav_header_col,
+    )
+
+    def wav_bytes(rate: int, ch: int, secs: int) -> bytes:
+        dsz = rate * ch * 2 * secs
+        return (
+            b"RIFF" + struct.pack("<I", 36 + dsz) + b"WAVEfmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+            )
+            + b"data" + struct.pack("<I", dsz)
+        )
+
+    rates = (8000, 16000, 44100)
+    rows = []
+    for m5 in range(5):
+        for m7 in range(7):
+            for m3 in range(3):
+                rows.append(
+                    (
+                        m5, m7, m3,
+                        build_minimal_mp4(
+                            1000 * (m5 + 1),
+                            640 + 16 * m7,
+                            360 + 9 * m7,
+                            n_tracks=m3 + 1,
+                        ),
+                        wav_bytes(rates[m3], m5 % 2 + 1, m7 % 3 + 1),
+                    )
+                )
+    lookup = spark.createDataFrame(
+        rows, "m5 int, m7 int, m3 int, mp4 binary, wav binary"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.join(
+        F.broadcast(lookup),
+        (F.col("doc_id") % 5 == F.col("m5"))
+        & (F.col("doc_id") % 7 == F.col("m7"))
+        & (F.col("doc_id") % 3 == F.col("m3")),
+    )
+
+    videos = media.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("mp4").alias("data")
+    )
+    vmeta = probe_video_meta(videos, "data", "doc_id").select(
+        "doc_id",
+        F.lit("mp4").alias("kind"),
+        "duration_ms",
+        "width",
+        "height",
+        "n_tracks",
+        F.lit(None).cast("long").alias("channels"),
+        F.lit(None).cast("long").alias("sample_rate"),
+    )
+    wavs = media.filter(F.col("doc_id") % 2 == 1)
+    whdr = wav_header_col(F.col("wav"))
+    wmeta = wavs.select(
+        "doc_id",
+        F.lit("wav").alias("kind"),
+        whdr["duration_ms"].alias("duration_ms"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("n_tracks"),
+        whdr["channels"].alias("channels"),
+        whdr["sample_rate"].alias("sample_rate"),
+    )
+    return vmeta.unionByName(wmeta).orderBy("doc_id")
+
+
+_Q135_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'wav' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 * (doc_id % 5 + 1)
+                 ELSE 1000 * (doc_id % 7 % 3 + 1) END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 640 + 16 * (doc_id % 7) END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 360 + 9 * (doc_id % 7) END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 + 1 END AS BIGINT) AS n_tracks,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 5 % 2 + 1 END AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 1
+                 THEN CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+            END AS BIGINT) AS sample_rate
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q81_xlsx_image_extract": q81_xlsx_image_extract,
     "q82_docx_ingest": q82_docx_ingest,
@@ -589,6 +692,7 @@ QUERIES = {
     "q132_sitemap_extract": q132_sitemap_extract,
     "q133_robots_gate": q133_robots_gate,
     "q134_image_dims": q134_image_dims,
+    "q135_media_meta": q135_media_meta,
 }
 
 ORACLE = {
@@ -601,4 +705,5 @@ ORACLE = {
     "q132_sitemap_extract": _Q132_SQL,
     "q133_robots_gate": _Q133_SQL,
     "q134_image_dims": _Q134_SQL,
+    "q135_media_meta": _Q135_SQL,
 }

@@ -308,3 +308,92 @@ def image_header_col(data: Column) -> Column:
     return F.struct(
         fmt.alias("format"), width.alias("width"), height.alias("height")
     )
+
+
+def wav_header_col(data: Column) -> Column:
+    """Canonical PCM WAV header probe as a pure column expression:
+    struct<channels, sample_rate, bits, duration_ms> — nulls when the
+    bytes are not a canonical-layout WAV.
+
+    Canonical layout = RIFF/WAVE with ``fmt `` as the first chunk and
+    ``data`` immediately after (what every encoder writes for plain
+    PCM): all fields then sit at fixed little-endian offsets, so the
+    probe stays in codegen like :func:`image_header_col`. Files with
+    extra chunks (LIST/INFO metadata) fall to the ``mapInPandas``
+    prober — the column checks the ``data`` tag before trusting the
+    layout, so a non-canonical file yields nulls, never garbage.
+    """
+
+    def u8(pos: int) -> Column:
+        return F.conv(F.hex(F.substring(data, pos, 1)), 16, 10).cast("long")
+
+    def le16(pos: int) -> Column:
+        return u8(pos) + 256 * u8(pos + 1)
+
+    def le32(pos: int) -> Column:
+        return le16(pos) + 65536 * le16(pos + 2)
+
+    canonical = (
+        (F.hex(F.substring(data, 1, 4)) == "52494646")  # RIFF
+        & (F.hex(F.substring(data, 9, 8)) == "57415645666D7420")  # WAVEfmt
+        & (F.hex(F.substring(data, 37, 4)) == "64617461")  # data
+    )
+    channels = le16(23)
+    rate = le32(25)
+    bits = le16(35)
+    data_size = le32(41)
+    byte_rate = rate * channels * (bits / F.lit(8.0))
+    duration_ms = F.when(
+        byte_rate > 0, (data_size * 1000 / byte_rate).cast("long")
+    )
+    null_l = F.lit(None).cast("long")
+    return F.struct(
+        F.when(canonical, channels).otherwise(null_l).alias("channels"),
+        F.when(canonical, rate).otherwise(null_l).alias("sample_rate"),
+        F.when(canonical, bits).otherwise(null_l).alias("bits"),
+        F.when(canonical, duration_ms).otherwise(null_l).alias("duration_ms"),
+    )
+
+
+VIDEO_META_TYPE = T.StructType(
+    [
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def probe_video_meta(df: DataFrame, data_col: str, id_col: str) -> DataFrame:
+    """Distributed ISO-BMFF metadata pass: (id, duration_ms, n_tracks,
+    width, height) per row, nulls for non-MP4 bytes. The box walk is
+    data-dependent (length-prefixed traversal), so unlike the
+    PNG/WAV fixed-offset probes it runs in Python — Arrow-batched
+    ``mapInPandas``, O(metadata bytes) per row, media payloads never
+    parsed (``sources/mp4_boxes.py``)."""
+    from gov_data_pipeline_spark.sources.mp4_boxes import mp4_metadata
+
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(VIDEO_META_TYPE.fields)
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[data_col]):
+                meta = mp4_metadata(bytes(blob)) if blob is not None else None
+                rows.append(
+                    {
+                        id_col: rid,
+                        "duration_ms": meta and meta["duration_ms"],
+                        "n_tracks": meta and meta["n_tracks"],
+                        "width": meta and meta["width"],
+                        "height": meta and meta["height"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col] + [f.name for f in VIDEO_META_TYPE]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(mapper, schema=out_schema)

@@ -343,3 +343,64 @@ class TestWebFunctions:
                 assert got[name]["format"] == py["format"]
                 assert got[name]["width"] == int(py["width"])
                 assert got[name]["height"] == int(py["height"])
+
+    def test_mp4_walker_edges(self, spark):
+        """Box-walker robustness: truncated tails stop cleanly,
+        64-bit largesize boxes parse, v1 mvhd (64-bit times) rescales,
+        and non-BMFF bytes probe to None."""
+        import struct
+
+        from gov_data_pipeline_spark.sources.mp4_boxes import (
+            build_minimal_mp4,
+            mp4_metadata,
+            walk_boxes,
+        )
+
+        mp4 = build_minimal_mp4(2000, 320, 240, n_tracks=3)
+        meta = mp4_metadata(mp4)
+        assert meta == {
+            "duration_ms": 2000, "n_tracks": 3, "width": 320, "height": 240,
+        }
+        # truncation mid-moov: the incomplete top-level box is
+        # skipped, the probe returns None — and never raises
+        assert mp4_metadata(mp4[: len(mp4) - 30]) is None
+        assert list(walk_boxes(mp4[:10])) == []
+        assert mp4_metadata(b"\x00" * 64) is None
+        # largesize box framing (size==1 + 64-bit length)
+        payload = b"free space!"
+        big = (
+            struct.pack(">I", 1) + b"free"
+            + struct.pack(">Q", 16 + len(payload)) + payload
+        )
+        [(kind, a, b)] = list(walk_boxes(big))
+        assert kind == b"free" and big[a:b] == payload
+        # v1 mvhd: 64-bit ctime/mtime/duration, timescale at +20
+        mvhd1 = (
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", 90000)  # timescale
+            + struct.pack(">Q", 90000 * 7)  # duration = 7s
+        )
+        sz = 8 + len(mvhd1)
+        moov = struct.pack(">I", sz + 8) + b"moov" + struct.pack(">I", sz) + b"mvhd" + mvhd1
+        assert mp4_metadata(moov)["duration_ms"] == 7000
+
+    def test_wav_header_col_rejects_noncanonical(self, spark):
+        """A RIFF/WAVE file whose first chunk is not fmt-then-data
+        (e.g. LIST metadata first) must yield nulls, never misread
+        fields from the wrong offsets."""
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.sources.multimodal import wav_header_col
+
+        noncanon = (
+            b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+            + b"data" + struct.pack("<I", 0)
+        )
+        df = spark.createDataFrame([(noncanon,)], "data binary")
+        r = df.select(wav_header_col(F.col("data")).alias("h")).collect()[0]["h"]
+        assert r["channels"] is None and r["sample_rate"] is None

@@ -105,7 +105,7 @@ def run(spark, sf_dir: str) -> dict[str, int]:
     # --- 5. authority ranking over a quadratic link graph ---
     edges = docs.select("doc_id", F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j")).select(
         F.col("doc_id").alias("src"),
-        ((F.col("doc_id") * F.col("doc_id") + F.col("j") * 17 + 7) % n).alias("dst"),
+        (((F.col("doc_id") % n) * (F.col("doc_id") % n) + F.col("j") * 17 + 7) % n).alias("dst"),
     )
     ranks = pagerank(edges, docs.select("doc_id"), id_col="doc_id", iterations=4)
     counts["ranked"] = ranks.count()

@@ -348,9 +348,14 @@ def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = F.explode(
         F.array(*[F.lit(j) for j in (0, 1, 2)])
     ).alias("j")
+    # reduce mod N BEFORE squaring: ids are arbitrary longs in a real
+    # corpus (the x10 scaled fixture shifts them by k*1e9) and id**2
+    # overflows int64 past ~3e9 — (id % N)**2 is bounded by N**2 and
+    # identical on contiguous-id fixtures (id % N == id there)
+    rid = F.col("doc_id") % n
     edges = docs.select("doc_id", link).select(
         F.col("doc_id").alias("src"),
-        ((F.col("doc_id") * F.col("doc_id") + F.col("j") * 17 + 7) % n).alias("dst"),
+        ((rid * rid + F.col("j") * 17 + 7) % n).alias("dst"),
     )
     return (
         pagerank(
@@ -372,7 +377,7 @@ WITH nn AS (SELECT count(*) AS n FROM documents),
 nodes AS (SELECT doc_id FROM documents),
 edges AS (
   SELECT doc_id AS src,
-         (doc_id * doc_id + j * 17 + 7) % nn.n AS dst
+         ((doc_id % nn.n) * (doc_id % nn.n) + j * 17 + 7) % nn.n AS dst
   FROM documents CROSS JOIN nn
   CROSS JOIN (VALUES (0), (1), (2)) t(j)),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),

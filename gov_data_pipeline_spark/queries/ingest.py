@@ -477,6 +477,11 @@ def q133_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # Parse robots ONCE PER HOST, then join the parsed rules onto the
+    # corpus — the scale shape robots_rules_col's docstring prescribes
+    # (its group-id prefix sum is O(lines^2) interpreted work; running
+    # it per DOCUMENT instead of per host measured 25 s vs ~3 s at 50k
+    # docs, and a real crawl has ~1 robots file per millions of URLs).
     srcnum = F.substring("source", 4, 10).cast("int")
     robots = F.concat(
         F.lit("# registry crawl policy\nUser-agent: googlebot\nDisallow: /private\n\nUser-agent: *\n"),
@@ -487,6 +492,11 @@ def q133_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(srcnum % 3 == 1, F.lit("Disallow: /tmp\n"))
         .otherwise(F.lit("Disallow:\n")),
     )
+    per_host = (
+        docs.select("source")
+        .distinct()
+        .select("source", robots_rules_col(robots).alias("__rules"))
+    )
     path = F.concat(
         F.when(F.col("doc_id") % 4 == 0, F.lit("/files/public/doc-"))
         .when(F.col("doc_id") % 4 == 1, F.lit("/files/doc-"))
@@ -495,13 +505,12 @@ def q133_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
     )
     return (
-        docs.select(
+        docs.join(F.broadcast(per_host), "source")
+        .select(
             "doc_id",
             "source",
             path.alias("path"),
-            robots_allowed_col(
-                robots_rules_col(robots), path
-            ).alias("allowed"),
+            robots_allowed_col(F.col("__rules"), path).alias("allowed"),
         )
         .orderBy("doc_id")
     )

@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "q133_robots_gate",
     "q134_image_dims",
     "q135_media_meta",
+    "q136_parquet_roundtrip",
     # last green in r01 (stalest)
     "q41_jaccard_pairs",
     "q44_cosine_topk",
@@ -104,8 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     "q01_pricing_summary",
     "q02_revenue_by_nation",
     "q03_semi_join",
-    "q04_anti_join",
     # --- driver sample boundary (first 50 end here) ---
+    "q04_anti_join",
     "q05_band_join",
     "q07_rollup",
     "q08_cube",

@@ -696,6 +696,54 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q136 — parquet sink round-trip (T3's oracle row): write a projected,
+# PARTITIONED copy of lineitem through the engine sink, read it back,
+# and aggregate per partition value with a partition-pruning filter.
+# The hash only matches if the sink preserved every row and value
+# (partition columns included) — DuckDB aggregates the original table
+# directly. A fresh temp dir per invocation keeps the query
+# re-runnable (the driver executes each query more than once).
+# ---------------------------------------------------------------------------
+
+
+def q136_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gov_data_pipeline_spark.sources.files import write_parquet
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="q136_roundtrip_")
+    write_parquet(li, out, mode="overwrite", partition_by=["l_returnflag"])
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("l_returnflag") != "N")  # partition-pruned scan
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q136_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_returnflag <> 'N'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "q81_xlsx_image_extract": q81_xlsx_image_extract,
     "q82_docx_ingest": q82_docx_ingest,
@@ -707,6 +755,7 @@ QUERIES = {
     "q133_robots_gate": q133_robots_gate,
     "q134_image_dims": q134_image_dims,
     "q135_media_meta": q135_media_meta,
+    "q136_parquet_roundtrip": q136_parquet_roundtrip,
 }
 
 ORACLE = {
@@ -720,4 +769,5 @@ ORACLE = {
     "q133_robots_gate": _Q133_SQL,
     "q134_image_dims": _Q134_SQL,
     "q135_media_meta": _Q135_SQL,
+    "q136_parquet_roundtrip": _Q136_SQL,
 }

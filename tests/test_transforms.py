@@ -404,3 +404,40 @@ class TestWebFunctions:
         df = spark.createDataFrame([(noncanon,)], "data binary")
         r = df.select(wav_header_col(F.col("data")).alias("h")).collect()[0]["h"]
         assert r["channels"] is None and r["sample_rate"] is None
+
+    def test_html_links_and_resolution(self, spark):
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.functions.web import (
+            html_links_col,
+            resolve_url_col,
+        )
+
+        html = (
+            '<a href="/x">a</a> <A HREF=\'y/z?a=1&amp;b=2\'>b</A> '
+            '<a id="q" href="//cdn.ex/f">c</a> <a href="http://abs.ex/p">d</a>'
+        )
+        df = spark.createDataFrame([(html,)], "h string")
+        links = df.select(html_links_col(F.col("h")).alias("l")).collect()[0]["l"]
+        assert links == ["/x", "y/z?a=1&b=2", "//cdn.ex/f", "http://abs.ex/p"]
+
+        base = "https://ex.gov/a/b/page.html"
+        cases = {
+            "": base,
+            "/root": "https://ex.gov/root",
+            "//cdn.ex/f": "https://cdn.ex/f",
+            "http://abs.ex/p": "http://abs.ex/p",
+            "q.html": "https://ex.gov/a/b/q.html",
+            "../up.html": "https://ex.gov/a/up.html",
+            # over-traversal clamps at root (browser behavior)
+            "../../../toofar.html": "https://ex.gov/toofar.html",
+            "./same.html": "https://ex.gov/a/b/same.html",
+            "sub/dir/x#frag": "https://ex.gov/a/b/sub/dir/x",
+        }
+        rows = spark.createDataFrame(
+            [(base, h) for h in cases], "b string, h string"
+        ).select(
+            "h", resolve_url_col(F.col("b"), F.col("h")).alias("r")
+        ).collect()
+        for r in rows:
+            assert r["r"] == cases[r["h"]], r["h"]

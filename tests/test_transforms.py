@@ -441,3 +441,26 @@ class TestWebFunctions:
         ).collect()
         for r in rows:
             assert r["r"] == cases[r["h"]], r["h"]
+
+    def test_other_examples_run_end_to_end(self, spark, monkeypatch):
+        """examples/corpus_curation.py and telemetry_monitoring.py must
+        stay runnable (the crawl-frontier example has its own stage
+        contract above) — bit-rot in a demo is a doc bug users hit
+        first. They reuse the active session via getOrCreate."""
+        import importlib.util
+        import os
+        import sys
+
+        root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        monkeypatch.setattr(
+            sys, "argv", ["x", "/root/testdata/sf0.001"]
+        )
+        for name in ("corpus_curation", "telemetry_monitoring"):
+            spec = importlib.util.spec_from_file_location(
+                name, os.path.join(root, "examples", f"{name}.py")
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            mod.main()  # raises on any stage failure

@@ -524,3 +524,82 @@ class TestStatsMLPlans:
             expectations_report(li, [("n_rows", ok)])
         with pytest.raises(ValueError, match="at least one"):
             expectations_report(li, [])
+
+
+class TestCrawlSurfacePlans:
+    """Plan pins for the round-5 crawl/media surface: all-JVM rule
+    chains stay free of Python evaluators, probes that claim broadcast
+    joins really broadcast, and the one deliberate Python crossing
+    (the ISO-BMFF box walk) appears exactly once. Counts use <= where
+    AQE's plan printing duplicates subtrees (Final + Initial Plan)."""
+
+    def _plan(self, df) -> str:
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_web_rule_chains_stay_jvm_side(self, spark, sf_dir):
+        from gov_data_pipeline_spark.queries.ingest import (
+            q129_html_extract,
+            q130_url_normalize,
+            q132_sitemap_extract,
+        )
+
+        for q in (q129_html_extract, q130_url_normalize, q132_sitemap_extract):
+            plan = self._plan(q(spark, sf_dir))
+            assert "BatchEvalPython" not in plan
+            assert "ArrowEval" not in plan
+            assert "MapInPandas" not in plan
+            assert "CartesianProduct" not in plan
+
+    def test_robots_parse_is_broadcast_per_host(self, spark, sf_dir):
+        """q133 parses robots on the distinct-source side and
+        broadcast-joins the parsed rules — the corpus side must never
+        shuffle for the join."""
+        from gov_data_pipeline_spark.queries.ingest import q133_robots_gate
+
+        plan = self._plan(q133_robots_gate(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_media_probes_python_budget(self, spark, sf_dir):
+        """q134 is all-JVM (binary-slice probe); q135's ONLY Python
+        crossing is the box walker's MapInPandas."""
+        from gov_data_pipeline_spark.queries.ingest import (
+            q134_image_dims,
+            q135_media_meta,
+        )
+
+        p134 = self._plan(q134_image_dims(spark, sf_dir))
+        assert "MapInPandas" not in p134 and "ArrowEval" not in p134
+        assert "BroadcastHashJoin" in p134
+        p135 = self._plan(q135_media_meta(spark, sf_dir))
+        # AQE printing shows the plan twice (Final + Initial)
+        assert 1 <= p135.count("MapInPandas") <= 2
+        assert "BatchEvalPython" not in p135
+
+    def test_pagerank_no_cartesian_and_checkpointed(self, spark, sf_dir):
+        """q131's iterations are equi-joins over checkpointed state —
+        no cross joins, and the final plan reads checkpointed RDDs,
+        not the parquet source (lineage cut per round)."""
+        from gov_data_pipeline_spark.queries.ingest import q131_pagerank
+
+        plan = self._plan(q131_pagerank(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Scan ExistingRDD" in plan or "Scan parquet" not in plan
+
+    def test_roundtrip_readback_prunes_partitions(self, spark, sf_dir):
+        """q136's read-back scan must carry the l_returnflag partition
+        filter — the point of writing partitioned."""
+        from gov_data_pipeline_spark.queries.ingest import (
+            q136_parquet_roundtrip,
+        )
+
+        df = q136_parquet_roundtrip(spark, sf_dir)
+        df.collect()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert part_lines and any("l_returnflag" in l for l in part_lines)

@@ -23,7 +23,9 @@ from pyspark.sql import Column, functions as F
 
 # Query parameters stripped during URL normalization: pure tracking
 # state that changes the string but never the resource.
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|yclid|ref)="
+# matches both valued ("utm_source=x") and bare-flag ("utm_source")
+# tracking params — a valueless flag is still tracker noise
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|yclid|ref)(=|$)"
 
 
 def html_text_col(html: Column) -> Column:
@@ -83,9 +85,19 @@ def url_normalize_col(url: Column) -> Column:
     filters those before normalization.
     """
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    auth = F.lower(
-        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    rawauth = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
     )
+    # Lowercase ONLY the host[:port] portion: userinfo (user:pass@) is
+    # case-sensitive credential material. The host starts after the
+    # LAST '@' (RFC 3986 — '@' may appear percent-unencoded in
+    # userinfo in the wild).
+    userinfo = F.regexp_extract(rawauth, r"^(.*)@[^@]*$", 1)
+    host = F.regexp_extract(rawauth, r"([^@]*)$", 1)
+    auth = F.when(
+        rawauth.contains("@"),
+        F.concat(userinfo, F.lit("@"), F.lower(host)),
+    ).otherwise(F.lower(rawauth))
     auth = F.when(
         scheme == "http", F.regexp_replace(auth, r":80$", "")
     ).otherwise(

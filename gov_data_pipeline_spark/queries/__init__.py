@@ -49,63 +49,14 @@ _MODULES = (
 # position 50 (falls through to module order).  Re-derive the ordering
 # from CORRECTNESS_r{N}.json every round — never trust last round's order.
 _PRIORITY: tuple[str, ...] = (
-    # never driver-hash-green: q26 gained its bounds oracle in r05 (all
-    # prior rows were rows-only); q114-q128 were added after the r04
-    # sample was drawn; q129+ are new in r05.
-    "q26_approx_agg",
-    "q114_psi_drift",
+    # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
+    # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
     "q115_weighted_sample",
     "q116_mad_outliers",
-    "q117_ohlc_bars",
-    "q118_embed_quantize",
-    "q119_trend_regression",
     "q120_token_entropy",
-    "q121_zipf_slope",
     "q122_k_anonymity",
-    "q123_markov_transitions",
-    "q124_ab_welch",
-    "q125_heavy_hitters",
-    "q126_hourly_percentile_bands",
-    "q127_time_to_convert",
     "q128_expectations",
-    "q129_html_extract",
-    "q130_url_normalize",
-    "q131_pagerank",
-    "q132_sitemap_extract",
-    "q133_robots_gate",
-    "q134_image_dims",
-    "q135_media_meta",
-    "q136_parquet_roundtrip",
-    # last green in r01 (stalest)
-    "q41_jaccard_pairs",
-    "q44_cosine_topk",
-    "q46_cosine_neardup",
-    "q47_text_stats",
-    "q48_lang_id",
-    "q49_fingerprint",
-    "q57_winnowing",
-    # last green in r02
-    "q20_clean_text",
-    "q21_reg_num",
-    "q22_exclusion",
-    "q23_clean_cell",
-    "q24_merge_continuation",
-    "q33_math",
-    "q35_array",
-    "q37_base64",
-    "q40_exact_dedup",
-    "q67_dedup_clusters",
-    "q68_bm25",
-    "q69_stratified_sample",
-    "q70_frequent_terms",
-    "q74_semantic_clusters",
-    "q75_corpus_pipeline",
-    "q77_fuzzy_join",
-    # last green in r03 (fill the sample window to 50)
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_semi_join",
-    # --- driver sample boundary (first 50 end here) ---
+    # last green in r03 (stalest cohort, two rounds old)
     "q04_anti_join",
     "q05_band_join",
     "q07_rollup",
@@ -133,10 +84,29 @@ _PRIORITY: tuple[str, ...] = (
     "q56_cosine_neardup_gemm",
     "q58_overlap_pairs",
     "q59_incremental_dedup",
+    "q65_hash_sample",
     "q72_upsert_latest",
     "q73_salted_join",
     "q78_grouping_sets",
     "q79_ntile",
+    # last green in r04 — 13 of that 50-query cohort fit the remaining
+    # sample slots; the q100-series analytics surface has exactly one
+    # green row each, so it re-verifies first (rest rotate in r07)
+    "q06_asof_join",
+    "q100_source_cap_sample",
+    "q101_source_quality_gate",
+    "q102_funnel",
+    "q103_retention",
+    "q104_embed_topk",
+    "q105_corpus_diff",
+    "q106_unpivot",
+    "q107_negative_sampling",
+    "q108_time_weighted_avg",
+    "q109_session_paths",
+    "q110_value_histogram",
+    "q111_grouped_percentiles",
+    # --- driver sample boundary (first 50 end here); everything green
+    # in r05 plus the remaining r04 cohort falls through to module order
 )
 
 

@@ -834,7 +834,7 @@ ent AS (
 SELECT d.source,
        count(*) AS n_docs,
        round(avg(e.h), 4) AS avg_entropy,
-       sum(CASE WHEN e.h < 4.0 THEN 1 ELSE 0 END) AS n_low
+       CAST(sum(CASE WHEN e.h < 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
 FROM ent e JOIN documents d ON e.doc_id = d.doc_id
 GROUP BY d.source
 ORDER BY d.source

@@ -702,12 +702,14 @@ ORDER BY doc_id
 # and aggregate per partition value with a partition-pruning filter.
 # The hash only matches if the sink preserved every row and value
 # (partition columns included) — DuckDB aggregates the original table
-# directly. A fresh temp dir per invocation keeps the query
-# re-runnable (the driver executes each query more than once).
+# directly. One stable temp dir per (process, sf_dir), overwritten on
+# each invocation: re-runnable (the driver executes each query more
+# than once) without accumulating a full lineitem copy per sweep.
 # ---------------------------------------------------------------------------
 
 
 def q136_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     from gov_data_pipeline_spark.sources.files import write_parquet
@@ -715,7 +717,11 @@ def q136_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
-    out = tempfile.mkdtemp(prefix="q136_roundtrip_")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "q136_roundtrip_%d_%s"
+        % (os.getpid(), sf_dir.strip("/").replace("/", "_")),
+    )
     write_parquet(li, out, mode="overwrite", partition_by=["l_returnflag"])
     back = spark.read.parquet(out)
     return (

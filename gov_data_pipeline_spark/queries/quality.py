@@ -208,8 +208,8 @@ WITH classes AS (
   GROUP BY lang, source, size_band)
 SELECT lang,
        count(*) AS n_classes,
-       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS n_small_classes,
-       sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS n_rows_at_risk,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
        min(n) AS min_class_size
 FROM classes
 GROUP BY lang
@@ -289,7 +289,7 @@ rows_out AS (
   UNION ALL
   SELECT 'fk_orderkey_in_orders', (SELECT n_rows FROM row_checks),
          n_violations FROM fk)
-SELECT "check", n_rows, n_violations,
+SELECT "check", n_rows, CAST(n_violations AS BIGINT) AS n_violations,
        round((n_rows - n_violations) / n_rows, 6) AS pass_rate
 FROM rows_out
 ORDER BY "check"

@@ -488,7 +488,7 @@ WITH tot AS (
   SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars FROM documents)
 SELECT d.source,
        count(*) AS n_kept,
-       sum(d.n_chars) AS chars_kept
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
 FROM documents d CROSS JOIN tot
 WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::INT AS DECIMAL(38,0))
       * 5 * CAST(tot.sum_chars AS DECIMAL(38,0))
@@ -559,9 +559,9 @@ mad AS (
   GROUP BY e.event_type, m.med)
 SELECT e.event_type, x.med, x.mad,
        count(*) AS n,
-       sum(CASE WHEN x.mad <> 0
+       CAST(sum(CASE WHEN x.mad <> 0
                  AND abs(0.6745 * (e.value - x.med) / x.mad) > 3.5
-                THEN 1 ELSE 0 END) AS n_outliers,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(max(CASE WHEN x.mad <> 0
                       THEN abs(0.6745 * (e.value - x.med) / x.mad) END),
              4) AS max_abs_z

@@ -91,17 +91,17 @@ def walk_boxes(data: bytes, start: int = 0, end: int | None = None):
 
 def mp4_metadata(data: bytes) -> dict[str, int] | None:
     """``{duration_ms, n_tracks, width, height}`` from the moov tree,
-    or None when the bytes are not ISO-BMFF (no ftyp/moov at top
-    level). Width/height come from the FIRST track with a non-zero
+    or None when the bytes carry no top-level ``moov`` box (the only
+    required box: a bare movie header still probes — ftyp-less
+    fragments exist in the wild — while a moov-less blob has no
+    metadata to read). Width/height come from the FIRST track with a non-zero
     tkhd size (the presentation track); duration from mvhd rescaled
     to ms. O(metadata bytes) — media payloads are never touched."""
-    kinds = set()
     moov_span = None
     for kind, a, b in walk_boxes(data):
-        kinds.add(kind)
         if kind == b"moov":
             moov_span = (a, b)
-    if moov_span is None or (b"ftyp" not in kinds and b"moov" not in kinds):
+    if moov_span is None:
         return None
     duration_ms = 0
     n_tracks = 0

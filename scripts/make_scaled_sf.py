@@ -82,6 +82,19 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     spark = get_spark(app_name="make_scaled_sf")
+    # Rotation by k only yields `factor` DISTINCT vector directions when
+    # k < dim for every copy: k == dim silently reproduces the k=0
+    # vectors (planting exact cross-copy twins — the bug the _mutate
+    # comment warns about) and k > dim crashes F.slice with a negative
+    # length. Fail loudly up front instead.
+    dim = spark.read.parquet(f"{src}/embeddings.parquet").select(
+        F.size("embedding")
+    ).first()[0]
+    if factor > dim:
+        raise SystemExit(
+            f"factor {factor} exceeds embedding dim {dim}: copies k and "
+            f"k%{dim} would share a rotation (exact cross-copy vector twins)"
+        )
     tables = (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"

@@ -75,17 +75,48 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def _num_kind(dtype: Any) -> str | None:
+    """'int' / 'float' for numeric numpy dtypes, else None."""
+    kind = getattr(dtype, "kind", "")
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    return None
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict[str, Any]:
-    """Compare two result frames; returns a diagnostics dict."""
+    """Compare two result frames; returns a diagnostics dict.
+
+    Stricter than the pure value hash: an int-vs-float dtype mismatch
+    between the Spark and DuckDB frames FAILS even when ``%.6g``
+    renders the values identically ("1620" vs "1620.0").  Round 5
+    shipped five oracles whose DuckDB ``sum()`` promoted to HUGEINT
+    (fetched as float64) while Spark returned BIGINT — locally green,
+    driver-red, because the driver's canonicalizer hashes the two
+    representations differently.  This pin makes the local mirror at
+    least as strict as the driver on that axis.
+    """
     res: dict[str, Any] = {
         "rows": (len(spark_pdf), len(duck_pdf)),
         "cols": (sorted(spark_pdf.columns), sorted(duck_pdf.columns)),
     }
     res["rows_match"] = len(spark_pdf) == len(duck_pdf)
     res["cols_match"] = sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    dtype_clash: list[tuple[str, str, str]] = []
+    if res["cols_match"]:
+        for c in sorted(spark_pdf.columns):
+            ka = _num_kind(spark_pdf[c].dtype)
+            kb = _num_kind(duck_pdf[c].dtype)
+            if ka and kb and ka != kb:
+                dtype_clash.append(
+                    (c, str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+                )
+    res["dtype_clash"] = dtype_clash
     res["hash_match"] = (
         res["rows_match"]
         and res["cols_match"]
+        and not dtype_clash
         and value_hash(spark_pdf) == value_hash(duck_pdf)
     )
     if not res["hash_match"] and res["rows_match"] and res["cols_match"]:

@@ -57,6 +57,54 @@ def test_oracle_coverage_is_total():
     assert missing == set(), missing
 
 
+_ORACLE_TYPE_ALLOW = (
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "TIMESTAMP WITH TIME ZONE",
+    "BLOB", "DECIMAL",
+)
+
+
+def _bad_oracle_types(con, sql: str) -> list[str]:
+    """Column names whose bound DuckDB result type is outside the
+    allowlist (notably HUGEINT/UHUGEINT, which pandas fetches as
+    float64 and the driver's canonicalizer hashes differently from
+    Spark's BIGINT)."""
+    rel = con.sql(sql)
+    bad = []
+    for name, t in zip(rel.columns, rel.types):
+        ts = str(t)
+        if not (ts in _ORACLE_TYPE_ALLOW or ts.startswith("DECIMAL")):
+            bad.append(f"{name}: {ts}")
+    return bad
+
+
+def test_oracle_result_types_are_driver_safe(duck):
+    """DuckDB twin of the Spark sortable-scalar pin below: bind every
+    registered oracle and assert no result column has a type outside
+    the allowlist.  Round 5's only 5 red queries (q115/q116/q120/q122/
+    q128) were exactly the 5 oracles whose integer sum() promoted to
+    HUGEINT — rows and values matched, the driver hash did not.  An
+    oracle must CAST integer sums to BIGINT."""
+    bad = {}
+    for name, sql in all_oracles().items():
+        offenders = _bad_oracle_types(duck, sql)
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"oracle columns with driver-unsafe DuckDB types: {bad}"
+
+
+def test_oracle_type_pin_catches_hugeint(duck):
+    """The pin itself must fire on the exact round-5 failure shape:
+    an uncast integer sum() (HUGEINT in DuckDB)."""
+    offenders = _bad_oracle_types(
+        duck, "SELECT sum(r_regionkey) AS s FROM region"
+    )
+    assert offenders == ["s: HUGEINT"], offenders
+    assert _bad_oracle_types(
+        duck, "SELECT CAST(sum(r_regionkey) AS BIGINT) AS s FROM region"
+    ) == []
+
+
 def test_registered_schemas_are_sortable_scalars(spark):
     """Driver-comparator contract: the canonicalizer sorts each result
     column with pandas before hashing, which throws on array/map/struct

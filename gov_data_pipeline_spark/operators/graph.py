@@ -140,6 +140,7 @@ def pagerank(
     damping: float = 0.85,
     reliable_checkpoint: bool = False,
     fixed_point_scale: int | None = None,
+    conserve_mass: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over (src, dst) edges: (id, rank).
 
@@ -156,10 +157,23 @@ def pagerank(
     Ranks are O(nodes) rows; edges are never mutated, so the loop's
     only growing state is lineage — cut with ``localCheckpoint`` per
     iteration exactly like ``connected_components``. Dangling nodes
-    (no out-edges) simply contribute nothing — their mass is dropped,
-    not redistributed (the common web-graph simplification; callers
-    needing strict mass conservation can add the dangling-sum
-    broadcast themselves).
+    (no out-edges) contribute nothing by default — their mass is
+    dropped, not redistributed (the common web-graph simplification;
+    fine when only the RANKING matters).
+
+    ``conserve_mass=True`` redistributes the dangling mass uniformly
+    each iteration — the textbook stochastic-matrix correction — so
+    score MAGNITUDES stay meaningful (e.g. PageRank as a mixture
+    weight over sources). Cost: one extra 1-row aggregate per
+    iteration (Σ rank over the static dangling-node set), broadcast
+    back over the O(nodes) update — the corpus-sized relations shuffle
+    exactly as before. Float mode then holds Σrank = 1 to a few ulps
+    per iteration; fixed-point mode floor-divides at three places
+    (contribution split, dangling share, damping), each dropping < 1
+    scaled unit per term, so ``0 ≤ scale − Σrank ≤
+    iterations·(E + 4·N)`` units — at ``scale=10**12`` a relative
+    error ≤ 1e-6 even on a billion-edge graph (pinned in
+    tests/test_graph.py).
 
     ``fixed_point_scale``: when set (e.g. ``10**12``), all arithmetic
     is INTEGER fixed-point — init ``scale//N``, contributions
@@ -177,6 +191,19 @@ def pagerank(
     ewd = e.join(deg, "__s")
     ewd = ewd.checkpoint() if reliable_checkpoint else ewd.localCheckpoint()
 
+    dangling = None
+    if conserve_mass:
+        # static over the loop: nodes with no out-edge (left-anti on
+        # the out-degree keys); O(nodes) rows, checkpointed once
+        dangling = nodes.select(F.col(id_col).alias("__n")).join(
+            deg.select(F.col("__s").alias("__n")), "__n", "left_anti"
+        )
+        dangling = (
+            dangling.checkpoint()
+            if reliable_checkpoint
+            else dangling.localCheckpoint()
+        )
+
     if fixed_point_scale is not None:
         d_num = int(round(damping * 100))
         if abs(damping * 100 - d_num) > 1e-9:
@@ -193,18 +220,27 @@ def pagerank(
                 .groupBy("__d")
                 .agg(F.sum("__c").alias("__sum"))
             )
-            ranks = (
+            updated = (
                 nodes.select(F.col(id_col).alias("__n"))
                 .join(contribs, F.col("__n") == F.col("__d"), "left")
-                .select(
-                    "__n",
-                    (
-                        F.lit(base)
-                        + F.expr(
-                            f"({d_num} * coalesce(__sum, 0L)) div 100"
-                        )
-                    ).cast("long").alias("__r"),
+            )
+            inflow_sql = "coalesce(__sum, 0L)"
+            if conserve_mass:
+                dsum = ranks.join(dangling, "__n", "left_semi").agg(
+                    F.coalesce(F.sum("__r"), F.lit(0).cast("long")).alias(
+                        "__dangling"
+                    )
                 )
+                updated = updated.crossJoin(F.broadcast(dsum))
+                inflow_sql = (
+                    f"(coalesce(__sum, 0L) + (__dangling div {n_nodes}))"
+                )
+            ranks = updated.select(
+                "__n",
+                (
+                    F.lit(base)
+                    + F.expr(f"({d_num} * {inflow_sql}) div 100")
+                ).cast("long").alias("__r"),
             )
             ranks = (
                 ranks.checkpoint()
@@ -222,16 +258,21 @@ def pagerank(
             .groupBy("__d")
             .agg(F.sum("__c").alias("__sum"))
         )
-        ranks = (
-            nodes.select(F.col(id_col).alias("__n"))
-            .join(contribs, F.col("__n") == F.col("__d"), "left")
-            .select(
-                "__n",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + damping * F.coalesce(F.col("__sum"), F.lit(0.0))
-                ).alias("__r"),
+        updated = nodes.select(F.col(id_col).alias("__n")).join(
+            contribs, F.col("__n") == F.col("__d"), "left"
+        )
+        inflow = F.coalesce(F.col("__sum"), F.lit(0.0))
+        if conserve_mass:
+            dsum = ranks.join(dangling, "__n", "left_semi").agg(
+                F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dangling")
             )
+            updated = updated.crossJoin(F.broadcast(dsum))
+            inflow = inflow + F.col("__dangling") / F.lit(float(n_nodes))
+        ranks = updated.select(
+            "__n",
+            (F.lit((1.0 - damping) / n_nodes) + damping * inflow).alias(
+                "__r"
+            ),
         )
         ranks = (
             ranks.checkpoint() if reliable_checkpoint else ranks.localCheckpoint()

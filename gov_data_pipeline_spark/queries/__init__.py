@@ -49,6 +49,8 @@ _MODULES = (
 # position 50 (falls through to module order).  Re-derive the ordering
 # from CORRECTNESS_r{N}.json every round — never trust last round's order.
 _PRIORITY: tuple[str, ...] = (
+    # new in r06 (no driver row yet)
+    "q137_pagerank_mass",
     # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
     # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
     "q115_weighted_sample",
@@ -104,9 +106,9 @@ _PRIORITY: tuple[str, ...] = (
     "q108_time_weighted_avg",
     "q109_session_paths",
     "q110_value_histogram",
-    "q111_grouped_percentiles",
     # --- driver sample boundary (first 50 end here); everything green
     # in r05 plus the remaining r04 cohort falls through to module order
+    "q111_grouped_percentiles",
 )
 
 

@@ -409,6 +409,96 @@ _Q131_SQL = _pagerank_sql()
 
 
 # ---------------------------------------------------------------------------
+# q137 — PageRank with CONSERVED dangling mass (operators/graph.pagerank
+# conserve_mass=True): half the nodes have no out-edges, and their rank
+# mass is redistributed uniformly each iteration instead of dropped —
+# the mode whose score MAGNITUDES are usable as mixture weights.
+# Fixed-point integer arithmetic end-to-end, so the oracle unrolls the
+# same iterations (plus the per-iteration dangling-sum CTE) and
+# hash-matches exactly; the dangling share uses the same integer
+# division on both sides (all ranks positive, so DuckDB's floor //
+# equals Spark's truncating div).
+# ---------------------------------------------------------------------------
+
+
+def q137_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    link = F.explode(F.array(*[F.lit(j) for j in (0, 1)])).alias("j")
+    rid = F.col("doc_id") % n
+    # only even ids emit links; odd ids dangle (≈ half the mass each
+    # iteration flows through the dangling redistribution)
+    edges = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", link)
+        .select(
+            F.col("doc_id").alias("src"),
+            ((rid * rid + F.col("j") * 31 + 3) % n).alias("dst"),
+        )
+    )
+    return (
+        pagerank(
+            edges,
+            docs,
+            id_col="doc_id",
+            iterations=4,
+            damping=0.85,
+            fixed_point_scale=10**12,
+            conserve_mass=True,
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_mass_sql(iterations: int = 4, scale: int = 10**12) -> str:
+    """Unroll pagerank(conserve_mass=True)'s fixed-point iterations:
+    identical arithmetic to the Spark loop — contribution ``r // deg``,
+    dangling share ``dsum // n``, damping ``(85·inflow) // 100``."""
+    head = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         ((doc_id % nn.n) * (doc_id % nn.n) + j * 31 + 3) % nn.n AS dst
+  FROM documents CROSS JOIN nn
+  CROSS JOIN (VALUES (0), (1)) t(j)
+  WHERE doc_id % 2 = 0),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+dang AS (SELECT doc_id FROM nodes
+         WHERE doc_id NOT IN (SELECT src FROM deg)),
+r0 AS (SELECT doc_id, CAST({scale} // nn.n AS BIGINT) AS r
+       FROM documents CROSS JOIN nn)"""
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f""",
+ds{i} AS (SELECT coalesce(sum(p.r), 0) AS dsum
+          FROM {prev} p JOIN dang g ON g.doc_id = p.doc_id),
+it{i} AS (
+  SELECT nd.doc_id,
+         CAST((15 * ({scale} // nn.n)) // 100
+              + (85 * (coalesce(c.s, 0) + ds{i}.dsum // nn.n)) // 100
+              AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN nn CROSS JOIN ds{i}
+  LEFT JOIN (
+    SELECT e.dst, sum(p.r // d.deg) AS s
+    FROM edges e
+    JOIN {prev} p ON p.doc_id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c ON c.dst = nd.doc_id)""")
+        prev = f"it{i}"
+    tail = f"""
+SELECT doc_id, r AS rank FROM {prev} ORDER BY doc_id
+"""
+    return head + "".join(its) + tail
+
+
+_Q137_SQL = _pagerank_mass_sql()
+
+
+# ---------------------------------------------------------------------------
 # q132 — sitemap ingestion: per-source sitemap XML (built from that
 # source's documents, entity-escaped query strings) -> ordered <loc>
 # frontier rows. The oracle states each source's URL list directly.
@@ -757,6 +847,7 @@ QUERIES = {
     "q129_html_extract": q129_html_extract,
     "q130_url_normalize": q130_url_normalize,
     "q131_pagerank": q131_pagerank,
+    "q137_pagerank_mass": q137_pagerank_mass,
     "q132_sitemap_extract": q132_sitemap_extract,
     "q133_robots_gate": q133_robots_gate,
     "q134_image_dims": q134_image_dims,
@@ -771,6 +862,7 @@ ORACLE = {
     "q129_html_extract": _Q129_SQL,
     "q130_url_normalize": _Q130_SQL,
     "q131_pagerank": _Q131_SQL,
+    "q137_pagerank_mass": _Q137_SQL,
     "q132_sitemap_extract": _Q132_SQL,
     "q133_robots_gate": _Q133_SQL,
     "q134_image_dims": _Q134_SQL,

@@ -77,17 +77,33 @@ def incremental_dedup_sink(
     content_cols: list[str],
     id_col: str,
     checkpoint_dir: str,
+    digest_sidecar: bool = False,
 ) -> DataStreamWriter:
     """Build the ``writeStream`` for streaming exact-dedup ingestion.
 
     Caller starts it (``.trigger(...).start()``); each micro-batch is
     deduped against the persisted corpus at ``corpus_path`` plus
     itself, and only fresh rows are appended.
+
+    ``digest_sidecar=True`` persists each appended row's (id, content
+    digest) under ``corpus_path + "/_content_digests"`` and joins the
+    batch against THAT instead of re-hashing the corpus text — at
+    100 TB the per-batch corpus cost drops from a full content scan to
+    a 40-byte-per-row digest read. Same contract as
+    ``incremental_neardup_sink(profile_sidecar=True)``: the ``_``
+    prefix keeps the sidecar invisible to plain parquet reads of the
+    corpus, rows that reached the corpus without digests (a crash
+    between the two appends) self-heal via an ids anti-join on the
+    next batch, and data is appended before digests so the crash
+    window can only cost one batch of missed dedup, never rows.
     """
     from gov_data_pipeline_spark.operators.dedup import (
+        _content_hash,
         exact_dedup,
         incremental_exact_dedup,
     )
+
+    sidecar_path = corpus_path.rstrip("/") + "/_content_digests"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -96,11 +112,42 @@ def incremental_dedup_sink(
         # streaming source would be re-read once per reference.
         batch_df = batch_df.localCheckpoint()
         seen = _read_corpus_or_none(spark, corpus_path)
-        if seen is not None:
-            fresh = incremental_exact_dedup(batch_df, seen, content_cols, id_col)
-        else:
+        healed = None
+        if seen is None:
             fresh = exact_dedup(batch_df, content_cols, id_col)
+        elif digest_sidecar:
+            stored = _read_corpus_or_none(spark, sidecar_path)
+            missing = (
+                seen
+                if stored is None
+                else seen.join(stored.select(id_col), id_col, "left_anti")
+            )
+            # pinned: consumed by the dedup join AND the sidecar append
+            healed = missing.select(
+                F.col(id_col), _content_hash(content_cols).alias("digest")
+            ).localCheckpoint()
+            digests = (
+                healed if stored is None else stored.unionByName(healed)
+            )
+            fresh = incremental_exact_dedup(
+                batch_df,
+                None,
+                content_cols,
+                id_col,
+                seen_hashes=digests.select("digest"),
+            )
+        else:
+            fresh = incremental_exact_dedup(batch_df, seen, content_cols, id_col)
+        if digest_sidecar:
+            fresh = fresh.localCheckpoint()  # consumed by data + digests
         fresh.write.mode("append").parquet(corpus_path)
+        if digest_sidecar:
+            fresh_digests = fresh.select(
+                F.col(id_col), _content_hash(content_cols).alias("digest")
+            )
+            if healed is not None:
+                fresh_digests = fresh_digests.unionByName(healed)
+            fresh_digests.write.mode("append").parquet(sidecar_path)
 
     return (
         stream_df.writeStream.foreachBatch(_process)
@@ -120,12 +167,31 @@ def incremental_neardup_sink(
     bands: int = 8,
     rows_per_band: int = 4,
     threshold: float = 0.8,
+    profile_sidecar: bool = False,
 ) -> DataStreamWriter:
     """Streaming NEAR-dup ingestion: ``incremental_dedup_sink``'s
     MinHash-LSH sibling (SURVEY L6 run continuously). Each micro-batch
     drops documents whose exact shingle-Jaccard against the persisted
     corpus — or against a lower-id document in the same batch — meets
     ``threshold``; only novel documents append.
+
+    ``profile_sidecar=True`` persists each appended document's MinHash
+    profile (signature + shingle-hash set + size) under
+    ``corpus_path + "/_minhash_profiles"`` and reads THAT per batch
+    instead of re-profiling the corpus text — the 100 TB lever: total
+    corpus-side work across K batches drops from O(K·corpus-text)
+    (quadratic in ingested volume) to O(K·profile-bytes) + one ids-only
+    anti-join per batch. The leading underscore keeps the sidecar
+    invisible to every plain parquet read of ``corpus_path`` (Spark's
+    file index skips ``_*`` paths), so the corpus directory contract is
+    unchanged. The sidecar SELF-HEALS: rows that reached the corpus
+    without profiles (a crash between the two appends) are detected by
+    an ids anti-join each batch and re-profiled from text — the failure
+    window costs one batch of missed dedup, never data loss (data is
+    appended before profiles, so a replayed batch still drops against
+    its own first append). Sketch params (shingle_n/num_hashes/bands)
+    must stay constant for a given sidecar; delete the sidecar dir to
+    re-bootstrap after changing them.
 
     Scale shape per batch: each side is consumed ONCE —
     ``minhash_doc_profile`` folds the shuffle-free shingle relation
@@ -168,15 +234,35 @@ def incremental_neardup_sink(
         )
         return minhash_doc_profile(ex, id_col, num_hashes=num_hashes)
 
+    sidecar_path = corpus_path.rstrip("/") + "/_minhash_profiles"
+
+    def _corpus_profiles(spark, corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(full corpus profile, newly-healed profiles to persist)."""
+        stored = _read_corpus_or_none(spark, sidecar_path)
+        if stored is None:
+            missing = corpus
+        else:
+            missing = corpus.join(
+                stored.select(id_col), id_col, "left_anti"
+            )
+        # pinned: consumed by the dedup joins AND the sidecar append
+        heal = _profile(missing).localCheckpoint()
+        prof_c = heal if stored is None else stored.unionByName(heal)
+        return prof_c, heal
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()  # source read once per batch
         corpus = _read_corpus_or_none(spark, corpus_path)
 
         prof_b = _profile(batch_df)
+        healed = None
         dup_ids = None
         if corpus is not None:
-            prof_c = _profile(corpus)
+            if profile_sidecar:
+                prof_c, healed = _corpus_profiles(spark, corpus)
+            else:
+                prof_c = _profile(corpus)
             bb = signature_band_buckets(
                 prof_b, id_col, "sig", bands, rows_per_band
             )
@@ -214,7 +300,18 @@ def incremental_neardup_sink(
             id_col,
             "left_anti",
         )
+        if profile_sidecar:
+            fresh = fresh.localCheckpoint()  # consumed by data + profiles
         fresh.write.mode("append").parquet(corpus_path)
+        if profile_sidecar:
+            # data first, profiles second (see docstring for the
+            # crash-window contract); healed backfills persist too
+            fresh_prof = prof_b.join(
+                fresh.select(id_col), id_col, "left_semi"
+            )
+            if healed is not None:
+                fresh_prof = fresh_prof.unionByName(healed)
+            fresh_prof.write.mode("append").parquet(sidecar_path)
 
     return (
         stream_df.writeStream.foreachBatch(_process)

@@ -533,6 +533,77 @@ class TestPageRank:
         for i in range(n):
             assert abs(fp[i] / 10**12 - fl[i]) < 1e-6, i
 
+    def test_conserve_mass_float_sums_to_one(self, spark):
+        """A graph WITH dangling nodes: default mode leaks their mass
+        (Σrank < 1), conserve_mass=True redistributes it so Σrank = 1
+        to a few ulps after every iteration count."""
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.graph import pagerank
+
+        n = 12
+        nodes = spark.range(n).select(F.col("id"))
+        # nodes 0..5 link forward; 6..11 are dangling (no out-edges)
+        edges = spark.range(6).select(
+            F.col("id").alias("src"), (F.col("id") + 6).alias("dst")
+        )
+        for iters in (1, 4, 8):
+            leaky = sum(
+                r["rank"]
+                for r in pagerank(edges, nodes, iterations=iters).collect()
+            )
+            full = sum(
+                r["rank"]
+                for r in pagerank(
+                    edges, nodes, iterations=iters, conserve_mass=True
+                ).collect()
+            )
+            assert leaky < 1.0 - 1e-3  # the simplification really leaks
+            assert abs(full - 1.0) < 1e-12, iters
+
+    def test_conserve_mass_fixed_point_bound_and_determinism(self, spark):
+        """Integer mode: Σrank is deterministic and within the
+        documented floor-division bound of the full scale —
+        0 ≤ scale − Σ ≤ iterations·(E + 4·N) units."""
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.graph import pagerank
+
+        n, scale, iters = 40, 10**12, 4
+        nodes = spark.range(n).select(F.col("id"))
+        # half the nodes emit 2 edges each; the rest dangle
+        edges = spark.range(n // 2).select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 3 + 1) % n).alias("dst"),
+        ).unionByName(
+            spark.range(n // 2).select(
+                F.col("id").alias("src"),
+                ((F.col("id") * 5 + 2) % n).alias("dst"),
+            )
+        )
+        n_edges = n  # n//2 sources x 2 edges
+        totals = []
+        for _ in range(2):
+            ranks = pagerank(
+                edges,
+                nodes,
+                iterations=iters,
+                fixed_point_scale=scale,
+                conserve_mass=True,
+            ).collect()
+            totals.append(sum(r["rank"] for r in ranks))
+        assert totals[0] == totals[1]  # bit-identical across runs
+        loss = scale - totals[0]
+        assert 0 <= loss <= iters * (n_edges + 4 * n), loss
+        # and mass conservation genuinely tightens the integer mode too
+        leaky_total = sum(
+            r["rank"]
+            for r in pagerank(
+                edges, nodes, iterations=iters, fixed_point_scale=scale
+            ).collect()
+        )
+        assert leaky_total < totals[0]
+
     def test_fixed_point_rejects_irrational_damping(self, spark):
         import pytest
         from pyspark.sql import functions as F

@@ -589,6 +589,18 @@ class TestCrawlSurfacePlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Scan ExistingRDD" in plan or "Scan parquet" not in plan
 
+    def test_pagerank_mass_plan_shape(self, spark, sf_dir):
+        """q137 (conserve_mass=True) adds one 1-row dangling-sum
+        broadcast per iteration — a BroadcastNestedLoopJoin over a
+        single aggregate row is bounded and fine, but a data-sized
+        CartesianProduct is not; corpus-sized relations must still
+        move only through equi-joins, with lineage cut per round."""
+        from gov_data_pipeline_spark.queries.ingest import q137_pagerank_mass
+
+        plan = self._plan(q137_pagerank_mass(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "Scan ExistingRDD" in plan or "Scan parquet" not in plan
+
     def test_roundtrip_readback_prunes_partitions(self, spark, sf_dir):
         """q136's read-back scan must carry the l_returnflag partition
         filter — the point of writing partitioned."""

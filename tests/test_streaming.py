@@ -300,6 +300,78 @@ def test_incremental_dedup_sink_grows_corpus_without_duplicates(spark, tmp_path)
     assert spark.read.parquet(corpus).count() == 4
 
 
+def test_exact_dedup_sink_digest_sidecar_same_result_and_heals(spark, tmp_path):
+    """digest_sidecar=True must keep the exact-dedup contract (one row
+    per distinct content, smallest-id-first winners), persist one
+    (id, digest) row per corpus row under corpus/_content_digests
+    without leaking into plain corpus reads, and self-heal rows that
+    reached the corpus without digests."""
+    import os
+    import time
+
+    from gov_data_pipeline_spark.streaming import incremental_dedup_sink
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    b1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]
+    b2 = [(4, "beta"), (5, "gamma")]
+
+    seen_files: set[str] = set()
+    t0 = time.time()
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                if p not in seen_files:
+                    os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                    seen_files.add(p)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_dedup_sink(
+            stream, corpus, ["text"], "doc_id", str(tmp_path / "ckpt"),
+            digest_sidecar=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["text"]: r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {"alpha": 1, "beta": 2, "gamma": 5}
+    side = spark.read.parquet(corpus + "/_content_digests")
+    assert {r["doc_id"] for r in side.collect()} == {1, 2, 5}
+
+    # crash window: doc 6 lands in the corpus with no digest; its exact
+    # dup (7) must still drop next batch and 6's digest backfills
+    spark.createDataFrame(
+        [(6, "epsilon")], "doc_id long, text string"
+    ).write.mode("append").parquet(corpus)
+    spark.createDataFrame(
+        [(7, "epsilon"), (8, "zeta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = (
+        incremental_dedup_sink(
+            stream, corpus, ["text"], "doc_id", str(tmp_path / "ckpt2"),
+            digest_sidecar=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    texts = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert texts == {"alpha", "beta", "gamma", "epsilon", "zeta"}
+    healed = spark.read.parquet(corpus + "/_content_digests")
+    assert {r["doc_id"] for r in healed.collect()} == {1, 2, 5, 6, 8}
+
+
 def test_incremental_neardup_sink_drops_near_duplicates(spark, tmp_path):
     """Near-dup streaming ingestion: exact dups, near-dups (one word
     changed out of many — Jaccard above threshold), and intra-batch
@@ -366,6 +438,93 @@ def test_incremental_neardup_sink_drops_near_duplicates(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2, 4}
+
+
+def test_neardup_sink_profile_sidecar_same_result_and_heals(spark, tmp_path):
+    """profile_sidecar=True must (a) produce the identical surviving
+    corpus as the re-profile-from-text default, (b) persist one profile
+    row per corpus row under corpus/_minhash_profiles WITHOUT the
+    sidecar leaking into plain reads of the corpus dir, and (c)
+    self-heal: rows appended to the corpus without profiles (the
+    crash-between-appends window) are re-profiled from text on the
+    next batch and still block their near-dups."""
+    import os
+    import time
+
+    from gov_data_pipeline_spark.streaming import incremental_neardup_sink
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")
+    far = "completely different text about spark shuffles and partitions at scale"
+    b1 = [(1, base), (2, far)]
+    b2 = [(3, near),
+          (4, "a genuinely novel document mentioning winnowing and minhash"),
+          (5, "a genuinely novel document mentioning winnowing and minhashes")]
+
+    seen_files: set[str] = set()
+    t0 = time.time()
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                if p not in seen_files:
+                    os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                    seen_files.add(p)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_neardup_sink(
+            stream, corpus, "text", "doc_id", str(tmp_path / "ckpt"),
+            threshold=0.5, profile_sidecar=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # (a) same survivors as the default-mode test over the same batches
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2, 4}
+    # (b) sidecar holds exactly the surviving ids; corpus read above
+    # proved the _ dir is invisible to plain parquet reads
+    prof = spark.read.parquet(corpus + "/_minhash_profiles")
+    assert {r["doc_id"] for r in prof.collect()} == {1, 2, 4}
+    assert {"sig", "hset", "n"} <= set(prof.columns)
+
+    # (c) simulate the crash window: doc 6 reaches the corpus with NO
+    # profile; its near-dup (7) must still drop on the next batch, and
+    # 6's profile must be backfilled
+    lone = "an orphaned corpus document that lost its profile in a crash window"
+    spark.createDataFrame([(6, lone)], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(corpus)
+    b3 = [(7, lone.replace("crash", "failure")), (8, "yet another wholly original text")]
+    spark.createDataFrame(b3, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = (
+        incremental_neardup_sink(
+            stream, corpus, "text", "doc_id", str(tmp_path / "ckpt2"),
+            threshold=0.5, profile_sidecar=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {
+        1, 2, 4, 6, 8,
+    }
+    healed = spark.read.parquet(corpus + "/_minhash_profiles")
+    assert {r["doc_id"] for r in healed.collect()} == {1, 2, 4, 6, 8}
 
 
 def test_ingest_sinks_survive_precreated_empty_corpus_dir(spark, tmp_path):

@@ -312,6 +312,21 @@ class TestWebFunctions:
         assert n_blocked == 49
         assert counts["frontier_fetchable"] == n - n_blocked
         assert counts["pages"] == n and counts["ranked"] == n
+        # stage 6: the PipelineConfig fetch surface (proxy with inline
+        # auth, cookies, UA) flows end-to-end through a local stand-in
+        # egress proxy
+        import base64
+
+        fetched = mod.demo_proxied_fetch(spark, sf_dir, limit=5)
+        assert fetched["fetched_ok"] == 5
+        reqs = fetched["proxy_requests"]
+        assert len(reqs) == 5
+        expect_auth = "Basic " + base64.b64encode(b"crawler:s3cret").decode()
+        for req in reqs:
+            assert req["path"].startswith("http://")  # absolute URI = proxied
+            assert req["headers"]["Proxy-Authorization"] == expect_auth
+            assert req["headers"]["Cookie"] == "session=demo; lang=en"
+            assert req["headers"]["User-Agent"] == "gov-pipeline-demo/1.0"
 
     def test_image_header_col_matches_python_prober(self, spark):
         """The JVM column prober must agree with png_codec.image_info

@@ -51,6 +51,8 @@ _MODULES = (
 _PRIORITY: tuple[str, ...] = (
     # new in r06 (no driver row yet)
     "q137_pagerank_mass",
+    "q138_semantic_decontaminate",
+    "q139_char_budget_mix",
     # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
     # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
     "q115_weighted_sample",
@@ -104,10 +106,10 @@ _PRIORITY: tuple[str, ...] = (
     "q106_unpivot",
     "q107_negative_sampling",
     "q108_time_weighted_avg",
-    "q109_session_paths",
-    "q110_value_histogram",
     # --- driver sample boundary (first 50 end here); everything green
     # in r05 plus the remaining r04 cohort falls through to module order
+    "q109_session_paths",
+    "q110_value_histogram",
     "q111_grouped_percentiles",
 )
 

@@ -912,8 +912,72 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# ---------------------------------------------------------------------------
+# q139 — mixture construction under per-source character budgets: the
+# data-mixing step that assembles a training corpus from N sources with
+# per-source quotas. Docs are ranked by a stable hash (an unbiased,
+# re-ingest-deterministic shuffle — same device as q65/q69/q115) and a
+# running prefix sum keeps each source's docs while cumulative chars
+# stay within 40% of that source's total. The 40% fraction is applied
+# as exact integer cross-multiplication (cum·5 ≤ tot·2): no float
+# boundary can disagree between engines or retries.
+#
+# Scale shape: per-source totals are a tiny aggregate broadcast back
+# over the scan; the prefix sum is ONE hash-partition-by-source window
+# (the ordered-prefix semantics require it — same unavoidable-shuffle
+# argument as q09's ordered concat); the final rollup is a map-side
+# partial over the already-source-partitioned rows, so the second
+# exchange carries one row per source.
+# ---------------------------------------------------------------------------
+
+
+def q139_char_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tot = docs.groupBy("source").agg(F.sum("n_chars").alias("tot"))
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    kept = (
+        docs.withColumn("cum", F.sum("n_chars").over(w))
+        .join(F.broadcast(tot), "source")
+        .filter(F.col("cum") * 5 <= F.col("tot") * 2)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.max("cum").alias("budget_used"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q139_SQL = """
+WITH tot AS (
+  SELECT source, sum(n_chars) AS tot FROM documents GROUP BY source),
+c AS (
+  SELECT d.source, d.n_chars, t.tot,
+         sum(d.n_chars) OVER (PARTITION BY d.source
+             ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents d JOIN tot t USING (source))
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       CAST(max(cum) AS BIGINT) AS budget_used
+FROM c
+WHERE cum * 5 <= tot * 2
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
+    "q139_char_budget_mix": q139_char_budget_mix,
     "q120_token_entropy": q120_token_entropy,
     "q121_zipf_slope": q121_zipf_slope,
     "q95_inverted_index": q95_inverted_index,
@@ -930,6 +994,7 @@ QUERIES = {
 
 ORACLE = {
     "q94_unigram_logprob": _Q94_SQL,
+    "q139_char_budget_mix": _Q139_SQL,
     "q120_token_entropy": _Q120_SQL,
     "q121_zipf_slope": _Q121_SQL,
     "q95_inverted_index": _Q95_SQL,

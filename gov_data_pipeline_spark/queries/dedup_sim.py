@@ -1253,6 +1253,99 @@ ORDER BY w.doc_id
 """
 
 
+def q138_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — q87's EMBEDDING sibling:
+    drop (here: flag) corpus vectors whose max cosine against the
+    evaluation set meets a near-identity threshold, catching the
+    paraphrased/reformatted eval leakage that 13-gram matching misses.
+    Benchmark = every 17th vector (the corpus keeps its copies, as a
+    real corpus contains its eval contamination), so benchmark members
+    score exactly 1.0 and genuinely novel vectors fall below 0.999 —
+    both branches of the gate are exercised deterministically.
+
+    Scale shape: eval sets are thousands of rows against a 100 TB
+    corpus, so the benchmark side is a BROADCAST and the corpus meets
+    it in a nested-loop pass WITHOUT shuffling; per-vector max() is a
+    map-side partial aggregate on the corpus's own id, so the only
+    exchange carries one row per corpus vector. The benchmark is
+    PINNED to the base id space (``vec_id < 1e9`` — the scaled-SF
+    replicas shift ids past 1e9), because an eval set does NOT grow
+    with the corpus: the sf0.1→sf1.0 curve measures 10x corpus against
+    the same benchmark, the regime a real decontamination pass is in.
+    Norms are precomputed per side (``_pair_cosine``) — the q80/q46
+    codegen-budget lesson: a full unrolled cosine per pair is ~3x the
+    generated code and recomputes each norm |bench| times. The dot
+    itself uses the INTERPRETED ``aggregate`` fold (``dim=None``), not
+    the unrolled tree: inside a BroadcastNestedLoopJoin stage the
+    128-term unrolled expression cannot compile and evaluates as a
+    giant interpreted tree with per-element bounds checks — measured
+    5x SLOWER than the single-pass fold here (8.3 s vs 1.6 s at
+    sf0.1), the opposite call from the equi-join pair stages where
+    unrolling wins. Cosine is round(·, 4)-then-max on both engines
+    (q44's proven parity recipe; the fold and the unrolled tree are
+    bit-identical by construction).
+    Cite: reference has no vector ops; this extends its dedup surface
+    (SURVEY L6/L7) the way `handlers/base.py` text cleaning extends
+    to `q87_decontaminate`.
+    """
+    from gov_data_pipeline_spark.operators.similarity import (
+        _norm,
+        _pair_cosine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = None  # interpreted fold — see docstring
+    bench = emb.filter(
+        (F.col("vec_id") % 17 == 0) & (F.col("vec_id") < 1_000_000_000)
+    ).select(
+        F.col("embedding").alias("b_emb"),
+        _norm(F.col("embedding"), dim).alias("b_n"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding"), dim).alias("q_n"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            F.round(
+                _pair_cosine(
+                    F.col("q_emb"), F.col("b_emb"),
+                    F.col("q_n"), F.col("b_n"), dim,
+                ),
+                4,
+            ).alias("c"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("max_benchmark_cos"))
+    )
+    return scored.select(
+        "vec_id",
+        "max_benchmark_cos",
+        (F.col("max_benchmark_cos") >= 0.999).alias("contaminated"),
+    ).orderBy("vec_id")
+
+
+_Q138_SQL = """
+WITH bench AS (
+  SELECT embedding AS b_emb FROM embeddings
+  WHERE vec_id % 17 = 0 AND vec_id < 1000000000),
+scored AS (
+  SELECT e.vec_id,
+         max(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(b.b_emb AS DOUBLE[])),
+                   4)) AS max_benchmark_cos
+  FROM embeddings e CROSS JOIN bench b
+  GROUP BY e.vec_id)
+SELECT vec_id, max_benchmark_cos,
+       max_benchmark_cos >= 0.999 AS contaminated
+FROM scored
+ORDER BY vec_id
+"""
+
+
 def q88_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition gate: fraction of
     duplicate 3-grams per document. Deliberately EXPRESSION-level
@@ -1769,6 +1862,7 @@ QUERIES = {
     "q85_chunk_documents": q85_chunk_documents,
     "q86_sequence_pack": q86_sequence_pack,
     "q87_decontaminate": q87_decontaminate,
+    "q138_semantic_decontaminate": q138_semantic_decontaminate,
     "q88_repetition_filter": q88_repetition_filter,
     "q89_curation_pipeline": q89_curation_pipeline,
 }
@@ -1807,6 +1901,7 @@ ORACLE = {
     "q85_chunk_documents": _Q85_SQL,
     "q86_sequence_pack": _Q86_SQL,
     "q87_decontaminate": _Q87_SQL,
+    "q138_semantic_decontaminate": _Q138_SQL,
     "q88_repetition_filter": _Q88_SQL,
     "q89_curation_pipeline": _Q89_SQL,
 }

@@ -39,6 +39,10 @@ NAMES = [
     "q80_semantic_clusters_lsh",
     "q89_curation_pipeline",
     "q113_kmeans",
+    # round-6 additions
+    "q137_pagerank_mass",
+    "q138_semantic_decontaminate",
+    "q139_char_budget_mix",
 ]
 
 

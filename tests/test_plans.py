@@ -601,6 +601,38 @@ class TestCrawlSurfacePlans:
         assert "CartesianProduct" not in plan
         assert "Scan ExistingRDD" in plan or "Scan parquet" not in plan
 
+    def test_semantic_decontaminate_broadcasts_benchmark(self, spark, sf_dir):
+        """q138: the eval set must meet the corpus as a BROADCAST
+        nested-loop (eval sets are tiny; the corpus must not shuffle
+        before the per-vector max), and the only exchange is the
+        one-row-per-vector partial aggregate."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q138_semantic_decontaminate,
+        )
+
+        plan = self._plan(q138_semantic_decontaminate(spark, sf_dir))
+        final = plan.split("Initial Plan")[0]  # AQE prints the plan twice
+        assert "CartesianProduct" not in plan
+        assert final.count("BroadcastNestedLoopJoin") == 1
+        assert final.count("Exchange hashpartitioning") <= 1
+
+    def test_char_budget_mix_single_source_shuffle(self, spark, sf_dir):
+        """q139: per-source totals broadcast (BroadcastHashJoin, never
+        a shuffle join), ONE window shuffle by source whose
+        partitioning the final per-source rollup REUSES — exactly two
+        hash exchanges in the whole plan (window input + the tiny
+        totals aggregate)."""
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            q139_char_budget_mix,
+        )
+
+        plan = self._plan(q139_char_budget_mix(spark, sf_dir))
+        final = plan.split("Initial Plan")[0]  # AQE prints the plan twice
+        assert "CartesianProduct" not in plan
+        assert final.count("BroadcastHashJoin") == 1
+        assert "SortMergeJoin" not in final
+        assert final.count("Exchange hashpartitioning") <= 2
+
     def test_roundtrip_readback_prunes_partitions(self, spark, sf_dir):
         """q136's read-back scan must carry the l_returnflag partition
         filter — the point of writing partitioned."""

@@ -1346,6 +1346,99 @@ ORDER BY vec_id
 """
 
 
+def q140_semantic_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q138's registered SCALE TWIN (the q74→q80 pattern): the
+    corpus-vs-benchmark pass goes through the hyperplane-LSH candidate
+    generator instead of the broadcast nested loop, so candidate cost
+    scales with bucket occupancy, not |corpus|·|bench| — the shape
+    that survives when the benchmark is large (multi-benchmark suites)
+    or the nested loop's per-pair cost bites. At the 0.999
+    near-identity threshold LSH recall is essentially 1 (a colliding
+    pair agrees on every plane with probability → 1 as cos → 1), and
+    ``exclude_self=False`` keeps the benchmark members' own corpus
+    copies flagged — an eval row in the corpus IS contamination. The
+    md5 plane family makes buckets bit-reproducible, so candidates,
+    verification, and the final gate all hash against the oracle.
+    Plan pinned CartesianProduct/BroadcastNestedLoopJoin-free.
+    """
+    from gov_data_pipeline_spark.operators.similarity import lsh_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = _emb_dim(spark, sf_dir)
+    bench = emb.filter(
+        (F.col("vec_id") % 17 == 0) & (F.col("vec_id") < 1_000_000_000)
+    )
+    hits = (
+        lsh_cosine_pairs(
+            emb, bench, "vec_id", "vec_id", "embedding", "embedding",
+            threshold=0.999, bits=6, tables=6,
+            exclude_self=False, hash_family="md5", dim=dim,
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.select("vec_id")
+        .join(
+            F.broadcast(hits.withColumn("__hit", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# Bucket arithmetic identical to _Q45_SQL/_Q80_SQL (36 planes = 6
+# tables x 6 bits, ±1 from the low bit of md5's first hex char);
+# candidates are corpus-vs-benchmark bucket collisions (self included),
+# verified on the 4-decimal-rounded cosine at the near-identity bar.
+_Q140_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+bench_ids AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id % 17 = 0 AND vec_id < 1000000000),
+ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding) AS x
+  FROM u),
+dims AS (SELECT DISTINCT d FROM ex),
+planes AS (
+  SELECT dims.d, p.p AS p,
+         CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
+                                   1, 1))::INT & 1 = 1
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM dims CROSS JOIN range(36) p(p)),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  FROM ex e JOIN planes pl ON pl.d = e.d
+  GROUP BY e.vec_id, pl.p),
+buckets AS (
+  SELECT vec_id, (p // 6)::INT AS t,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 6)) ELSE 0 END)::BIGINT AS b
+  FROM dots GROUP BY vec_id, (p // 6)::INT),
+cand AS (
+  SELECT DISTINCT q.vec_id AS a_id, c.vec_id AS b_id
+  FROM buckets q
+  JOIN buckets c ON q.t = c.t AND q.b = c.b
+  JOIN bench_ids bi ON bi.vec_id = c.vec_id),
+hits AS (
+  SELECT DISTINCT cand.a_id
+  FROM cand
+  JOIN u a ON a.vec_id = cand.a_id
+  JOIN u b ON b.vec_id = cand.b_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.999)
+SELECT e.vec_id, h.a_id IS NOT NULL AS contaminated
+FROM embeddings e LEFT JOIN hits h ON h.a_id = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 def q88_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition gate: fraction of
     duplicate 3-grams per document. Deliberately EXPRESSION-level
@@ -1863,6 +1956,7 @@ QUERIES = {
     "q86_sequence_pack": q86_sequence_pack,
     "q87_decontaminate": q87_decontaminate,
     "q138_semantic_decontaminate": q138_semantic_decontaminate,
+    "q140_semantic_decontaminate_lsh": q140_semantic_decontaminate_lsh,
     "q88_repetition_filter": q88_repetition_filter,
     "q89_curation_pipeline": q89_curation_pipeline,
 }
@@ -1902,6 +1996,7 @@ ORACLE = {
     "q86_sequence_pack": _Q86_SQL,
     "q87_decontaminate": _Q87_SQL,
     "q138_semantic_decontaminate": _Q138_SQL,
+    "q140_semantic_decontaminate_lsh": _Q140_SQL,
     "q88_repetition_filter": _Q88_SQL,
     "q89_curation_pipeline": _Q89_SQL,
 }

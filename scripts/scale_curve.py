@@ -43,6 +43,7 @@ NAMES = [
     "q137_pagerank_mass",
     "q138_semantic_decontaminate",
     "q139_char_budget_mix",
+    "q140_semantic_decontaminate_lsh",
 ]
 
 

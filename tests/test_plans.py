@@ -616,6 +616,18 @@ class TestCrawlSurfacePlans:
         assert final.count("BroadcastNestedLoopJoin") == 1
         assert final.count("Exchange hashpartitioning") <= 1
 
+    def test_semantic_decontaminate_lsh_no_nested_loop(self, spark, sf_dir):
+        """q140 exists to kill q138's nested loop at large benchmark
+        sizes: candidates must come from the (table, bucket) equi-join
+        — no CartesianProduct, no BroadcastNestedLoopJoin anywhere."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q140_semantic_decontaminate_lsh,
+        )
+
+        plan = self._plan(q140_semantic_decontaminate_lsh(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_char_budget_mix_single_source_shuffle(self, spark, sf_dir):
         """q139: per-source totals broadcast (BroadcastHashJoin, never
         a shuffle join), ONE window shuffle by source whose

@@ -9,7 +9,7 @@ and example shares; the DuckDB twin is
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def hash_bucket_col(id_col: Column) -> Column:
@@ -17,3 +17,39 @@ def hash_bucket_col(id_col: Column) -> Column:
     return F.conv(
         F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10
     ).cast("int")
+
+
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    size_col: str,
+    budget_num: int,
+    budget_den: int,
+) -> DataFrame:
+    """Per-group budgeted prefix sample: within each ``group_col``,
+    rank rows by the stable md5 hash of ``id_col`` (an unbiased,
+    re-ingest-deterministic shuffle) and keep the maximal prefix whose
+    cumulative ``size_col`` stays within ``budget_num/budget_den`` of
+    the group's total — the mixture-assembly step that fills each
+    source's token/char quota (q139). The fraction is applied as exact
+    integer cross-multiplication (``cum·den ≤ total·num``), so no
+    float boundary can disagree across engines or retries.
+
+    Returns the kept rows plus a ``cum`` running-total column. Scale
+    shape: group totals are a tiny aggregate broadcast back over the
+    scan; the prefix sum is ONE hash-partition-by-group window, whose
+    partitioning a following per-group rollup can reuse.
+    """
+    tot = df.groupBy(group_col).agg(F.sum(size_col).alias("__tot"))
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.withColumn("cum", F.sum(size_col).over(w))
+        .join(F.broadcast(tot), group_col)
+        .filter(F.col("cum") * budget_den <= F.col("__tot") * budget_num)
+        .drop("__tot")
+    )

@@ -932,18 +932,10 @@ ORDER BY lang
 
 
 def q139_char_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.sampling import budget_sample
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    tot = docs.groupBy("source").agg(F.sum("n_chars").alias("tot"))
-    w = (
-        W.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    kept = (
-        docs.withColumn("cum", F.sum("n_chars").over(w))
-        .join(F.broadcast(tot), "source")
-        .filter(F.col("cum") * 5 <= F.col("tot") * 2)
-    )
+    kept = budget_sample(docs, "doc_id", "source", "n_chars", 2, 5)
     return (
         kept.groupBy("source")
         .agg(

@@ -626,3 +626,100 @@ def test_robots_matches_model(spark, groups, agent, path):
     ).collect()[0]["ok"]
     want = _model_robots_allowed(robots, agent, path)
     assert got == want, f"{robots!r} agent={agent} path={path}"
+
+
+def test_training_export_example_end_to_end(spark, tmp_path):
+    """examples/training_export.py composes dedup -> decontaminate ->
+    quality gate -> budget mixture -> packing -> sharded JSONL; pin the
+    stage contract: counts shrink monotonically through the filters,
+    the mixture genuinely bites (40% char budget), exactly 4 gzip
+    shards land, and the export reads back row-for-row."""
+    import glob
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "training_export",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "training_export.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "export")
+    counts = mod.run(spark, "/root/testdata/sf0.001", out)
+    assert counts["loaded"] == 500
+    assert (
+        counts["loaded"]
+        >= counts["deduped"]
+        > counts["decontaminated"]
+        >= counts["quality_gated"]
+        > counts["mixed"]
+        > 0
+    )
+    assert counts["packed"] == counts["mixed"]
+    assert 0 < counts["packs"] <= counts["packed"]
+    parts = glob.glob(out + "/part-*.gz")
+    assert len(parts) == 4
+    back = spark.read.json(out)
+    assert back.count() == counts["packed"]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc_id
+            st.sampled_from(["a", "b", "c"]),            # group
+            st.integers(min_value=1, max_value=500),     # size
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    num_den=st.sampled_from([(2, 5), (1, 2), (1, 10), (1, 1)]),
+)
+def test_budget_sample_matches_greedy_model(spark, rows, num_den):
+    """functions/sampling.budget_sample vs the pure-Python greedy
+    model: within each group, walk ids in (md5(id), id) order and keep
+    rows while cumulative size stays within num/den of the group
+    total. Pins (a) exact membership, (b) the running `cum` values,
+    and (c) maximality — the FIRST excluded row of each group would
+    overshoot the budget."""
+    import hashlib
+    from collections import defaultdict
+
+    from gov_data_pipeline_spark.functions.sampling import budget_sample
+
+    num, den = num_den
+    groups = defaultdict(list)
+    for doc_id, g, size in rows:
+        groups[g].append((doc_id, size))
+    expect: dict[int, int] = {}
+    for g, members in groups.items():
+        members.sort(
+            key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0])
+        )
+        total = sum(s for _, s in members)
+        cum = 0
+        for doc_id, size in members:
+            if (cum + size) * den <= total * num:
+                cum += size
+                expect[doc_id] = cum
+            else:
+                # maximality: this row overshoots, so it (and, in the
+                # prefix semantics, everything after it) is excluded
+                break
+
+    df = spark.createDataFrame(rows, "doc_id long, g string, size long")
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in budget_sample(df, "doc_id", "g", "size", num, den).collect()
+    }
+    assert got == expect

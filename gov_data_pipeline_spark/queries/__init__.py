@@ -54,6 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "q138_semantic_decontaminate",
     "q139_char_budget_mix",
     "q140_semantic_decontaminate_lsh",
+    "q141_jpeg_dims",
     # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
     # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
     "q115_weighted_sample",
@@ -105,9 +106,9 @@ _PRIORITY: tuple[str, ...] = (
     "q104_embed_topk",
     "q105_corpus_diff",
     "q106_unpivot",
-    "q107_negative_sampling",
     # --- driver sample boundary (first 50 end here); everything green
     # in r05 plus the remaining r04 cohort falls through to module order
+    "q107_negative_sampling",
     "q108_time_weighted_avg",
     "q109_session_paths",
     "q110_value_histogram",

@@ -684,6 +684,68 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q141 — JPEG dimension probing at scale: q134's column expression
+# covers fixed-offset headers (PNG/GIF); JPEG dimensions live in an
+# SOFn segment at a DATA-DEPENDENT offset (after APP/JFIF segments),
+# so a mixed-format corpus routes through the Arrow-batched marker
+# walk (`sources/multimodal.probe_image_meta` over
+# `png_codec.image_info`). Blobs synthesized deterministically from
+# doc_id — real JFIF skeletons (SOI+APP0+SOF0+EOI) with a PNG mix and
+# junk rows to prove fallthrough — so the oracle states the expected
+# output directly, same construction as q134.
+# ---------------------------------------------------------------------------
+
+
+def q141_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.sources.multimodal import probe_image_meta
+    from gov_data_pipeline_spark.sources.png_codec import build_minimal_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rows = []
+    for m7 in range(7):
+        for m5 in range(5):
+            rows.append(
+                (
+                    m7,
+                    m5,
+                    build_minimal_jpeg(640 + m7, 360 + m5),
+                    solid_png(m7 + 2, m5 + 2, (m7 * 20, m5 * 30, 9)),
+                )
+            )
+    lookup = spark.createDataFrame(
+        rows, "m7 int, m5 int, jpg binary, png binary"
+    )
+    media = docs.join(
+        F.broadcast(lookup),
+        (F.col("doc_id") % 7 == F.col("m7"))
+        & (F.col("doc_id") % 5 == F.col("m5")),
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1, F.col("png"))
+        .when(F.col("doc_id") % 4 == 3, F.lit(b"not an image"))
+        .otherwise(F.col("jpg"))
+        .alias("data"),
+    )
+    return probe_image_meta(media, "data", "doc_id").orderBy("doc_id")
+
+
+_Q141_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 1 THEN 'png'
+            WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'jpeg' END AS format,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 7 + 2
+                 WHEN doc_id % 4 = 3 THEN NULL
+                 ELSE 640 + doc_id % 7 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id % 5 + 2
+                 WHEN doc_id % 4 = 3 THEN NULL
+                 ELSE 360 + doc_id % 5 END AS BIGINT) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q135 — media-container metadata at scale: real ISO-BMFF (MP4) boxes
 # walked by the Arrow-batched prober and canonical PCM WAV headers
 # probed by the pure-column parser — the no-decode metadata pass over
@@ -851,6 +913,7 @@ QUERIES = {
     "q132_sitemap_extract": q132_sitemap_extract,
     "q133_robots_gate": q133_robots_gate,
     "q134_image_dims": q134_image_dims,
+    "q141_jpeg_dims": q141_jpeg_dims,
     "q135_media_meta": q135_media_meta,
     "q136_parquet_roundtrip": q136_parquet_roundtrip,
 }
@@ -866,6 +929,7 @@ ORACLE = {
     "q132_sitemap_extract": _Q132_SQL,
     "q133_robots_gate": _Q133_SQL,
     "q134_image_dims": _Q134_SQL,
+    "q141_jpeg_dims": _Q141_SQL,
     "q135_media_meta": _Q135_SQL,
     "q136_parquet_roundtrip": _Q136_SQL,
 }

@@ -397,3 +397,49 @@ def probe_video_meta(df: DataFrame, data_col: str, id_col: str) -> DataFrame:
             )
 
     return df.select(id_col, data_col).mapInPandas(mapper, schema=out_schema)
+
+
+IMAGE_META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def probe_image_meta(df: DataFrame, data_col: str, id_col: str) -> DataFrame:
+    """Distributed image-header pass: (id, format, width, height) per
+    row, nulls for unrecognized bytes. The SCAN sibling of
+    :func:`image_header_col`: JPEG dimensions live in an SOFn segment
+    at a data-dependent offset (the marker walk skips APP/comment
+    segments), so this runs the Python prober
+    (``png_codec.image_info``) under Arrow-batched ``mapInPandas`` —
+    O(header bytes) per row, entropy-coded payloads never parsed.
+    PNG/GIF also resolve here (same prober), so a mixed-format column
+    needs one pass; a pure PNG/GIF column should prefer the codegen'd
+    column expression."""
+    from gov_data_pipeline_spark.sources.png_codec import image_info
+
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(IMAGE_META_TYPE.fields)
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[data_col]):
+                info = image_info(bytes(blob)) if blob is not None else None
+                rows.append(
+                    {
+                        id_col: rid,
+                        "format": info and info["format"],
+                        "width": info and int(info["width"]),
+                        "height": info and int(info["height"]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col] + [f.name for f in IMAGE_META_TYPE]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(mapper, schema=out_schema)

@@ -58,6 +58,23 @@ def solid_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     return encode_png([[rgb] * width for _ in range(height)])
 
 
+def build_minimal_jpeg(width: int, height: int) -> bytes:
+    """Smallest well-formed JFIF skeleton carrying real dimensions:
+    SOI + APP0/JFIF + SOF0 + EOI. The golden fixture for the JPEG
+    branch of :func:`image_info` — dimensions live in the SOF0 frame
+    header at a data-dependent offset (after the APP0 segment), so a
+    prober that merely slices fixed offsets cannot read them."""
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
 def image_info(data: bytes) -> dict[str, str] | None:
     """Container-header probe: ``{format, width, height}`` for
     PNG/JPEG/GIF, else None. No decode, O(header) work."""

@@ -328,6 +328,52 @@ class TestWebFunctions:
             assert req["headers"]["Cookie"] == "session=demo; lang=en"
             assert req["headers"]["User-Agent"] == "gov-pipeline-demo/1.0"
 
+    def test_jpeg_probe_walks_segments(self, spark):
+        """JPEG dims come from the SOFn marker walk: APP segments are
+        skipped by length, progressive SOF2 resolves too, truncated
+        and junk inputs yield None/nulls; the distributed
+        probe_image_meta agrees with the Python prober row-for-row."""
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.sources.multimodal import probe_image_meta
+        from gov_data_pipeline_spark.sources.png_codec import (
+            build_minimal_jpeg,
+            image_info,
+        )
+
+        j = build_minimal_jpeg(1920, 1080)
+        assert image_info(j) == {
+            "format": "jpeg", "width": "1920", "height": "1080",
+        }
+        # an extra APPn (EXIF-style) segment before SOF0 must be skipped
+        exif = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+        with_app = j[:2] + exif + j[2:]
+        assert image_info(with_app)["width"] == "1920"
+        # progressive JPEG carries SOF2 instead of SOF0
+        prog = j.replace(b"\xff\xc0", b"\xff\xc2")
+        assert image_info(prog) == {
+            "format": "jpeg", "width": "1920", "height": "1080",
+        }
+        # truncated before the frame header / junk: no dims, no crash
+        assert image_info(j[:6]) is None
+        assert image_info(b"\xff\xd8\xff") is None
+        assert image_info(b"garbage") is None
+
+        df = spark.createDataFrame(
+            [(1, j), (2, with_app), (3, prog), (4, b"junk")],
+            "id long, data binary",
+        )
+        got = {
+            r["id"]: (r["format"], r["width"], r["height"])
+            for r in probe_image_meta(df, "data", "id").collect()
+        }
+        assert got[1] == ("jpeg", 1920, 1080)
+        assert got[2] == ("jpeg", 1920, 1080)
+        assert got[3] == ("jpeg", 1920, 1080)
+        assert got[4] == (None, None, None)
+
     def test_image_header_col_matches_python_prober(self, spark):
         """The JVM column prober must agree with png_codec.image_info
         on PNG (incl. >64k dims), GIF, and junk bytes."""

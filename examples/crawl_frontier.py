@@ -179,6 +179,7 @@ def demo_proxied_fetch(spark, sf_dir: str, limit: int = 5) -> dict:
         }
     finally:
         srv.shutdown()
+        srv.server_close()  # release the listening socket, not just the loop
 
 
 def main() -> None:

@@ -95,9 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     "q73_salted_join",
     "q78_grouping_sets",
     "q79_ntile",
-    # last green in r04 — 13 of that 50-query cohort fit the remaining
-    # sample slots; the q100-series analytics surface has exactly one
-    # green row each, so it re-verifies first (rest rotate in r07)
+    # last green in r04 — 8 of that 50-query cohort fit the remaining
+    # sample slots (5 r06-new + 5 r05-red + 32 r03-stale fill the first
+    # 42); the q100-series analytics surface has exactly one green row
+    # each, so it re-verifies first (rest rotate in r07)
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",

@@ -370,28 +370,53 @@ def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_sql(iterations: int = 4, scale: int = 10**12) -> str:
-    """Unroll the identical fixed-point iterations as chained CTEs."""
-    head = f"""
-WITH nn AS (SELECT count(*) AS n FROM documents),
-nodes AS (SELECT doc_id FROM documents),
-edges AS (
+def _pagerank_sql(
+    edges_sql: str | None = None,
+    conserve_mass: bool = False,
+    iterations: int = 4,
+    scale: int = 10**12,
+) -> str:
+    """Unroll the identical fixed-point iterations as chained CTEs —
+    ONE builder for both the dropped-mass (q131) and conserved-mass
+    (q137) oracles, so the shared arithmetic (init, contribution
+    ``r // deg``, damping ``(85·inflow) // 100``) can never
+    desynchronize between them. ``conserve_mass`` adds a per-iteration
+    dangling-sum CTE whose ``dsum // n`` share joins the inflow —
+    mirroring ``operators/graph.pagerank`` term for term."""
+    if edges_sql is None:
+        edges_sql = """
   SELECT doc_id AS src,
          ((doc_id % nn.n) * (doc_id % nn.n) + j * 17 + 7) % nn.n AS dst
   FROM documents CROSS JOIN nn
-  CROSS JOIN (VALUES (0), (1), (2)) t(j)),
+  CROSS JOIN (VALUES (0), (1), (2)) t(j)"""
+    head = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS ({edges_sql}),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+dang AS (SELECT doc_id FROM nodes
+         WHERE doc_id NOT IN (SELECT src FROM deg)),
 r0 AS (SELECT doc_id, CAST({scale} // nn.n AS BIGINT) AS r
        FROM documents CROSS JOIN nn)"""
     its = []
     prev = "r0"
     for i in range(1, iterations + 1):
-        its.append(f""",
+        if conserve_mass:
+            dsum_cte = f"""
+ds{i} AS (SELECT coalesce(sum(p.r), 0) AS dsum
+          FROM {prev} p JOIN dang g ON g.doc_id = p.doc_id),"""
+            dsum_join = f" CROSS JOIN ds{i}"
+            inflow = f"(coalesce(c.s, 0) + ds{i}.dsum // nn.n)"
+        else:
+            dsum_cte = ""
+            dsum_join = ""
+            inflow = "coalesce(c.s, 0)"
+        its.append(f""",{dsum_cte}
 it{i} AS (
   SELECT nd.doc_id,
          CAST((15 * ({scale} // nn.n)) // 100
-              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
-  FROM nodes nd CROSS JOIN nn
+              + (85 * {inflow}) // 100 AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN nn{dsum_join}
   LEFT JOIN (
     SELECT e.dst, sum(p.r // d.deg) AS s
     FROM edges e
@@ -452,50 +477,14 @@ def q137_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_mass_sql(iterations: int = 4, scale: int = 10**12) -> str:
-    """Unroll pagerank(conserve_mass=True)'s fixed-point iterations:
-    identical arithmetic to the Spark loop — contribution ``r // deg``,
-    dangling share ``dsum // n``, damping ``(85·inflow) // 100``."""
-    head = f"""
-WITH nn AS (SELECT count(*) AS n FROM documents),
-nodes AS (SELECT doc_id FROM documents),
-edges AS (
+_Q137_EDGES_SQL = """
   SELECT doc_id AS src,
          ((doc_id % nn.n) * (doc_id % nn.n) + j * 31 + 3) % nn.n AS dst
   FROM documents CROSS JOIN nn
   CROSS JOIN (VALUES (0), (1)) t(j)
-  WHERE doc_id % 2 = 0),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-dang AS (SELECT doc_id FROM nodes
-         WHERE doc_id NOT IN (SELECT src FROM deg)),
-r0 AS (SELECT doc_id, CAST({scale} // nn.n AS BIGINT) AS r
-       FROM documents CROSS JOIN nn)"""
-    its = []
-    prev = "r0"
-    for i in range(1, iterations + 1):
-        its.append(f""",
-ds{i} AS (SELECT coalesce(sum(p.r), 0) AS dsum
-          FROM {prev} p JOIN dang g ON g.doc_id = p.doc_id),
-it{i} AS (
-  SELECT nd.doc_id,
-         CAST((15 * ({scale} // nn.n)) // 100
-              + (85 * (coalesce(c.s, 0) + ds{i}.dsum // nn.n)) // 100
-              AS BIGINT) AS r
-  FROM nodes nd CROSS JOIN nn CROSS JOIN ds{i}
-  LEFT JOIN (
-    SELECT e.dst, sum(p.r // d.deg) AS s
-    FROM edges e
-    JOIN {prev} p ON p.doc_id = e.src
-    JOIN deg d ON d.src = e.src
-    GROUP BY e.dst) c ON c.dst = nd.doc_id)""")
-        prev = f"it{i}"
-    tail = f"""
-SELECT doc_id, r AS rank FROM {prev} ORDER BY doc_id
-"""
-    return head + "".join(its) + tail
+  WHERE doc_id % 2 = 0"""
 
-
-_Q137_SQL = _pagerank_mass_sql()
+_Q137_SQL = _pagerank_sql(edges_sql=_Q137_EDGES_SQL, conserve_mass=True)
 
 
 # ---------------------------------------------------------------------------
@@ -854,14 +843,20 @@ ORDER BY doc_id
 # and aggregate per partition value with a partition-pruning filter.
 # The hash only matches if the sink preserved every row and value
 # (partition columns included) — DuckDB aggregates the original table
-# directly. One stable temp dir per (process, sf_dir), overwritten on
-# each invocation: re-runnable (the driver executes each query more
-# than once) without accumulating a full lineitem copy per sweep.
+# directly. A fresh numbered subdir per invocation keeps every
+# still-live DataFrame's file listing valid (overwriting ONE stable
+# dir would delete the files under an earlier invocation's returned
+# plan — FileNotFoundException on its next collect); invocations two
+# generations old are removed, bounding /tmp to two copies instead of
+# one-per-sweep (the round-5 ADVICE leak).
 # ---------------------------------------------------------------------------
+
+_Q136_SEQ: dict[str, int] = {}
 
 
 def q136_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     from gov_data_pipeline_spark.sources.files import write_parquet
@@ -869,11 +864,15 @@ def q136_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
-    out = os.path.join(
+    base = os.path.join(
         tempfile.gettempdir(),
         "q136_roundtrip_%d_%s"
         % (os.getpid(), sf_dir.strip("/").replace("/", "_")),
     )
+    seq = _Q136_SEQ.get(base, 0)
+    _Q136_SEQ[base] = seq + 1
+    out = f"{base}_{seq}"
+    shutil.rmtree(f"{base}_{seq - 2}", ignore_errors=True)
     write_parquet(li, out, mode="overwrite", partition_by=["l_returnflag"])
     back = spark.read.parquet(out)
     return (

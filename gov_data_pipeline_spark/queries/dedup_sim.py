@@ -1439,6 +1439,100 @@ ORDER BY e.vec_id
 """
 
 
+def q142_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE overlap matrix — exact shingle-Jaccard between
+    whole sources, the corpus-analysis report that tells a data-mixing
+    job which feeds duplicate each other (and therefore which mixture
+    weights double-count): (source_a, source_b, n_a, n_b, n_common,
+    jaccard) for every unordered source pair, including zero-overlap
+    pairs.
+
+    Shape: ONE shuffle of distinct (source, shingle) rows; the
+    intersection is a self-equi-join on the shingle whose per-shingle
+    fan-out is bounded by (#sources carrying that shingle choose 2) —
+    fine for bounded source cardinality (feeds, registries). For
+    high-cardinality grouping (per-DOMAIN overlap over millions of
+    hosts) compose ``cap_shingle_doc_freq`` first to drop boilerplate
+    shingles, or switch to per-group MinHash signatures
+    (``minhash_doc_profile`` with the group as the id) and estimate —
+    both registered operators. The tiny per-source size relation
+    cross-joins against itself (#sources² rows) to surface
+    zero-overlap pairs explicitly.
+    """
+    from gov_data_pipeline_spark.operators.dedup import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    sh = shingle_rows(
+        docs, "source", F.col("text"), 3, widen=False, distinct=True
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    mat = (
+        sizes.alias("x")
+        .crossJoin(F.broadcast(sizes.alias("y")))
+        .filter(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+    )
+    common = F.coalesce(F.col("n_common"), F.lit(0).cast("long"))
+    return (
+        mat.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            common.alias("n_common"),
+            F.round(
+                common / (F.col("n_a") + F.col("n_b") - common), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_Q142_SQL = r"""
+WITH w AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+sh0 AS (
+  SELECT source,
+         unnest(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS s
+  FROM w),
+sh AS (SELECT DISTINCT source, s FROM sh0),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source),
+mat AS (
+  SELECT x.source AS source_a, y.source AS source_b, x.n AS n_a, y.n AS n_b
+  FROM sizes x JOIN sizes y ON x.source < y.source)
+SELECT m.source_a, m.source_b, m.n_a, m.n_b,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(i.n_common, 0) / (m.n_a + m.n_b - coalesce(i.n_common, 0)),
+             6) AS jaccard
+FROM mat m LEFT JOIN inter i
+  ON i.source_a = m.source_a AND i.source_b = m.source_b
+ORDER BY m.source_a, m.source_b
+"""
+
+
 def q88_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition gate: fraction of
     duplicate 3-grams per document. Deliberately EXPRESSION-level
@@ -1957,6 +2051,7 @@ QUERIES = {
     "q87_decontaminate": q87_decontaminate,
     "q138_semantic_decontaminate": q138_semantic_decontaminate,
     "q140_semantic_decontaminate_lsh": q140_semantic_decontaminate_lsh,
+    "q142_source_overlap": q142_source_overlap,
     "q88_repetition_filter": q88_repetition_filter,
     "q89_curation_pipeline": q89_curation_pipeline,
 }
@@ -1997,6 +2092,7 @@ ORACLE = {
     "q87_decontaminate": _Q87_SQL,
     "q138_semantic_decontaminate": _Q138_SQL,
     "q140_semantic_decontaminate_lsh": _Q140_SQL,
+    "q142_source_overlap": _Q142_SQL,
     "q88_repetition_filter": _Q88_SQL,
     "q89_curation_pipeline": _Q89_SQL,
 }

@@ -44,6 +44,7 @@ NAMES = [
     "q138_semantic_decontaminate",
     "q139_char_budget_mix",
     "q140_semantic_decontaminate_lsh",
+    "q142_source_overlap",
 ]
 
 

@@ -616,3 +616,85 @@ class TestPageRank:
             pagerank(
                 edges, nodes, damping=0.8567, fixed_point_scale=10**12
             )
+
+
+class TestIncrementalExactDedup:
+    def test_seen_hashes_path_matches_seen_df_path(self, spark):
+        """The persisted-index path (seen_hashes) must admit exactly the
+        rows the derive-from-corpus path admits, and both of None must
+        raise a clear ValueError, not AttributeError."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.dedup import (
+            _content_hash,
+            incremental_exact_dedup,
+        )
+
+        seen = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(3, "alpha"), (4, "gamma"), (5, "gamma")],
+            "doc_id long, text string",
+        )
+        via_df = {
+            r["doc_id"]
+            for r in incremental_exact_dedup(new, seen, ["text"], "doc_id").collect()
+        }
+        digests = seen.select(_content_hash(["text"]).alias("digest"))
+        via_hashes = {
+            r["doc_id"]
+            for r in incremental_exact_dedup(
+                new, None, ["text"], "doc_id", seen_hashes=digests
+            ).collect()
+        }
+        assert via_df == via_hashes == {4}
+        with pytest.raises(ValueError, match="seen_df or seen_hashes"):
+            incremental_exact_dedup(new, None, ["text"], "doc_id")
+
+
+def test_lsh_decontaminate_recall_on_perturbed_vectors(spark):
+    """q140's gate must catch PERTURBED eval vectors, not just exact
+    copies: a paraphrase-like embedding (tiny perturbation, cosine >
+    0.999) collides with its benchmark twin in every LSH table with
+    probability ~1, while a merely-similar vector (cos ~0.97) stays
+    below the near-identity bar even when buckets collide."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.operators.similarity import lsh_cosine_pairs
+
+    dim = 16
+
+    def vec(seed: int) -> list[float]:
+        # deterministic pseudo-random unit-ish vector
+        return [math.sin(seed * 31 + j * 7) for j in range(dim)]
+
+    base = vec(1)
+    # near-identity: one coordinate nudged by 1e-3 -> cos > 0.99999
+    nearly = list(base)
+    nearly[3] += 1e-3
+    # similar-but-distinct: 25% of coordinates replaced -> cos ~0.9x
+    similar = list(base)
+    for j in range(0, dim, 4):
+        similar[j] = -similar[j]
+
+    bench = spark.createDataFrame(
+        [(100, base)], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, nearly), (2, similar), (3, vec(9))],
+        "vec_id long, embedding array<float>",
+    )
+    hits = {
+        r["a_id"]
+        for r in lsh_cosine_pairs(
+            corpus, bench, "vec_id", "vec_id", "embedding", "embedding",
+            threshold=0.999, bits=6, tables=6,
+            exclude_self=False, hash_family="md5",
+        ).collect()
+    }
+    assert 1 in hits  # the perturbed twin is caught
+    assert 2 not in hits and 3 not in hits  # merely-similar stays clean

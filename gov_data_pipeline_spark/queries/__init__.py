@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "q140_semantic_decontaminate_lsh",
     "q141_jpeg_dims",
     "q142_source_overlap",
+    "q143_distinctive_terms",
     # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
     # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
     "q115_weighted_sample",
@@ -106,9 +107,9 @@ _PRIORITY: tuple[str, ...] = (
     "q102_funnel",
     "q103_retention",
     "q104_embed_topk",
-    "q105_corpus_diff",
     # --- driver sample boundary (first 50 end here); everything green
     # in r05 plus the remaining r04 cohort falls through to module order
+    "q105_corpus_diff",
     "q106_unpivot",
     "q107_negative_sampling",
     "q108_time_weighted_avg",

@@ -84,6 +84,91 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q143 — contrastive per-source vocabulary: what characterizes each
+# source vs the rest of the corpus (the data-audit view a mixture
+# designer reads before weighting feeds). Smoothed log-odds
+# ln((c+1)/(n_s+V)) − ln((c_rest+1)/(n_rest+V)) per (source, term),
+# top-10 per source ranked on the ROUNDED score (ties broken by term)
+# so window order can never hinge on a cross-engine log ulp.
+#
+# Scale shape: token rows reduce to (source, term) counts in ONE
+# map-side-partial aggregate (vocabulary-sized, ≪ corpus); the
+# rest-of-corpus counts come from a term-keyed join of two
+# vocabulary-sized relations; per-source totals and the vocab size are
+# 1-row/tiny broadcasts. Nothing document-sized crosses an exchange
+# after the first aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q143_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.textstats import term_rows
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    toks = term_rows(docs, "source", F.col("text"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    ts = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    tt = st.groupBy("term").agg(F.sum("c").alias("n_t"))
+    gl = st.agg(
+        F.sum("c").alias("n_total"),
+        F.count_distinct("term").alias("v"),
+    )
+    score = F.round(
+        F.log((F.col("c") + 1) / (F.col("n_s") + F.col("v")))
+        - F.log(
+            (F.col("n_t") - F.col("c") + 1)
+            / (F.col("n_total") - F.col("n_s") + F.col("v"))
+        ),
+        6,
+    )
+    scored = (
+        st.join(tt, "term")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(gl))
+        .select("source", "term", "c", score.alias("log_odds"))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("log_odds").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "source", "term",
+            F.col("c").alias("tf"),
+            "log_odds",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+_Q143_SQL = r"""
+WITH toks AS (
+  SELECT * FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents) WHERE term <> ''),
+st AS (SELECT source, term, count(*) AS c FROM toks GROUP BY source, term),
+ts AS (SELECT source, sum(c) AS n_s FROM st GROUP BY source),
+tt AS (SELECT term, sum(c) AS n_t FROM st GROUP BY term),
+gl AS (SELECT sum(c) AS n_total, count(DISTINCT term) AS v FROM st),
+scored AS (
+  SELECT st.source, st.term, st.c,
+         round(ln((st.c + 1) / (ts.n_s + gl.v))
+               - ln((tt.n_t - st.c + 1) / (gl.n_total - ts.n_s + gl.v)),
+               6) AS log_odds
+  FROM st JOIN tt USING (term) JOIN ts USING (source) CROSS JOIN gl),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY log_odds DESC, term) AS rk
+  FROM scored)
+SELECT source, term, CAST(c AS BIGINT) AS tf, log_odds, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 10
+ORDER BY source, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # q95 — df-banded inverted index (term -> ordered posting list).
 # ---------------------------------------------------------------------------
 
@@ -970,6 +1055,7 @@ ORDER BY source
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q139_char_budget_mix": q139_char_budget_mix,
+    "q143_distinctive_terms": q143_distinctive_terms,
     "q120_token_entropy": q120_token_entropy,
     "q121_zipf_slope": q121_zipf_slope,
     "q95_inverted_index": q95_inverted_index,
@@ -987,6 +1073,7 @@ QUERIES = {
 ORACLE = {
     "q94_unigram_logprob": _Q94_SQL,
     "q139_char_budget_mix": _Q139_SQL,
+    "q143_distinctive_terms": _Q143_SQL,
     "q120_token_entropy": _Q120_SQL,
     "q121_zipf_slope": _Q121_SQL,
     "q95_inverted_index": _Q95_SQL,

@@ -45,6 +45,7 @@ NAMES = [
     "q139_char_budget_mix",
     "q140_semantic_decontaminate_lsh",
     "q142_source_overlap",
+    "q143_distinctive_terms",
 ]
 
 

@@ -57,6 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "q141_jpeg_dims",
     "q142_source_overlap",
     "q143_distinctive_terms",
+    "q144_duplicate_passages",
     # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
     # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
     "q115_weighted_sample",

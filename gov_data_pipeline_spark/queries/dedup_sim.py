@@ -1533,6 +1533,65 @@ ORDER BY m.source_a, m.source_b
 """
 
 
+def q144_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-PASSAGE spans — the substring-level
+    dedup signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): document-level near-dup (q41/q42) misses
+    the boilerplate paragraph pasted into thousands of otherwise-unique
+    pages, and this is the operator that finds it. A word position is
+    "duplicated" when its 5-gram also occurs in at least one OTHER
+    document (distinct-doc count >= 2 — within-doc repeats are q88's
+    domain and deliberately don't count); consecutive duplicated
+    positions merge into maximal spans (gaps-and-islands), and spans of
+    >= 3 grams (>= 7 shared words) are reported as
+    (doc_id, start_word, end_word, n_grams).
+
+    Scale shape: the only corpus-sized relation that ever crosses an
+    exchange is (doc_id, pos, md5-of-gram) — fixed width regardless of
+    passage length, which is why the gram is hashed BEFORE the shuffle
+    (md5 so the oracle computes the identical key). That relation has
+    two consumers (global distinct-doc frequency; position back-join),
+    each shuffling on the hash once; the shuffle-free scan→split→md5
+    map pipeline feeding them runs twice — the standard Spark trade of
+    recomputing cheap map work over persisting a corpus-sized index
+    (persist the `grams` relation only when the text scan itself
+    dominates). Hot boilerplate grams skew both the frequency aggregate
+    (map-side partials absorb it) and the back-join (AQE skew-join
+    splits it); the islands window partitions by doc_id, bounded by
+    document length. Only integer arithmetic — no float-ordering
+    hazards across engines.
+    """
+    from gov_data_pipeline_spark.operators.dedup import duplicate_passage_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_passage_spans(
+        docs, "doc_id", F.col("text"), n=5, min_grams=3
+    ).orderBy("doc_id", "start_word")
+
+
+_Q144_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+g AS (
+  SELECT doc_id, pos, md5(array_to_string(ws[pos:pos+4], ' ')) AS h
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS pos
+        FROM w WHERE len(ws) >= 5)),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM d),
+sp AS (
+  SELECT doc_id, CAST(min(pos) AS INT) AS start_word,
+         CAST(max(pos) + 4 AS INT) AS end_word, count(*) AS n_grams
+  FROM isl GROUP BY doc_id, i)
+SELECT doc_id, start_word, end_word, n_grams
+FROM sp WHERE n_grams >= 3
+ORDER BY doc_id, start_word
+"""
+
+
 def q88_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition gate: fraction of
     duplicate 3-grams per document. Deliberately EXPRESSION-level
@@ -2052,6 +2111,7 @@ QUERIES = {
     "q138_semantic_decontaminate": q138_semantic_decontaminate,
     "q140_semantic_decontaminate_lsh": q140_semantic_decontaminate_lsh,
     "q142_source_overlap": q142_source_overlap,
+    "q144_duplicate_passages": q144_duplicate_passages,
     "q88_repetition_filter": q88_repetition_filter,
     "q89_curation_pipeline": q89_curation_pipeline,
 }
@@ -2093,6 +2153,7 @@ ORACLE = {
     "q138_semantic_decontaminate": _Q138_SQL,
     "q140_semantic_decontaminate_lsh": _Q140_SQL,
     "q142_source_overlap": _Q142_SQL,
+    "q144_duplicate_passages": _Q144_SQL,
     "q88_repetition_filter": _Q88_SQL,
     "q89_curation_pipeline": _Q89_SQL,
 }

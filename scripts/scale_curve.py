@@ -46,6 +46,7 @@ NAMES = [
     "q140_semantic_decontaminate_lsh",
     "q142_source_overlap",
     "q143_distinctive_terms",
+    "q144_duplicate_passages",
 ]
 
 

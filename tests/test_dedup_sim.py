@@ -698,3 +698,76 @@ def test_lsh_decontaminate_recall_on_perturbed_vectors(spark):
     }
     assert 1 in hits  # the perturbed twin is caught
     assert 2 not in hits and 3 not in hits  # merely-similar stays clean
+
+
+class TestDuplicatePassageSpans:
+    def _spans(self, spark, rows):
+        from gov_data_pipeline_spark.operators.dedup import (
+            duplicate_passage_spans,
+        )
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            (r.doc_id, r.start_word, r.end_word, r.n_grams)
+            for r in duplicate_passage_spans(
+                df, "doc_id", F.col("text"), n=5, min_grams=3
+            ).collect()
+        }
+
+    def test_shared_passage_merges_to_one_maximal_span(self, spark):
+        # 9 shared words at positions 3..11 of doc 1 and 1..9 of doc 2:
+        # 5 consecutive duplicated 5-grams on each side -> ONE span each.
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+        rows = [
+            (1, "a1 a2 " + shared + " a3 a4"),
+            (2, shared + " b1 b2 b3"),
+        ]
+        assert self._spans(spark, rows) == {
+            (1, 3, 11, 5),
+            (2, 1, 9, 5),
+        }
+
+    def test_min_grams_floor_and_boundary(self, spark):
+        # exactly 7 shared words = 3 grams (kept); 6 = 2 grams (cut)
+        seven = "s1 s2 s3 s4 s5 s6 s7"
+        six = "t1 t2 t3 t4 t5 t6"
+        rows = [
+            (1, seven + " a1 a2 " + six),
+            (2, seven),
+            (3, six),
+        ]
+        assert self._spans(spark, rows) == {
+            (1, 1, 7, 3),
+            (2, 1, 7, 3),
+        }
+
+    def test_within_doc_repetition_does_not_count(self, spark):
+        # the same 8-word passage twice in ONE doc, nowhere else
+        p = "r1 r2 r3 r4 r5 r6 r7 r8"
+        rows = [(1, p + " x1 " + p), (2, "u1 u2 u3 u4 u5 u6 u7 u8")]
+        assert self._spans(spark, rows) == set()
+
+    def test_two_disjoint_shared_spans_stay_separate(self, spark):
+        p1 = "s1 s2 s3 s4 s5 s6 s7"
+        p2 = "t1 t2 t3 t4 t5 t6 t7"
+        rows = [
+            (1, p1 + " a1 a2 a3 " + p2),
+            (2, p1),
+            (3, p2),
+        ]
+        got = self._spans(spark, rows)
+        assert (1, 1, 7, 3) in got and (1, 11, 17, 3) in got
+        assert (2, 1, 7, 3) in got and (3, 1, 7, 3) in got
+        assert len(got) == 4
+
+    def test_param_validation(self, spark):
+        from gov_data_pipeline_spark.operators.dedup import (
+            duplicate_passage_spans,
+        )
+        import pyspark.sql.functions as F
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            duplicate_passage_spans(df, "doc_id", F.col("text"), n=0)

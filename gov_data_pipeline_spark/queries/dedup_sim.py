@@ -949,6 +949,90 @@ ORDER BY u.doc_id
 """
 
 
+def q145_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: assign each document to a
+    split by hashing its near-dup CLUSTER representative, so two
+    near-duplicate documents can never land on opposite sides of the
+    split — the eval-contamination failure mode of naive per-document
+    hashing (your validation loss silently measures memorization).
+    ~80% train (bucket < 204 of 256), deterministic on any engine and
+    any cluster because membership is a pure md5 function of the
+    component id.
+
+    Composition of three registered operators: ``jaccard_pairs_text``
+    (q41's inverted-index pair generator), ``dedup_clusters`` (q67's
+    large-star/small-star connected components), ``hash_bucket_col``
+    (q69's reproducible sampler). Scale shape inherited from those:
+    the only new work after clustering is one hash projection — no
+    additional shuffle beyond q67's.
+    """
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+    from gov_data_pipeline_spark.operators.dedup import jaccard_pairs_text
+    from gov_data_pipeline_spark.operators.graph import dedup_clusters
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs_text(
+        corpus, "doc_id", F.col("text"), n=3, threshold=0.5
+    )
+    cl = dedup_clusters(pairs, corpus.select("doc_id"), "doc_id")
+    bucket = hash_bucket_col(F.col("component"))
+    return (
+        cl.select(
+            "doc_id",
+            "component",
+            F.when(bucket < 204, F.lit("train"))
+            .otherwise(F.lit("val"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q145_SQL = rf"""
+WITH RECURSIVE
+u AS ({_DOCS_DUPS_SQL}),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE inter / (sa.n + sb.n - inter) >= 0.5),
+edges AS (
+  SELECT a_id AS eu, b_id AS ev FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT eu, eu FROM edges
+  UNION
+  SELECT e.eu, w.comp FROM edges e JOIN walk w ON w.node = e.ev),
+labels AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+assigned AS (
+  SELECT u.doc_id, coalesce(l.component, u.doc_id) AS component
+  FROM u LEFT JOIN labels l ON l.node = u.doc_id)
+SELECT doc_id, component,
+       CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 2))::INT
+                 < 204
+            THEN 'train' ELSE 'val' END AS split
+FROM assigned
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # L8 extension — keyword relevance (BM25), stratified sampling, and
 # frequent-terms (exact-mode sketch). All full-oracle.
@@ -2112,6 +2196,7 @@ QUERIES = {
     "q140_semantic_decontaminate_lsh": q140_semantic_decontaminate_lsh,
     "q142_source_overlap": q142_source_overlap,
     "q144_duplicate_passages": q144_duplicate_passages,
+    "q145_cluster_split": q145_cluster_split,
     "q88_repetition_filter": q88_repetition_filter,
     "q89_curation_pipeline": q89_curation_pipeline,
 }
@@ -2154,6 +2239,7 @@ ORACLE = {
     "q140_semantic_decontaminate_lsh": _Q140_SQL,
     "q142_source_overlap": _Q142_SQL,
     "q144_duplicate_passages": _Q144_SQL,
+    "q145_cluster_split": _Q145_SQL,
     "q88_repetition_filter": _Q88_SQL,
     "q89_curation_pipeline": _Q89_SQL,
 }

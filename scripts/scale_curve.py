@@ -47,6 +47,7 @@ NAMES = [
     "q142_source_overlap",
     "q143_distinctive_terms",
     "q144_duplicate_passages",
+    "q145_cluster_split",
 ]
 
 

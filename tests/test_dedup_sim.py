@@ -771,3 +771,40 @@ class TestDuplicatePassageSpans:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             duplicate_passage_spans(df, "doc_id", F.col("text"), n=0)
+
+
+class TestClusterSplit:
+    def test_no_cluster_straddles_the_split(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+        from gov_data_pipeline_spark.queries.dedup_sim import q145_cluster_split
+
+        df = q145_cluster_split(spark, sf_dir)
+        straddlers = (
+            df.groupBy("component")
+            .agg(F.count_distinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert straddlers == 0
+
+    def test_naive_per_doc_hash_would_leak(self, spark, sf_dir):
+        # the failure mode q145 exists to prevent: hashing doc_id
+        # instead of the cluster representative splits at least one
+        # near-dup cluster across train/val on the same fixture
+        import pyspark.sql.functions as F
+        from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+        from gov_data_pipeline_spark.queries.dedup_sim import q145_cluster_split
+
+        df = q145_cluster_split(spark, sf_dir).withColumn(
+            "naive_split",
+            F.when(hash_bucket_col(F.col("doc_id")) < 204, "train").otherwise(
+                "val"
+            ),
+        )
+        leaked = (
+            df.groupBy("component")
+            .agg(F.count_distinct("naive_split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert leaked > 0

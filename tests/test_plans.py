@@ -659,3 +659,61 @@ class TestCrawlSurfacePlans:
         )
         part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
         assert part_lines and any("l_returnflag" in l for l in part_lines)
+
+
+class TestCorpusRound6Plans:
+    """Plan pins for the round-6 corpus-analysis additions: the scale
+    claims in their docstrings must be visible in the executed plan."""
+
+    def _plan(self, df) -> str:
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_distinctive_terms_tiny_relations_broadcast(self, spark, sf_dir):
+        """q143: per-source totals and the 1-row vocab aggregate join
+        as broadcasts (never a shuffle join of corpus-sized data), and
+        the only nested-loop join is the 1-row global cross join."""
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            q143_distinctive_terms,
+        )
+
+        plan = self._plan(q143_distinctive_terms(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        final = plan.split("Initial Plan")[0]
+        # ts broadcast + gl broadcast-nested-loop (1 row); the term
+        # join may be SMJ/shuffled-hash (vocabulary x vocabulary)
+        assert "BroadcastHashJoin" in final
+
+    def test_duplicate_passages_all_codegen_no_python(self, spark, sf_dir):
+        """q144: the gram stage must stay inside whole-stage codegen —
+        no Python evaluators, no interpreted-HOF fallback marker, no
+        CartesianProduct; only integer/window/aggregate work after."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q144_duplicate_passages,
+        )
+
+        plan = self._plan(q144_duplicate_passages(spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        # codegen spans print as "*(n)" in executedPlan().toString()
+        assert "*(" in plan
+        # the gram stage fused scan->split->explode->md5 (no separate
+        # interpreted-HOF projection): element_at assembly visible
+        assert "element_at" in plan
+
+    def test_cluster_split_adds_no_shuffle_over_q67(self, spark, sf_dir):
+        """q145 = q67's clustering + a hash projection: same exchange
+        count as q67's cluster stage, no Python, no cartesian."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q145_cluster_split,
+            q67_dedup_clusters,
+        )
+
+        p45 = self._plan(q145_cluster_split(spark, sf_dir))
+        p67 = self._plan(q67_dedup_clusters(spark, sf_dir))
+        assert "BatchEvalPython" not in p45
+        assert "CartesianProduct" not in p45
+        assert p45.count("Exchange hashpartitioning") <= p67.count(
+            "Exchange hashpartitioning"
+        )

@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "q143_distinctive_terms",
     "q144_duplicate_passages",
     "q145_cluster_split",
+    "q146_epoch_mixture",
     # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
     # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
     "q115_weighted_sample",

@@ -169,6 +169,76 @@ ORDER BY source, rk
 
 
 # ---------------------------------------------------------------------------
+# q146 — epoch-weighted mixture: fractional per-language repeat factors
+# (the pretraining up/down-sampling step — "see wiki 3.5 times, web 0.5
+# times per epoch"). Each document emits floor(w) full copies plus one
+# extra copy for a deterministic hash-selected fraction of documents,
+# so the EXPECTED per-language token multiple equals w while membership
+# stays a pure function of the doc id (reproducible on any engine /
+# cluster / partitioning — no rand()). Weights are fixed-point 256ths
+# ((whole, extra-cut) pairs), so the whole query is integer + md5
+# arithmetic: nothing for a float ulp to flip.
+#
+# Distinct from q139 (char-budget PREFIX cutoff: hard byte budget per
+# source) — this is the repeat-factor mixture, where upweighted sources
+# appear multiple times with an epoch index the downstream shard
+# shuffle spreads across the run.
+#
+# Scale shape: one projection + one Generate (explode of a <=4-element
+# sequence) — ZERO data shuffles; the ORDER BY is presentation-only.
+# ---------------------------------------------------------------------------
+
+# lang -> (full copies, extra-copy bucket cut of 256): en 0.5, de 1.0,
+# fr 1.5, es 2.25, zh 3.5
+_Q146_WEIGHTS = {
+    "en": (0, 128),
+    "de": (1, 0),
+    "fr": (1, 128),
+    "es": (2, 64),
+    "zh": (3, 128),
+}
+
+
+def q146_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    whole = F.lit(None).cast("int")
+    cut = F.lit(None).cast("int")
+    for lang, (w, c) in _Q146_WEIGHTS.items():
+        whole = F.when(F.col("lang") == lang, F.lit(w)).otherwise(whole)
+        cut = F.when(F.col("lang") == lang, F.lit(c)).otherwise(cut)
+    copies = whole + (hash_bucket_col(F.col("doc_id")) < cut).cast("int")
+    return (
+        docs.withColumn("copies", copies)
+        .filter(F.col("copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch"),
+        )
+        .orderBy("doc_id", "epoch")
+    )
+
+
+_Q146_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 1
+                   WHEN 'es' THEN 2 WHEN 'zh' THEN 3 END
+         + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
+                     < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 0
+                                 WHEN 'fr' THEN 128 WHEN 'es' THEN 64
+                                 WHEN 'zh' THEN 128 END
+                THEN 1 ELSE 0 END AS copies
+  FROM documents)
+SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS INT) AS epoch
+FROM w WHERE copies >= 1
+ORDER BY doc_id, epoch
+"""
+
+
+# ---------------------------------------------------------------------------
 # q95 — df-banded inverted index (term -> ordered posting list).
 # ---------------------------------------------------------------------------
 
@@ -1056,6 +1126,7 @@ QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q139_char_budget_mix": q139_char_budget_mix,
     "q143_distinctive_terms": q143_distinctive_terms,
+    "q146_epoch_mixture": q146_epoch_mixture,
     "q120_token_entropy": q120_token_entropy,
     "q121_zipf_slope": q121_zipf_slope,
     "q95_inverted_index": q95_inverted_index,
@@ -1074,6 +1145,7 @@ ORACLE = {
     "q94_unigram_logprob": _Q94_SQL,
     "q139_char_budget_mix": _Q139_SQL,
     "q143_distinctive_terms": _Q143_SQL,
+    "q146_epoch_mixture": _Q146_SQL,
     "q120_token_entropy": _Q120_SQL,
     "q121_zipf_slope": _Q121_SQL,
     "q95_inverted_index": _Q95_SQL,

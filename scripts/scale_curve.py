@@ -48,6 +48,7 @@ NAMES = [
     "q143_distinctive_terms",
     "q144_duplicate_passages",
     "q145_cluster_split",
+    "q146_epoch_mixture",
 ]
 
 

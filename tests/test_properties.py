@@ -723,3 +723,35 @@ def test_budget_sample_matches_greedy_model(spark, rows, num_den):
         for r in budget_sample(df, "doc_id", "g", "size", num, den).collect()
     }
     assert got == expect
+
+
+def test_epoch_mixture_realizes_weights(spark):
+    """q146: per-lang expected multiple = whole + cut/256, realized on
+    the fixture within a loose hash-binomial tolerance; epochs are
+    contiguous 1..copies per doc; en survivors carry exactly 1 copy."""
+    import pyspark.sql.functions as F
+
+    from gov_data_pipeline_spark.queries.corpus_ops import (
+        _Q146_WEIGHTS,
+        q146_epoch_mixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q146_epoch_mixture(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows_by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, (whole, cut) in _Q146_WEIGHTS.items():
+        expect = n_by_lang[lang] * (whole + cut / 256)
+        got = rows_by_lang.get(lang, 0)
+        assert abs(got - expect) <= 4 * (n_by_lang[lang] ** 0.5) + 1, (
+            lang, got, expect)
+    # epochs contiguous from 1
+    bad = (
+        out.groupBy("doc_id")
+        .agg(F.min("epoch").alias("lo"), F.max("epoch").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+        .count()
+    )
+    assert bad == 0

@@ -100,18 +100,18 @@ _PRIORITY: tuple[str, ...] = (
     "q73_salted_join",
     "q78_grouping_sets",
     "q79_ntile",
-    # last green in r04 — 8 of that 50-query cohort fit the remaining
-    # sample slots (5 r06-new + 5 r05-red + 32 r03-stale fill the first
-    # 42); the q100-series analytics surface has exactly one green row
-    # each, so it re-verifies first (rest rotate in r07)
+    # last green in r04 — 3 of that cohort fit the remaining sample
+    # slots (10 r06-new + 5 r05-red + 32 r03-stale fill the first 47);
+    # the q100-series analytics surface has exactly one green row each,
+    # so it re-verifies first (rest rotate in r07)
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",
+    # --- driver sample boundary (first 50 end here); everything green
+    # in r05 plus the remaining r04 cohort falls through to module order
     "q102_funnel",
     "q103_retention",
     "q104_embed_topk",
-    # --- driver sample boundary (first 50 end here); everything green
-    # in r05 plus the remaining r04 cohort falls through to module order
     "q105_corpus_diff",
     "q106_unpivot",
     "q107_negative_sampling",

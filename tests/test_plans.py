@@ -717,3 +717,32 @@ class TestCorpusRound6Plans:
         assert p45.count("Exchange hashpartitioning") <= p67.count(
             "Exchange hashpartitioning"
         )
+
+    def test_source_overlap_reuses_shingle_exchange(self, spark, sf_dir):
+        """q142: the distinct (source, shingle) relation has three
+        consumers (sizes, intersection a/b) — the plan must REUSE its
+        exchange rather than recompute the corpus-sized distinct, and
+        the only cross join is the tiny sizes x sizes broadcast."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q142_source_overlap,
+        )
+
+        plan = self._plan(q142_source_overlap(spark, sf_dir))
+        assert "ReusedExchange" in plan
+        assert "CartesianProduct" not in plan
+        final = plan.split("Initial Plan")[0]
+        assert final.count("Exchange hashpartitioning") <= 7
+
+    def test_epoch_mixture_zero_data_shuffles(self, spark, sf_dir):
+        """q146: one scan, one Generate, zero hash exchanges (the
+        ORDER BY's range exchange is presentation-only), no Python."""
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            q146_epoch_mixture,
+        )
+
+        plan = self._plan(q146_epoch_mixture(spark, sf_dir))
+        final = plan.split("Initial Plan")[0]
+        assert final.count("Exchange hashpartitioning") == 0
+        assert final.count("FileScan parquet") == 1
+        assert "Generate explode" in final
+        assert "EvalPython" not in plan

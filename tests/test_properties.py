@@ -725,20 +725,20 @@ def test_budget_sample_matches_greedy_model(spark, rows, num_den):
     assert got == expect
 
 
-def test_epoch_mixture_realizes_weights(spark):
+def test_epoch_mixture_realizes_weights(spark, sf_dir):
     """q146: per-lang expected multiple = whole + cut/256, realized on
     the fixture within a loose hash-binomial tolerance; epochs are
     contiguous 1..copies per doc; en survivors carry exactly 1 copy."""
     import pyspark.sql.functions as F
 
+    from gov_data_pipeline_spark.catalog import read_table
     from gov_data_pipeline_spark.queries.corpus_ops import (
         _Q146_WEIGHTS,
         q146_epoch_mixture,
     )
 
-    sf = "/root/testdata/sf0.001"
-    out = q146_epoch_mixture(spark, sf)
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = q146_epoch_mixture(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
     n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     rows_by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     for lang, (whole, cut) in _Q146_WEIGHTS.items():

@@ -671,8 +671,96 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# q147 — data card: the per-column profile a dataset release ships
+# (row count, null count, exact distinct count, numeric/time range)
+# computed in ONE scan of the table. Min/max are emitted as DOUBLE
+# (timestamps as floor-of-epoch-seconds) so the long format stays a
+# single sortable type; string columns carry NULL range. Exact
+# count_distinct over k columns costs one Expand(xk+1) on the single
+# scan — the right trade at fixture scale and for the oracle; at
+# 100 TB flip to approx_count_distinct with a q26-style bounds oracle
+# (documented, not silently substituted).
+# ---------------------------------------------------------------------------
+
+_Q147_COLS: tuple[tuple[str, str], ...] = (
+    # (column, kind): num -> min/max as double; ts -> epoch seconds;
+    # str -> no range
+    ("o_custkey", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderkey", "num"),
+    ("o_orderpriority", "str"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+)
+
+
+def q147_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def _rng(c: str, kind: str, agg) -> F.Column:
+        if kind == "num":
+            v = agg(F.col(c)).cast("double")
+        elif kind == "ts":
+            v = agg(F.unix_timestamp(F.col(c))).cast("double")
+        else:
+            return F.lit(None).cast("double")
+        return F.round(v, 4)
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _Q147_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            _rng(c, kind, F.min).alias(f"__lo_{c}"),
+            _rng(c, kind, F.max).alias(f"__hi_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    card = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__lo_{c}").alias("min_num"),
+                F.col(f"__hi_{c}").alias("max_num"),
+            )
+            for c, _ in _Q147_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(card).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )
+
+
+def _q147_oracle() -> str:
+    parts = []
+    for c, kind in _Q147_COLS:
+        if kind == "num":
+            lo, hi = f"round(CAST(min({c}) AS DOUBLE), 4)", f"round(CAST(max({c}) AS DOUBLE), 4)"
+        elif kind == "ts":
+            lo = f"round(CAST(floor(epoch(min({c}))) AS DOUBLE), 4)"
+            hi = f"round(CAST(floor(epoch(max({c}))) AS DOUBLE), 4)"
+        else:
+            lo = hi = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {lo} AS min_num, {hi} AS max_num FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+_Q147_SQL = _q147_oracle()
+
+
 QUERIES = {
     "q111_grouped_percentiles": q111_grouped_percentiles,
+    "q147_data_card": q147_data_card,
     "q112_correlation": q112_correlation,
     "q113_kmeans": q113_kmeans,
     "q114_psi_drift": q114_psi_drift,
@@ -688,5 +776,6 @@ ORACLE = {
     "q114_psi_drift": _Q114_SQL,
     "q115_weighted_sample": _Q115_SQL,
     "q116_mad_outliers": _Q116_SQL,
+    "q147_data_card": _Q147_SQL,
     "q118_embed_quantize": _Q118_SQL,
 }

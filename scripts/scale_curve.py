@@ -49,6 +49,7 @@ NAMES = [
     "q144_duplicate_passages",
     "q145_cluster_split",
     "q146_epoch_mixture",
+    "q147_data_card",
 ]
 
 

@@ -746,3 +746,15 @@ class TestCorpusRound6Plans:
         assert final.count("FileScan parquet") == 1
         assert "Generate explode" in final
         assert "EvalPython" not in plan
+
+    def test_data_card_single_scan(self, spark, sf_dir):
+        """q147: the whole per-column profile is ONE scan of orders —
+        the multi-count_distinct Expand rides the single aggregate; no
+        per-column re-scan, no join, no Python."""
+        from gov_data_pipeline_spark.queries.stats_ml import q147_data_card
+
+        plan = self._plan(q147_data_card(spark, sf_dir))
+        final = plan.split("Initial Plan")[0]
+        assert final.count("FileScan parquet") == 1
+        assert "Join" not in final
+        assert "EvalPython" not in plan

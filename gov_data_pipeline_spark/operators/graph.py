@@ -187,6 +187,14 @@ def pagerank(
     """
     e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
     n_nodes = nodes.select(F.col(id_col)).distinct().count()
+    if n_nodes == 0:
+        # empty graph: the base-mass terms below divide by N — return
+        # the schema-stable empty result instead of a driver-side
+        # ZeroDivisionError (an empty frontier partition is routine)
+        rank_type = "long" if fixed_point_scale is not None else "double"
+        return nodes.select(
+            F.col(id_col), F.lit(None).cast(rank_type).alias("rank")
+        )
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     ewd = e.join(deg, "__s")
     ewd = ewd.checkpoint() if reliable_checkpoint else ewd.localCheckpoint()

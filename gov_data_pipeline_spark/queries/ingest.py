@@ -874,7 +874,10 @@ def q136_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = f"{base}_{seq}"
     shutil.rmtree(f"{base}_{seq - 2}", ignore_errors=True)
     write_parquet(li, out, mode="overwrite", partition_by=["l_returnflag"])
-    back = spark.read.parquet(out)
+    # explicit schema: a 0-row write leaves no footer to infer from
+    # (an always-possible outcome of an upstream filter), and pinning
+    # the schema also skips the inference file-listing pass
+    back = spark.read.schema(li.schema).parquet(out)
     return (
         back.filter(F.col("l_returnflag") != "N")  # partition-pruned scan
         .groupBy("l_returnflag", "l_linestatus")

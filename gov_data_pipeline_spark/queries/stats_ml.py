@@ -210,6 +210,12 @@ def q113_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [
         (i, _round4(r["x"]), _round4(r["y"])) for i, r in enumerate(seed_rows)
     ]
+    if not cents:
+        # nothing to seed from: schema-stable empty model (an empty
+        # input slice must not blow up in the array-of-centroids expr)
+        return spark.createDataFrame(
+            [], "cid int, cx double, cy double, n_points bigint"
+        )
 
     for _ in range(2):  # Lloyd updates
         assigned = _km_assign(feats, cents)

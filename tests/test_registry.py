@@ -133,3 +133,40 @@ def test_registered_schemas_are_sortable_scalars(spark):
             if not isinstance(f.dataType, scalar_ok):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, f"non-scalar output columns break the driver hash: {bad}"
+
+
+def test_every_query_survives_empty_tables(spark, tmp_path_factory, sf_dir):
+    """Degenerate-input contract: at 100 TB some partition, source, or
+    whole snapshot is always empty, so every registered query must
+    degrade to a (possibly empty) result — never throw — when ALL ten
+    tables have zero rows (schemas preserved). Round-6 sweep caught
+    four real crashes this pins against regression: PageRank's
+    driver-side 1/N (q131/q137), k-means' empty centroid array
+    (q113), and the parquet round-trip's schema inference over a
+    0-row write (q136).
+
+    The one deliberate exception: header promotion (q25) REQUIRES a
+    header row and raises a clear ValueError — an empty registry file
+    is a broken input, not an empty dataset; the guard's message is
+    pinned here so it stays intentional."""
+    import pytest as _pytest
+
+    from gov_data_pipeline_spark.catalog import read_table
+
+    base = tmp_path_factory.mktemp("sf_empty")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        read_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(base / f"{t}.parquet"))
+    failures: list[str] = []
+    for name, fn in all_queries().items():
+        if name == "q25_header_promotion":
+            with _pytest.raises(ValueError, match="no row with index 0"):
+                fn(spark, str(base)).count()
+            continue
+        try:
+            fn(spark, str(base)).count()
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, failures

@@ -78,7 +78,9 @@ def q81_xlsx_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows: list[list[str | None]] = [["id", "title"]]
     images: list[tuple[int, int, int, bytes]] = []
     for p, (d, text) in enumerate(docs):
-        rows.append([str(d), text[:20]])
+        # NULL text flows through as a None cell (the codec supports
+        # them) rather than crashing the driver-side fixture build
+        rows.append([str(d), None if text is None else text[:20]])
         if d % 4 != 0:
             continue
         png = solid_png(3, 2, _q81_rgb(d))
@@ -160,7 +162,7 @@ def q82_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             reg = ""
         else:
             reg = "продолжение записи"
-        rows.append([reg, text[:12]])
+        rows.append([reg, None if text is None else text[:12]])
     docx = write_docx_table(rows)
 
     tables = docx_tables(docx)

@@ -88,12 +88,16 @@ def _esc(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def write_docx_table(rows: list[list[str]]) -> bytes:
-    """Rows of cell strings -> minimal DOCX bytes with one table."""
+def write_docx_table(rows: list[list[str | None]]) -> bytes:
+    """Rows of cell strings -> minimal DOCX bytes with one table.
+
+    ``None`` cells are written as empty text (WordprocessingML has no
+    null cell; they read back as ``""``) — matching the XLSX writer's
+    tolerance so a NULL-bearing column can feed either codec."""
     trs = []
     for row in rows:
         tcs = "".join(
-            f"<w:tc><w:p><w:r><w:t xml:space=\"preserve\">{_esc(c)}</w:t></w:r></w:p></w:tc>"
+            f"<w:tc><w:p><w:r><w:t xml:space=\"preserve\">{_esc(c or '')}</w:t></w:r></w:p></w:tc>"
             for c in row
         )
         trs.append(f"<w:tr>{tcs}</w:tr>")

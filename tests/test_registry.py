@@ -170,3 +170,36 @@ def test_every_query_survives_empty_tables(spark, tmp_path_factory, sf_dir):
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
     assert not failures, failures
+
+
+def test_every_query_survives_null_and_blank_text(
+    spark, tmp_path_factory, sf_dir
+):
+    """Degenerate-text contract: every registered query must run when a
+    slice of documents.text is NULL, empty, or whitespace-only — the
+    normal state of a crawled corpus. Round-6 sweep caught two real
+    crashes this pins: the xlsx/docx fixture builders sliced NULL text
+    on the driver, and the DOCX codec's XML escaper rejected None
+    cells (now written as empty text, matching the XLSX writer)."""
+    import pyspark.sql.functions as F
+
+    from gov_data_pipeline_spark.catalog import read_table
+
+    base = tmp_path_factory.mktemp("sf_nulltext")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        read_table(spark, sf_dir, t).write.parquet(str(base / f"{t}.parquet"))
+    read_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 11 == 1, F.lit(""))
+        .when(F.col("doc_id") % 11 == 2, F.lit("   \t  "))
+        .otherwise(F.col("text")),
+    ).write.parquet(str(base / "documents.parquet"))
+    failures: list[str] = []
+    for name, fn in all_queries().items():
+        try:
+            fn(spark, str(base)).count()
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, failures

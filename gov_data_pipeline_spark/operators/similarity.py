@@ -183,17 +183,30 @@ def cosine_pairs_gemm(
             )
 
     spark = queries.sparkSession
-    qrows = queries.select(query_id, query_vec).collect()
+    # Malformed vectors (NULL, ragged length) are DROPPED on both sides
+    # before the kernel — same policy as ann_topk's NULL-cosine filter;
+    # a NULL row would crash the numpy stack and a ragged one would
+    # silently build an object array. Zero-norm vectors survive to the
+    # kernel but produce NaN sims, which fail the threshold (NaN >= t
+    # is False in numpy) — excluded, not matched-to-everything.
+    qrows = (
+        queries.filter(F.col(query_vec).isNotNull())
+        .select(query_id, query_vec)
+        .collect()
+    )
+    qrows = [r for r in qrows if len(r[1]) == len(qrows[0][1])] if qrows else []
     if not qrows:
         return spark.createDataFrame([], "a_id long, b_id long, cosine_sim double")
+    dim = len(qrows[0][1])
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):  # zero norm -> NaN row
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     bq = spark.sparkContext.broadcast((qids, qmat))
 
-    src = corpus.select(
-        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
-    )
+    src = corpus.filter(
+        F.col(corpus_vec).isNotNull() & (F.size(corpus_vec) == dim)
+    ).select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"))
 
     def mapper(batches):
         q_ids, q_norm = bq.value
@@ -201,7 +214,8 @@ def cosine_pairs_gemm(
             if len(pdf) == 0:
                 continue
             cmat = np.array([list(v) for v in pdf["__cv"]], dtype=np.float64)
-            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
             sims = cmat @ q_norm.T  # (n_corpus_batch, n_queries)
             # Round BEFORE thresholding (HALF_UP, matching F.round —
             # np.round is half-to-even and diverges on .00005

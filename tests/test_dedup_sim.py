@@ -808,3 +808,37 @@ class TestClusterSplit:
             .count()
         )
         assert leaked > 0
+
+
+def test_gemm_drops_malformed_vectors(spark):
+    """cosine_pairs_gemm: NULL and ragged-length vectors are dropped
+    before the kernel (a NULL crashes the numpy stack; ragged builds an
+    object array); a zero-norm vector's NaN sims fail the threshold —
+    the result equals the same call over the pre-cleaned input."""
+    import pyspark.sql.functions as F
+
+    from gov_data_pipeline_spark.operators.similarity import cosine_pairs_gemm
+
+    good = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    dirty = good + [
+        (4, None),            # NULL vector
+        (5, [1.0, 0.0]),      # ragged length
+        (6, [0.0, 0.0, 0.0]), # zero norm -> NaN sims
+    ]
+    schema = "id long, v array<double>"
+    d = spark.createDataFrame(dirty, schema)
+    g = spark.createDataFrame(good, schema)
+    got = sorted(
+        (r.a_id, r.b_id, r.cosine_sim)
+        for r in cosine_pairs_gemm(d, d, "id", "id", "v", "v", 0.5).collect()
+    )
+    want = sorted(
+        (r.a_id, r.b_id, r.cosine_sim)
+        for r in cosine_pairs_gemm(g, g, "id", "id", "v", "v", 0.5).collect()
+    )
+    assert got == want and len(got) > 0
+    assert not any(6 in (a, b) for a, b, _ in got)

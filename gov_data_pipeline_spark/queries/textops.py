@@ -43,6 +43,13 @@ def q20_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle boundary (pinned in tests/test_registry.py's unicode-parity
+# sweep): this SQL mirrors the trim/newline/whitespace/charclass chain
+# but NOT the NFKC fold — DuckDB has no NFKC function (nfc_normalize is
+# canonical-only), so the oracle is exact iff the fixture text is
+# NFKC-invariant (true of the driver fixtures). Compatibility folds
+# (fullwidth forms, ligatures, U+3000) are pinned against Python's
+# unicodedata in tests/test_transforms.py::test_nfkc_compatibility_forms.
 _Q20_SQL = r"""
 SELECT doc_id,
        regexp_replace(

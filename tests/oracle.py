@@ -32,10 +32,19 @@ TABLE_NAMES = (
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register the ten fixture tables as views. Accepts both layouts:
+    a single ``{t}.parquet`` file (the driver's testdata) and a
+    Spark-written ``{t}.parquet/`` directory of part files (what test
+    fixtures built with ``df.write.parquet`` produce)."""
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

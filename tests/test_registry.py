@@ -203,3 +203,71 @@ def test_every_query_survives_null_and_blank_text(
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
     assert not failures, failures
+
+
+def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
+    spark, tmp_path_factory, sf_dir
+):
+    """Cross-engine tokenization/regex parity under adversarial text:
+    append NFC-safe and compatibility-class snippets (CJK, emoji, RTL,
+    combining marks, fullwidth forms, ideographic space, zero-width
+    joiners) to a slice of documents and re-run the text family's
+    differential oracles. Java and RE2 regex classes, md5-of-utf8, and
+    split('\\s+') must agree on every codepoint class or a future
+    fixture change silently breaks the driver hash.
+
+    Two DOCUMENTED divergences are asserted divergent so the boundary
+    stays visible: q20 (DuckDB has no NFKC — its oracle is exact only
+    for NFKC-invariant text) and q84 (char-based substr vs byte
+    frames — its docstring pins the ASCII-fixture assumption)."""
+    import pyspark.sql.functions as F
+
+    from gov_data_pipeline_spark.catalog import read_table
+    from gov_data_pipeline_spark.queries import all_oracles, all_queries
+    from tests.oracle import compare, duckdb_con, run_oracle
+
+    base = tmp_path_factory.mktemp("sf_unicode")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        read_table(spark, sf_dir, t).write.parquet(str(base / f"{t}.parquet"))
+    snippets = {
+        0: "café naïve ﬁne",
+        1: "你好世界 　 fullｗidth",
+        2: "emoji \U0001f600\U0001f3a8 pair",
+        3: "rtl مرحبا mixed",
+        4: "combining á ë text",
+        5: "nbsp separated words",
+        6: "zero​width‍join",
+    }
+    expr = F.col("text")
+    for k, s in snippets.items():
+        expr = F.when(
+            F.col("doc_id") % 9 == k, F.concat(F.col("text"), F.lit(" " + s))
+        ).otherwise(expr)
+    read_table(spark, sf_dir, "documents").withColumn("text", expr).write.parquet(
+        str(base / "documents.parquet")
+    )
+    Q, O = all_queries(), all_oracles()
+    con = duckdb_con(str(base))
+    must_match = [
+        "q21_reg_num", "q24_merge_continuation", "q47_text_stats",
+        "q48_lang_id", "q49_fingerprint", "q40_exact_dedup",
+        "q41_jaccard_pairs", "q57_winnowing", "q70_frequent_terms",
+        "q87_decontaminate", "q88_repetition_filter",
+        "q94_unigram_logprob", "q120_token_entropy",
+        "q143_distinctive_terms", "q144_duplicate_passages",
+    ]
+    missing = [n for n in must_match if n not in Q or n not in O]
+    assert not missing, f"sweep list out of date: {missing}"
+    bad = []
+    for name in must_match:
+        r = compare(Q[name](spark, str(base)).toPandas(), run_oracle(con, O[name]))
+        if not r["hash_match"]:
+            bad.append(name)
+    assert not bad, f"unicode parity broke: {bad}"
+    for name in ("q20_clean_text", "q84_frame_sample"):
+        r = compare(Q[name](spark, str(base)).toPandas(), run_oracle(con, O[name]))
+        assert not r["hash_match"], (
+            f"{name} now matches on compatibility-class text — its "
+            "documented oracle boundary has moved; update the docs"
+        )

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q145_cluster_split",
     "q146_epoch_mixture",
     "q147_data_card",
+    "q148_event_throttle",
     # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
     # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
     "q115_weighted_sample",
@@ -101,14 +102,13 @@ _PRIORITY: tuple[str, ...] = (
     "q73_salted_join",
     "q78_grouping_sets",
     "q79_ntile",
-    # last green in r04 — 2 of that cohort fit the remaining sample
-    # slots (11 r06-new + 5 r05-red + 32 r03-stale fill the first 48);
-    # the q100-series analytics surface has exactly one green row each,
-    # so it re-verifies first (rest rotate in r07)
+    # last green in r04 — 1 of that cohort fits the remaining sample
+    # slot (12 r06-new + 5 r05-red + 32 r03-stale fill the first 49);
+    # the rest of the singly-verified q100-series rotates in r07
     "q06_asof_join",
-    "q100_source_cap_sample",
     # --- driver sample boundary (first 50 end here); everything green
     # in r05 plus the remaining r04 cohort falls through to module order
+    "q100_source_cap_sample",
     "q101_source_quality_gate",
     "q102_funnel",
     "q103_retention",

@@ -730,8 +730,82 @@ ORDER BY p.prev_type, p.next_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q148 — time-windowed event dedup (throttle/coalesce): within each
+# (user_id, event_type) stream, a BURST is a maximal run of events each
+# within 24 h of its predecessor; only the burst's first event is
+# "kept". This is event-pipeline dedup (alert throttling, telemetry
+# coalescing, retry collapse) — a different axis from content dedup:
+# identity is the key + temporal adjacency, not payload equality.
+#
+# Kept-anchored suppression is the sessionize cumulative-flag trick
+# (q13): new_burst = gap NULL or > threshold; burst_id = running sum of
+# flags — NOT a plain lag comparison, which would wrongly re-admit the
+# third event of a slow-drip chain spaced just under the threshold.
+# One window shuffle on the stream key; gaps are integer microseconds
+# in both engines (no interval arithmetic to diverge).
+# ---------------------------------------------------------------------------
+
+_Q148_GAP_US = 24 * 3600 * 1_000_000
+
+
+def q148_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    nb = (
+        F.when(gap.isNull() | (gap > F.lit(_Q148_GAP_US)), 1)
+        .otherwise(0)
+        .alias("__nb")
+    )
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", nb)
+        .withColumn("burst_id", F.sum("__nb").over(run).cast("int"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "burst_id",
+            (F.col("__nb") == 1).alias("kept"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_Q148_SQL = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id),
+                             ts) IS NULL
+                   OR date_diff('microsecond',
+                                lag(ts) OVER (PARTITION BY user_id, event_type
+                                              ORDER BY ts, event_id),
+                                ts) > {_Q148_GAP_US}
+              THEN 1 ELSE 0 END AS nb,
+         ts
+  FROM events),
+bursts AS (
+  SELECT event_id, user_id, event_type, nb,
+         CAST(sum(nb) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS INT) AS burst_id
+  FROM flagged)
+SELECT event_id, user_id, event_type, burst_id, nb = 1 AS kept
+FROM bursts
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "q102_funnel": q102_funnel,
+    "q148_event_throttle": q148_event_throttle,
     "q103_retention": q103_retention,
     "q106_unpivot": q106_unpivot,
     "q108_time_weighted_avg": q108_time_weighted_avg,
@@ -747,6 +821,7 @@ QUERIES = {
 
 ORACLE = {
     "q102_funnel": _Q102_SQL,
+    "q148_event_throttle": _Q148_SQL,
     "q103_retention": _Q103_SQL,
     "q106_unpivot": _Q106_SQL,
     "q108_time_weighted_avg": _Q108_SQL,

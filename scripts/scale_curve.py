@@ -50,6 +50,7 @@ NAMES = [
     "q145_cluster_split",
     "q146_epoch_mixture",
     "q147_data_card",
+    "q148_event_throttle",
 ]
 
 

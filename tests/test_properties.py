@@ -755,3 +755,42 @@ def test_epoch_mixture_realizes_weights(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_event_throttle_burst_invariants(spark, sf_dir):
+    """q148: within each (user, type) stream ordered by (ts, event_id),
+    an event is kept iff it has no predecessor within the 24 h gap —
+    i.e. kept <=> burst head; suppressed events always have a
+    predecessor within the gap; burst ids are contiguous from 1."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from gov_data_pipeline_spark.catalog import read_table
+    from gov_data_pipeline_spark.queries.events_analytics import (
+        _Q148_GAP_US,
+        q148_event_throttle,
+    )
+
+    out = q148_event_throttle(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    j = out.join(ev, "event_id")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    chk = j.withColumn("gap", gap)
+    # kept <=> no predecessor within gap
+    assert chk.filter(
+        (F.col("kept") & F.col("gap").isNotNull() & (F.col("gap") <= _Q148_GAP_US))
+        | (~F.col("kept") & (F.col("gap").isNull() | (F.col("gap") > _Q148_GAP_US)))
+    ).count() == 0
+    # per stream: bursts number 1..max contiguously, one kept head each
+    agg = (
+        chk.groupBy("user_id", "event_type")
+        .agg(
+            F.max("burst_id").alias("mx"),
+            F.count_distinct("burst_id").alias("nd"),
+            F.sum(F.col("kept").cast("long")).alias("heads"),
+        )
+    )
+    assert agg.filter(
+        (F.col("mx") != F.col("nd")) | (F.col("heads") != F.col("nd"))
+    ).count() == 0

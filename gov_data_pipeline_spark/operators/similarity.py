@@ -194,10 +194,16 @@ def cosine_pairs_gemm(
         .select(query_id, query_vec)
         .collect()
     )
-    qrows = [r for r in qrows if len(r[1]) == len(qrows[0][1])] if qrows else []
     if not qrows:
         return spark.createDataFrame([], "a_id long, b_id long, cosine_sim double")
-    dim = len(qrows[0][1])
+    # expected dim = the MODAL query length (ties broken smaller), not
+    # row 0's — a ragged first row must not silently veto every
+    # well-formed vector on both sides
+    from collections import Counter
+
+    sizes = Counter(len(r[1]) for r in qrows)
+    dim = min(d for d, c in sizes.items() if c == max(sizes.values()))
+    qrows = [r for r in qrows if len(r[1]) == dim]
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):  # zero norm -> NaN row

@@ -755,7 +755,14 @@ def q148_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # NULLS FIRST pinned EXPLICITLY on both engines (Spark's default,
+    # DuckDB's is NULLS LAST): a NULL-ts event sorts to the stream
+    # head and keeps as its own burst (can't prove it's a duplicate).
+    # The sibling event queries rely on the fixture's ts NOT NULL
+    # guarantee instead; this one is NULL-safe by construction.
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     nb = (
         F.when(gap.isNull() | (gap > F.lit(_Q148_GAP_US)), 1)
@@ -782,11 +789,11 @@ WITH flagged AS (
   SELECT event_id, user_id, event_type,
          CASE WHEN date_diff('microsecond',
                              lag(ts) OVER (PARTITION BY user_id, event_type
-                                           ORDER BY ts, event_id),
+                                           ORDER BY ts NULLS FIRST, event_id),
                              ts) IS NULL
                    OR date_diff('microsecond',
                                 lag(ts) OVER (PARTITION BY user_id, event_type
-                                              ORDER BY ts, event_id),
+                                              ORDER BY ts NULLS FIRST, event_id),
                                 ts) > {_Q148_GAP_US}
               THEN 1 ELSE 0 END AS nb,
          ts
@@ -794,7 +801,7 @@ WITH flagged AS (
 bursts AS (
   SELECT event_id, user_id, event_type, nb,
          CAST(sum(nb) OVER (PARTITION BY user_id, event_type
-                            ORDER BY ts, event_id
+                            ORDER BY ts NULLS FIRST, event_id
                             ROWS UNBOUNDED PRECEDING) AS INT) AS burst_id
   FROM flagged)
 SELECT event_id, user_id, event_type, burst_id, nb = 1 AS kept

@@ -716,7 +716,10 @@ def q147_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _Q147_COLS:
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            # count(when(...)), not sum(cast): sum over zero rows is
+            # NULL, but the card (and the oracle's count(*)-count(c))
+            # must report 0 nulls for an empty table
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nn_{c}"),
             F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
             _rng(c, kind, F.min).alias(f"__lo_{c}"),
             _rng(c, kind, F.max).alias(f"__hi_{c}"),

@@ -842,3 +842,12 @@ def test_gemm_drops_malformed_vectors(spark):
     )
     assert got == want and len(got) > 0
     assert not any(6 in (a, b) for a, b, _ in got)
+    # a ragged row COLLECTED FIRST must not anchor the expected dim
+    # and veto every well-formed vector (dim = modal length)
+    ragged_first = [(5, [1.0, 0.0])] + good
+    rf = spark.createDataFrame(ragged_first, schema)
+    got_rf = sorted(
+        (r.a_id, r.b_id, r.cosine_sim)
+        for r in cosine_pairs_gemm(rf, rf, "id", "id", "v", "v", 0.5).collect()
+    )
+    assert got_rf == want

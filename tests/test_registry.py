@@ -154,8 +154,9 @@ def test_every_query_survives_empty_tables(spark, tmp_path_factory, sf_dir):
     from gov_data_pipeline_spark.catalog import read_table
 
     base = tmp_path_factory.mktemp("sf_empty")
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
+    from tests.oracle import TABLE_NAMES
+
+    for t in TABLE_NAMES:
         read_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(base / f"{t}.parquet"))
@@ -186,8 +187,9 @@ def test_every_query_survives_null_and_blank_text(
     from gov_data_pipeline_spark.catalog import read_table
 
     base = tmp_path_factory.mktemp("sf_nulltext")
-    for t in ("region nation customer supplier part orders lineitem "
-              "events embeddings").split():
+    from tests.oracle import TABLE_NAMES
+
+    for t in (t for t in TABLE_NAMES if t != "documents"):
         read_table(spark, sf_dir, t).write.parquet(str(base / f"{t}.parquet"))
     read_table(spark, sf_dir, "documents").withColumn(
         "text",
@@ -227,8 +229,9 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
     from tests.oracle import compare, duckdb_con, run_oracle
 
     base = tmp_path_factory.mktemp("sf_unicode")
-    for t in ("region nation customer supplier part orders lineitem "
-              "events embeddings").split():
+    from tests.oracle import TABLE_NAMES
+
+    for t in (t for t in TABLE_NAMES if t != "documents"):
         read_table(spark, sf_dir, t).write.parquet(str(base / f"{t}.parquet"))
     snippets = {
         0: "café naïve ﬁne",

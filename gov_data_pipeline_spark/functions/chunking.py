@@ -115,3 +115,58 @@ def pack_sequences(
         pack_col,
         F.floor(cum_before / F.lit(float(budget))).cast("long"),
     )
+
+
+def pack_documents_nfd(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    shard_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Whole-document next-fit-decreasing bin packing per shard:
+    documents are NEVER split across bins (the SFT/eval-data packer —
+    ``pack_sequences`` is the pretraining concat-then-chunk form that
+    splits at the budget boundary). Within each shard, documents sort
+    by (size desc, id) and a single sequential pass opens a new bin
+    whenever the current one cannot fit the next document; an oversize
+    document occupies a bin alone.
+
+    Capacity-reset accumulation is NON-ASSOCIATIVE — no window or
+    aggregate expresses it — so this is the documented escape hatch:
+    one Arrow-batched ``applyInPandas`` per shard, sequential only
+    WITHIN a shard, parallel across shards. Choose the shard count ~
+    cluster parallelism; each shard's (id, size) rows must fit in one
+    task (they are two numeric columns — millions of documents per
+    shard is fine; the text itself never enters this operator).
+    """
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError(f"pack_documents_nfd: capacity must be >= 1, got {capacity}")
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [size_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        sizes = pdf[size_col].fillna(0).astype("int64")
+        bins: list[int] = []
+        cur, used = 0, capacity + 1  # forces bin 1 open on the first row
+        for s in sizes:
+            if used + s > capacity:
+                cur += 1
+                used = int(s)
+            else:
+                used += int(s)
+            bins.append(cur)
+        pdf["bin"] = pd.array(bins, dtype="int32")
+        return pdf[[shard_col, id_col, size_col, "bin"]]
+
+    out_schema = (
+        f"{shard_col} int, {id_col} long, {size_col} long, bin int"
+    )
+    return (
+        df.select(shard_col, id_col, size_col)
+        .groupBy(shard_col)
+        .applyInPandas(_pack, out_schema)
+    )

@@ -1282,6 +1282,56 @@ def _bench_grams(docs: DataFrame, ws) -> DataFrame:
     )
 
 
+def q149_doc_pack_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit-decreasing packing (q86's non-splitting
+    sibling — the SFT/eval packer): documents hash into 8 shards, sort
+    (n_chars desc, doc_id) within each, and pack into 1200-char bins
+    without ever splitting a document.
+
+    Scale shape: the only data entering the operator is (shard, id,
+    size) — the text never moves; one Arrow batch per shard runs the
+    sequential capacity-reset pass (non-associative, hence the
+    documented applyInPandas escape hatch), parallel across shards.
+    The oracle unrolls the identical pass as a per-shard linear
+    recursive CTE — all-integer, bit-exact.
+    """
+    from gov_data_pipeline_spark.functions.chunking import pack_documents_nfd
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (hash_bucket_col(F.col("doc_id")) % 8).cast("int").alias("shard"),
+    )
+    return pack_documents_nfd(
+        docs, "doc_id", "n_chars", "shard", capacity=1200
+    ).orderBy("shard", "doc_id")
+
+
+_Q149_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 8
+              AS INT) AS shard
+  FROM documents),
+o AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY shard
+                                    ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+  FROM d),
+fill(shard, rn, doc_id, n_chars, bin, used) AS (
+  SELECT shard, rn, doc_id, n_chars, 1, n_chars FROM o WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_chars,
+         CASE WHEN f.used + t.n_chars <= 1200 THEN f.bin ELSE f.bin + 1 END,
+         CASE WHEN f.used + t.n_chars <= 1200 THEN f.used + t.n_chars
+              ELSE t.n_chars END
+  FROM o t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
+SELECT shard, doc_id, n_chars, CAST(bin AS INT) AS bin
+FROM fill
+ORDER BY shard, doc_id
+"""
+
+
 def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-data step that removes
     documents sharing any 13-gram with an evaluation set. The benchmark
@@ -2197,6 +2247,7 @@ QUERIES = {
     "q142_source_overlap": q142_source_overlap,
     "q144_duplicate_passages": q144_duplicate_passages,
     "q145_cluster_split": q145_cluster_split,
+    "q149_doc_pack_nfd": q149_doc_pack_nfd,
     "q88_repetition_filter": q88_repetition_filter,
     "q89_curation_pipeline": q89_curation_pipeline,
 }
@@ -2240,6 +2291,7 @@ ORACLE = {
     "q142_source_overlap": _Q142_SQL,
     "q144_duplicate_passages": _Q144_SQL,
     "q145_cluster_split": _Q145_SQL,
+    "q149_doc_pack_nfd": _Q149_SQL,
     "q88_repetition_filter": _Q88_SQL,
     "q89_curation_pipeline": _Q89_SQL,
 }

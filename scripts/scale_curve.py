@@ -51,6 +51,7 @@ NAMES = [
     "q146_epoch_mixture",
     "q147_data_card",
     "q148_event_throttle",
+    "q149_doc_pack_nfd",
 ]
 
 

@@ -851,3 +851,50 @@ def test_gemm_drops_malformed_vectors(spark):
         for r in cosine_pairs_gemm(rf, rf, "id", "id", "v", "v", 0.5).collect()
     )
     assert got_rf == want
+
+
+class TestDocPackNFD:
+    def test_nfd_packing_semantics(self, spark):
+        import pyspark.sql.functions as F
+
+        from gov_data_pipeline_spark.functions.chunking import (
+            pack_documents_nfd,
+        )
+
+        rows = [
+            (1, 90), (2, 60), (3, 50), (4, 40), (5, 30),
+            # oversize doc: alone in its own bin
+            (6, 250),
+        ]
+        df = spark.createDataFrame(
+            [(i, s, 0) for i, s in rows], "doc_id long, n_chars long, shard int"
+        )
+        got = {
+            r.doc_id: r.bin
+            for r in pack_documents_nfd(
+                df, "doc_id", "n_chars", "shard", capacity=100
+            ).collect()
+        }
+        # sorted desc: 250, 90, 60, 50, 40, 30
+        # 250 -> bin1 (oversize, alone); 90 -> bin2 (250+90>100);
+        # 60 -> bin3; 50 -> bin4 (60+50>100); 40 -> bin4 (90);
+        # 30 -> bin5 (90+30>100)
+        assert got == {6: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 5}
+
+    def test_nfd_param_validation_and_determinism(self, spark):
+        import pytest as _pytest
+
+        from gov_data_pipeline_spark.functions.chunking import (
+            pack_documents_nfd,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10, 0)], "doc_id long, n_chars long, shard int"
+        )
+        with _pytest.raises(ValueError):
+            pack_documents_nfd(df, "doc_id", "n_chars", "shard", capacity=0)
+        from gov_data_pipeline_spark.queries.dedup_sim import q149_doc_pack_nfd
+
+        a = q149_doc_pack_nfd(spark, "/root/testdata/sf0.001").collect()
+        b = q149_doc_pack_nfd(spark, "/root/testdata/sf0.001").collect()
+        assert a == b

@@ -758,3 +758,19 @@ class TestCorpusRound6Plans:
         assert final.count("FileScan parquet") == 1
         assert "Join" not in final
         assert "EvalPython" not in plan
+
+    def test_doc_pack_prunes_text_before_python(self, spark, sf_dir):
+        """q149: the packer's claim is that document TEXT never reaches
+        the Python stage — the scan must read only (doc_id, n_chars),
+        and the single Python crossing is the grouped-map pandas op."""
+        from gov_data_pipeline_spark.queries.dedup_sim import q149_doc_pack_nfd
+
+        df = q149_doc_pack_nfd(spark, sf_dir)
+        df.collect()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert reads and all("text" not in l for l in reads)
+        assert "FlatMapGroupsInPandas" in plan
+        assert "BatchEvalPython" not in plan

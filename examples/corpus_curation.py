@@ -66,6 +66,43 @@ def main() -> None:
     for r in sampled.groupBy("lang").count().orderBy("lang").collect():
         print(f"  {r['lang']}: {r['count']}")
 
+    # --- passage-level audit: boilerplate spans document-level dedup
+    # missed (q144's operator over the KEPT corpus) -------------------
+    from gov_data_pipeline_spark.operators.dedup import duplicate_passage_spans
+
+    kept_docs = corpus.join(kept.select("doc_id"), "doc_id", "left_semi")
+    spans = duplicate_passage_spans(
+        kept_docs, "doc_id", F.col("text"), n=5, min_grams=3
+    )
+    print(f"cross-doc duplicate-passage spans among canonical docs: {spans.count()}")
+
+    # --- leakage-safe split: hash the CLUSTER representative so
+    # near-dups never straddle train/val (q145's rule, reusing the
+    # clustering already computed above) ------------------------------
+    # (sampled descends from the clustering output, so it already
+    # carries the component column — no re-join needed)
+    split = sampled.withColumn(
+        "split",
+        F.when(hash_bucket_col(F.col("component")) < 204, "train").otherwise(
+            "val"
+        ),
+    )
+    for r in split.groupBy("split").count().orderBy("split").collect():
+        print(f"  {r['split']}: {r['count']}")
+
+    # --- whole-document packing: next-fit-decreasing bins, no doc ever
+    # split (q149's operator; text never enters the Python stage) -----
+    from gov_data_pipeline_spark.functions.chunking import pack_documents_nfd
+
+    sized = split.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (hash_bucket_col(F.col("doc_id")) % 4).cast("int").alias("shard"),
+    )
+    packed = pack_documents_nfd(sized, "doc_id", "n_chars", "shard", capacity=1200)
+    n_bins = packed.select("shard", "bin").distinct().count()
+    print(f"packed {packed.count()} docs into {n_bins} bins of <= 1200 chars")
+
 
 if __name__ == "__main__":
     main()

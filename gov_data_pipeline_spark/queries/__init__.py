@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "q147_data_card",
     "q148_event_throttle",
     "q149_doc_pack_nfd",
+    "q150_stream_throttle",
     # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
     # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
     "q115_weighted_sample",
@@ -102,12 +103,12 @@ _PRIORITY: tuple[str, ...] = (
     "q72_upsert_latest",
     "q73_salted_join",
     "q78_grouping_sets",
-    "q79_ntile",
-    # 13 r06-new + 5 r05-red + 32 r03-stale fill the first 50 exactly;
-    # the whole singly-verified r04 cohort (q06, q100-series) rotates
-    # in r07
+    # 14 r06-new + 5 r05-red + 31 r03-stale fill the first 50 exactly;
+    # q79 (r03) plus the whole singly-verified r04 cohort (q06,
+    # q100-series) rotates in r07
     # --- driver sample boundary (first 50 end here); everything green
     # in r05 plus the remaining r04 cohort falls through to module order
+    "q79_ntile",
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",

@@ -273,8 +273,36 @@ ORDER BY purchase_id, click_id
 """
 
 
+def q150_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch execution of the continuous event-throttle operator
+    (streaming/stateful.throttle_dedup — q148's kept set as a
+    STREAM): only burst-head events pass; the suppression anchor is
+    the previous event, emitted or not. The applyInPandasWithState
+    form is asserted equal to this plan in tests/test_streaming.py."""
+    from gov_data_pipeline_spark.streaming import throttle_dedup
+
+    events = _t(spark, sf_dir, "events")
+    return throttle_dedup(events, gap_seconds=86400).orderBy("event_id")
+
+
+_Q150_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, event_id, ts,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts NULLS FIRST, event_id),
+                   ts) AS g
+  FROM events)
+SELECT user_id, event_type, event_id, ts
+FROM flagged
+WHERE g IS NULL OR g > 86400000000
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "q60_tumbling": q60_tumbling,
+    "q150_stream_throttle": q150_stream_throttle,
     "q76_stream_join": q76_stream_join,
     "q61_sliding": q61_sliding,
     "q62_session_window": q62_session_window,
@@ -286,6 +314,7 @@ QUERIES = {
 
 ORACLE = {
     "q66_cumulative_alerts": _Q66_SQL,
+    "q150_stream_throttle": _Q150_SQL,
     "q76_stream_join": _Q76_SQL,
     "q60_tumbling": _Q60_SQL,
     "q61_sliding": _Q61_SQL,

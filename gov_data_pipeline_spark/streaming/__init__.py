@@ -1,6 +1,7 @@
 from gov_data_pipeline_spark.streaming.stateful import (  # noqa: F401
     ALERT_SCHEMA,
     cumulative_alerts,
+    throttle_dedup,
 )
 from gov_data_pipeline_spark.streaming.ingest import (  # noqa: F401
     incremental_dedup_sink,

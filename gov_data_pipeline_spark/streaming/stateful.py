@@ -152,3 +152,78 @@ def cumulative_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+THROTTLE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_THROTTLE_STATE = T.StructType([T.StructField("last_us", T.LongType())])
+
+
+def throttle_dedup(events: DataFrame, gap_seconds: int = 86400) -> DataFrame:
+    """Per-(user, type) time-gap dedup run CONTINUOUSLY — the streaming
+    form of q148's event throttle (alert suppression, telemetry
+    coalescing): an event is emitted iff no event with the same key
+    occurred within the previous ``gap_seconds``; the suppression
+    anchor is always the PREVIOUS event, emitted or not (chain/burst
+    semantics — a slow drip spaced just under the gap stays one burst).
+
+    - **Batch mode**: the q148 lag-window plan filtered to burst heads
+      — SQL-expressible, so this form carries the DuckDB oracle (q150).
+    - **Streaming mode**: one long (last event micros) per key in
+      ``GroupState`` via ``applyInPandasWithState`` — O(distinct keys)
+      state, updated by EVERY event so suppressed events still advance
+      the anchor. Same cross-micro-batch ordering contract as
+      ``cumulative_alerts`` (sorted replay; within-batch the operator
+      sorts). All arithmetic is integer microseconds on both engines.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    cols = ("user_id", "event_type", "event_id", "ts")
+    if not events.isStreaming:
+        w = W.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").asc_nulls_first(), "event_id"
+        )
+        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        return (
+            events.select(*cols)
+            .withColumn("__g", gap)
+            .filter(F.col("__g").isNull() | (F.col("__g") > gap_us))
+            .drop("__g")
+        )
+
+    import pandas as pd  # local: executors import lazily
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: Any
+    ) -> Iterator["pd.DataFrame"]:
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        out: list[tuple[Any, ...]] = []
+        for row in batch.itertuples(index=False):
+            us = None if pd.isna(row.ts) else int(pd.Timestamp(row.ts).value // 1_000)
+            if us is None or last is None or us - last > gap_us:
+                out.append((key[0], key[1], int(row.event_id), row.ts))
+            if us is not None:
+                last = us
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "event_id", "ts"]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.select(*cols).groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=THROTTLE_SCHEMA,
+        stateStructType=_THROTTLE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -52,6 +52,7 @@ NAMES = [
     "q147_data_card",
     "q148_event_throttle",
     "q149_doc_pack_nfd",
+    "q150_stream_throttle",
 ]
 
 

@@ -677,3 +677,48 @@ def test_incremental_rollup_matches_batch_and_is_replay_idempotent(
     replayed = read_hourly_rollup(spark, out).toPandas()
     assert (replayed["n"].values == rolled["n"].values).all()
     assert (replayed["sum_v"].round(2).values == rolled["sum_v"].round(2).values).all()
+
+
+def test_stateful_throttle_matches_batch(spark, sf_dir):
+    """throttle_dedup's applyInPandasWithState form must emit exactly
+    the rows the batch lag-window twin (the oracle-checked q150 plan)
+    produces — including suppressed events advancing the anchor across
+    micro-batch boundaries. Same sorted-replay harness as the alerts
+    test: 3 time-range files, mtime-ordered."""
+    import os
+
+    from gov_data_pipeline_spark.streaming import (
+        read_events_stream,
+        throttle_dedup,
+    )
+
+    d = tempfile.mkdtemp(prefix="throttle_stream_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 3
+        cuts = [lo + span, lo + 2 * span]
+        ranges = [
+            F.col("ts") < cuts[0],
+            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+            F.col("ts") >= cuts[1],
+        ]
+        for i, cond in enumerate(ranges):
+            path = os.path.join(d, f"part{i}")
+            events.filter(cond).coalesce(1).write.parquet(path)
+            for root, _, files in os.walk(path):
+                for f in files:
+                    t = 1_000_000_000 + i * 5_000
+                    os.utime(os.path.join(root, f), (t, t))
+        stream = read_events_stream(spark, d + "/*")
+        name = f"th_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(throttle_dedup(stream, gap_seconds=3600), name, "append")
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {
+            tuple(r) for r in throttle_dedup(events, gap_seconds=3600).collect()
+        }
+        assert got == want
+        # 1h gap on this fixture must both keep and suppress something
+        assert 0 < len(want) < events.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -182,6 +182,15 @@ def throttle_dedup(events: DataFrame, gap_seconds: int = 86400) -> DataFrame:
       the anchor. Same cross-micro-batch ordering contract as
       ``cumulative_alerts`` (sorted replay; within-batch the operator
       sorts). All arithmetic is integer microseconds on both engines.
+
+    NULL ``ts`` boundary: both modes always EMIT a NULL-ts event (a
+    row with no event time cannot be proven a duplicate), but the
+    modes diverge on the event AFTER it — batch's lag-window sees a
+    NULL anchor (gap NULL -> emitted) while the stream retains the
+    last real timestamp. NULL event time is out-of-contract for any
+    watermarked stream anyway (it would stall the watermark), so the
+    stream documents rather than reconciles this; filter or repair ts
+    upstream when feeding this operator.
     """
     gap_us = int(gap_seconds) * 1_000_000
     cols = ("user_id", "event_type", "event_id", "ts")
@@ -204,7 +213,8 @@ def throttle_dedup(events: DataFrame, gap_seconds: int = 86400) -> DataFrame:
     ) -> Iterator["pd.DataFrame"]:
         last = state.get[0] if state.exists else None
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
+        # na_position mirrors the batch twin's NULLS FIRST ordering
+        batch = batch.sort_values(["ts", "event_id"], na_position="first")
         out: list[tuple[Any, ...]] = []
         for row in batch.itertuples(index=False):
             us = None if pd.isna(row.ts) else int(pd.Timestamp(row.ts).value // 1_000)

@@ -70,9 +70,10 @@ def main() -> None:
     # missed (q144's operator over the KEPT corpus) -------------------
     from gov_data_pipeline_spark.operators.dedup import duplicate_passage_spans
 
-    kept_docs = corpus.join(kept.select("doc_id"), "doc_id", "left_semi")
+    # `kept` already carries doc_id/text (dedup_clusters labels the
+    # full corpus) — no semi-join needed to rebuild the canonical set
     spans = duplicate_passage_spans(
-        kept_docs, "doc_id", F.col("text"), n=5, min_grams=3
+        kept, "doc_id", F.col("text"), n=5, min_grams=3
     )
     print(f"cross-doc duplicate-passage spans among canonical docs: {spans.count()}")
 

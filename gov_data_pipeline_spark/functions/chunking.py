@@ -146,13 +146,15 @@ def pack_documents_nfd(
         raise ValueError(f"pack_documents_nfd: capacity must be >= 1, got {capacity}")
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL size packs as 0 and is REPORTED as 0 (the oracle's
+        # coalesce twin) — a sort key and the output must agree on it
+        pdf = pdf.assign(**{size_col: pdf[size_col].fillna(0).astype("int64")})
         pdf = pdf.sort_values(
             [size_col, id_col], ascending=[False, True], kind="mergesort"
         ).reset_index(drop=True)
-        sizes = pdf[size_col].fillna(0).astype("int64")
         bins: list[int] = []
         cur, used = 0, capacity + 1  # forces bin 1 open on the first row
-        for s in sizes:
+        for s in pdf[size_col]:
             if used + s > capacity:
                 cur += 1
                 used = int(s)
@@ -162,11 +164,20 @@ def pack_documents_nfd(
         pdf["bin"] = pd.array(bins, dtype="int32")
         return pdf[[shard_col, id_col, size_col, "bin"]]
 
-    out_schema = (
-        f"{shard_col} int, {id_col} long, {size_col} long, bin int"
+    from pyspark.sql import types as T
+
+    # output schema derived from the INPUT column types (string ids /
+    # non-int shards work), plus the computed bin
+    narrow = df.select(shard_col, id_col, size_col)
+    size_type = narrow.schema[size_col].dataType
+    if not isinstance(
+        size_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        raise TypeError(
+            f"pack_documents_nfd: {size_col} must be integral (got "
+            f"{size_type.simpleString()}); cast token/char counts first"
+        )
+    out_schema = T.StructType(
+        [*narrow.schema.fields, T.StructField("bin", T.IntegerType())]
     )
-    return (
-        df.select(shard_col, id_col, size_col)
-        .groupBy(shard_col)
-        .applyInPandas(_pack, out_schema)
-    )
+    return narrow.groupBy(shard_col).applyInPandas(_pack, out_schema)

@@ -1310,7 +1310,7 @@ def q149_doc_pack_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q149_SQL = """
 WITH RECURSIVE d AS (
-  SELECT doc_id, n_chars,
+  SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 8
               AS INT) AS shard
   FROM documents),

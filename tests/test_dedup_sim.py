@@ -881,7 +881,7 @@ class TestDocPackNFD:
         # 30 -> bin5 (90+30>100)
         assert got == {6: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 5}
 
-    def test_nfd_param_validation_and_determinism(self, spark):
+    def test_nfd_param_validation_and_determinism(self, spark, sf_dir):
         import pytest as _pytest
 
         from gov_data_pipeline_spark.functions.chunking import (
@@ -895,6 +895,6 @@ class TestDocPackNFD:
             pack_documents_nfd(df, "doc_id", "n_chars", "shard", capacity=0)
         from gov_data_pipeline_spark.queries.dedup_sim import q149_doc_pack_nfd
 
-        a = q149_doc_pack_nfd(spark, "/root/testdata/sf0.001").collect()
-        b = q149_doc_pack_nfd(spark, "/root/testdata/sf0.001").collect()
+        a = q149_doc_pack_nfd(spark, sf_dir).collect()
+        b = q149_doc_pack_nfd(spark, sf_dir).collect()
         assert a == b

@@ -767,9 +767,7 @@ class TestCorpusRound6Plans:
 
         df = q149_doc_pack_nfd(spark, sf_dir)
         df.collect()
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = _formatted(df)
         reads = [l for l in plan.splitlines() if "ReadSchema" in l]
         assert reads and all("text" not in l for l in reads)
         assert "FlatMapGroupsInPandas" in plan

@@ -794,3 +794,69 @@ def test_event_throttle_burst_invariants(spark, sf_dir):
     assert agg.filter(
         (F.col("mx") != F.col("nd")) | (F.col("heads") != F.col("nd"))
     ).count() == 0
+
+
+# --- duplicate-passage spans vs pure-Python model -----------------------
+
+
+def model_passage_spans(
+    docs: dict[int, str], n: int = 3, min_grams: int = 2
+) -> set[tuple[int, int, int, int]]:
+    """Direct implementation of q144's semantics: positional word
+    n-grams, cross-document frequency >= 2 (distinct docs), maximal
+    consecutive runs of >= min_grams duplicated positions."""
+    grams: dict[int, list[str]] = {}
+    for d, text in docs.items():
+        ws = [w for w in text.strip().split()]
+        # split('\s+') of a whitespace-only string yields [''] — mirror
+        # Spark's split+size semantics: doc shorter than n words drops
+        if len(ws) < n or ws == [""]:
+            continue
+        grams[d] = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+    docs_per_gram: dict[str, set[int]] = {}
+    for d, gs in grams.items():
+        for g in set(gs):
+            docs_per_gram.setdefault(g, set()).add(d)
+    spans: set[tuple[int, int, int, int]] = set()
+    for d, gs in grams.items():
+        run_start = None
+        for i, g in enumerate(gs):
+            dup = len(docs_per_gram[g]) >= 2
+            if dup and run_start is None:
+                run_start = i
+            if (not dup or i == len(gs) - 1) and run_start is not None:
+                end = i if dup else i - 1
+                length = end - run_start + 1
+                if length >= min_grams:
+                    spans.add((d, run_start + 1, end + n, length))
+                run_start = None
+    return spans
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(list("abcdefg")), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_duplicate_passage_spans_match_model(spark, texts):
+    """Tiny 7-word alphabet forces heavy cross-doc gram collisions —
+    the adversarial regime for the islands merge."""
+    from gov_data_pipeline_spark.operators.dedup import duplicate_passage_spans
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.start_word, r.end_word, r.n_grams)
+        for r in duplicate_passage_spans(
+            df, "doc_id", F.col("text"), n=3, min_grams=2
+        ).collect()
+    }
+    want = model_passage_spans(docs, n=3, min_grams=2)
+    assert got == want

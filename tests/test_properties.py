@@ -860,3 +860,55 @@ def test_duplicate_passage_spans_match_model(spark, texts):
     }
     want = model_passage_spans(docs, n=3, min_grams=2)
     assert got == want
+
+
+# --- NFD packer vs pure-Python model ------------------------------------
+
+
+def model_nfd_pack(
+    rows: list[tuple[int, int, int]], capacity: int
+) -> set[tuple[int, int, int, int]]:
+    """(shard, id, size) -> {(shard, id, size, bin)} under
+    next-fit-decreasing with (size desc, id asc) order per shard."""
+    out: set[tuple[int, int, int, int]] = set()
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for shard, i, s in rows:
+        by_shard.setdefault(shard, []).append((i, s))
+    for shard, items in by_shard.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        cur, used = 0, capacity + 1
+        for i, s in items:
+            if used + s > capacity:
+                cur, used = cur + 1, s
+            else:
+                used += s
+            out.add((shard, i, s, cur))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # shard
+            st.integers(min_value=0, max_value=40),  # size (0, ties, oversize)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=30),          # capacity
+)
+def test_nfd_packer_matches_model(spark, rows, capacity):
+    from gov_data_pipeline_spark.functions.chunking import pack_documents_nfd
+
+    data = [(shard, i, s) for i, (shard, s) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "shard int, doc_id long, n_chars long"
+    )
+    got = {
+        (r.shard, r.doc_id, r.n_chars, r.bin)
+        for r in pack_documents_nfd(
+            df, "doc_id", "n_chars", "shard", capacity=capacity
+        ).collect()
+    }
+    assert got == model_nfd_pack(data, capacity)

@@ -912,3 +912,63 @@ def test_nfd_packer_matches_model(spark, rows, capacity):
         ).collect()
     }
     assert got == model_nfd_pack(data, capacity)
+
+
+# --- event throttle vs pure-Python model --------------------------------
+
+
+def model_throttle(
+    rows: list[tuple[int, str, int, int]], gap_us: int
+) -> set[int]:
+    """(user, type, event_id, ts_us) -> kept event_ids under chain
+    semantics: within each (user, type) ordered by (ts, id), keep iff
+    no predecessor within gap; every event advances the anchor."""
+    kept: set[int] = set()
+    by_key: dict[tuple[int, str], list[tuple[int, int]]] = {}
+    for u, t, e, us in rows:
+        by_key.setdefault((u, t), []).append((us, e))
+    for items in by_key.values():
+        items.sort()
+        last = None
+        for us, e in items:
+            if last is None or us - last > gap_us:
+                kept.add(e)
+            last = us
+    return kept
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.sampled_from(["a", "b"]),                # type
+            st.integers(min_value=0, max_value=3600),   # ts seconds
+        ),
+        min_size=1,
+        max_size=30,
+        ),
+    st.integers(min_value=1, max_value=1200),           # gap seconds
+)
+def test_throttle_batch_matches_model(spark, rows, gap_s):
+    import datetime as dt
+
+    from gov_data_pipeline_spark.streaming import throttle_dedup
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, t, e, base + dt.timedelta(seconds=s))
+        for e, (u, t, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_type string, event_id long, ts timestamp"
+    )
+    got = {
+        r.event_id
+        for r in throttle_dedup(df, gap_seconds=gap_s).collect()
+    }
+    want = model_throttle(
+        [(u, t, e, s * 1_000_000) for e, (u, t, s) in enumerate(rows)],
+        gap_s * 1_000_000,
+    )
+    assert got == want

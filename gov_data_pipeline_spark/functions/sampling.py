@@ -41,6 +41,17 @@ def budget_sample(
     scan; the prefix sum is ONE hash-partition-by-group window, whose
     partitioning a following per-group rollup can reuse.
     """
+    # ``cum`` is part of the output contract and ``__tot`` is an
+    # internal scratch column; withColumn would silently REPLACE a
+    # same-named input column, corrupting the caller's data instead of
+    # failing. Refuse loudly (ADVICE r06).
+    clash = {"cum", "__tot"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"budget_sample: input already has column(s) {sorted(clash)}; "
+            "rename them first — 'cum' is the operator's output running "
+            "total and '__tot' its internal scratch name"
+        )
     tot = df.groupBy(group_col).agg(F.sum(size_col).alias("__tot"))
     w = (
         W.partitionBy(group_col)

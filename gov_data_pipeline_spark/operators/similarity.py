@@ -202,7 +202,19 @@ def cosine_pairs_gemm(
     from collections import Counter
 
     sizes = Counter(len(r[1]) for r in qrows)
-    dim = min(d for d, c in sizes.items() if c == max(sizes.values()))
+    top = max(sizes.values())
+    modal = sorted(d for d, c in sizes.items() if c == top)
+    # A modal-frequency TIE (e.g. half len-3, half len-4) is a genuinely
+    # mixed-dim input, not a few ragged rows — picking either dim would
+    # silently erase the other half from BOTH sides. Same if the "modal"
+    # dim covers under 2/3 of the queries. Refuse loudly instead.
+    if len(modal) > 1 or top * 3 < len(qrows) * 2:
+        raise ValueError(
+            "cosine_pairs_gemm: query vectors are mixed-dimension "
+            f"(length histogram {dict(sorted(sizes.items()))}); split the "
+            "input by vector length and run one call per dimension"
+        )
+    dim = modal[0]
     qrows = [r for r in qrows if len(r[1]) == dim]
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)

@@ -207,6 +207,13 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the previous invocation's profile before persisting this one
     # (bounds live cache entries to 1 without forcing eager
     # materialization, which costs ~0.6 s on the sf0.1 bench).
+    # SINGLE-THREADED-DRIVER ASSUMPTION (ADVICE r06): this module-global
+    # is unsynchronized by design — the driver, bench.py, and the test
+    # suite all invoke queries sequentially. Two CONCURRENT q42 calls
+    # would stay correct (unpersist only drops cached blocks; the plan
+    # recomputes) but could evict each other's profile mid-query and
+    # lose the ~0.6 s caching win. Callers running queries from multiple
+    # threads should clone the function with a per-invocation profile.
     while _Q42_LIVE_PROFILES:
         _Q42_LIVE_PROFILES.pop().unpersist()
     _Q42_LIVE_PROFILES.append(prof)

@@ -845,12 +845,14 @@ ORDER BY doc_id
 # and aggregate per partition value with a partition-pruning filter.
 # The hash only matches if the sink preserved every row and value
 # (partition columns included) — DuckDB aggregates the original table
-# directly. A fresh numbered subdir per invocation keeps every
-# still-live DataFrame's file listing valid (overwriting ONE stable
-# dir would delete the files under an earlier invocation's returned
-# plan — FileNotFoundException on its next collect); invocations two
-# generations old are removed, bounding /tmp to two copies instead of
-# one-per-sweep (the round-5 ADVICE leak).
+# directly. A fresh numbered subdir per invocation gives a TWO-
+# GENERATION validity window: the current and the previous
+# invocation's returned DataFrames stay collectable (overwriting ONE
+# stable dir would break even the immediately preceding one), while
+# anything older is deleted and will raise FileNotFoundException on
+# re-collect. That bounds /tmp to two copies instead of one-per-sweep
+# (the round-5 ADVICE leak); callers holding a handle from three or
+# more invocations ago must re-run the query, not re-collect.
 # ---------------------------------------------------------------------------
 
 _Q136_SEQ: dict[str, int] = {}

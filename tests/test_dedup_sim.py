@@ -853,6 +853,36 @@ def test_gemm_drops_malformed_vectors(spark):
     assert got_rf == want
 
 
+def test_gemm_refuses_genuinely_mixed_dim_queries(spark):
+    """cosine_pairs_gemm tolerates a MINORITY of ragged rows (the
+    malformed-drop contract) but a modal-frequency tie or a majority-
+    mixed input raises instead of silently erasing one dimension from
+    both sides (ADVICE r06)."""
+    import pytest
+
+    from gov_data_pipeline_spark.operators.similarity import cosine_pairs_gemm
+
+    schema = "id long, v array<double>"
+    # exact tie: two len-3, two len-2 — either pick would drop half
+    tied = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+         (3, [1.0, 0.0]), (4, [0.0, 1.0])],
+        schema,
+    )
+    with pytest.raises(ValueError, match="mixed-dimension"):
+        cosine_pairs_gemm(tied, tied, "id", "id", "v", "v", 0.5)
+    # modal dim covers under 2/3: 2 of 5 rows would vanish silently
+    minority_modal = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [1.0, 1.0, 0.0]),
+         (4, [1.0, 0.0]), (5, [0.0, 1.0])],
+        schema,
+    )
+    with pytest.raises(ValueError, match="mixed-dimension"):
+        cosine_pairs_gemm(
+            minority_modal, minority_modal, "id", "id", "v", "v", 0.5
+        )
+
+
 class TestDocPackNFD:
     def test_nfd_packing_semantics(self, spark):
         import pyspark.sql.functions as F

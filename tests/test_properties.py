@@ -725,6 +725,23 @@ def test_budget_sample_matches_greedy_model(spark, rows, num_den):
     assert got == expect
 
 
+def test_budget_sample_rejects_reserved_column_names(spark):
+    """budget_sample's `cum` output and `__tot` scratch would silently
+    REPLACE same-named input columns via withColumn; the operator must
+    refuse instead (ADVICE r06)."""
+    import pytest
+
+    from gov_data_pipeline_spark.functions.sampling import budget_sample
+
+    base = [(1, "a", 10)]
+    for bad in ("cum", "__tot"):
+        df = spark.createDataFrame(
+            base, f"doc_id long, g string, size long"
+        ).withColumn(bad, F.lit(0))
+        with pytest.raises(ValueError, match=bad):
+            budget_sample(df, "doc_id", "g", "size", 1, 2)
+
+
 def test_epoch_mixture_realizes_weights(spark, sf_dir):
     """q146: per-lang expected multiple = whole + cut/256, realized on
     the fixture within a loose hash-binomial tolerance; epochs are

@@ -44,8 +44,11 @@ def budget_sample(
     # ``cum`` is part of the output contract and ``__tot`` is an
     # internal scratch column; withColumn would silently REPLACE a
     # same-named input column, corrupting the caller's data instead of
-    # failing. Refuse loudly (ADVICE r06).
-    clash = {"cum", "__tot"}.intersection(df.columns)
+    # failing. Refuse loudly (ADVICE r06). With the default
+    # spark.sql.caseSensitive=false, withColumn("cum", ...) also
+    # replaces an input named "CUM"/"Cum", so compare case-folded
+    # (ADVICE r07).
+    clash = {c for c in df.columns if c.lower() in {"cum", "__tot"}}
     if clash:
         raise ValueError(
             f"budget_sample: input already has column(s) {sorted(clash)}; "

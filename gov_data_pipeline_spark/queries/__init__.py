@@ -48,67 +48,17 @@ _MODULES = (
 # to freshest; everything green in the LATEST driver round is demoted past
 # position 50 (falls through to module order).  Re-derive the ordering
 # from CORRECTNESS_r{N}.json every round — never trust last round's order.
+# Re-derived after r07 from all CORRECTNESS_r*.json (tripwire:
+# tests/test_registry.py::test_priority_rotation_is_fresh). Latest
+# green rounds: q79 r03; the 50-query r04 cohort r04; everything else
+# r05 or r07. r07 greens are demoted past position 50 (fall through to
+# module order).
 _PRIORITY: tuple[str, ...] = (
-    # new in r06 (no driver row yet)
-    "q137_pagerank_mass",
-    "q138_semantic_decontaminate",
-    "q139_char_budget_mix",
-    "q140_semantic_decontaminate_lsh",
-    "q141_jpeg_dims",
-    "q142_source_overlap",
-    "q143_distinctive_terms",
-    "q144_duplicate_passages",
-    "q145_cluster_split",
-    "q146_epoch_mixture",
-    "q147_data_card",
-    "q148_event_throttle",
-    "q149_doc_pack_nfd",
-    "q150_stream_throttle",
-    # red in CORRECTNESS_r05 (HUGEINT oracle-type bug, fixed in r06 by
-    # CAST(sum(..) AS BIGINT) in the oracle SQL) — re-verify first
-    "q115_weighted_sample",
-    "q116_mad_outliers",
-    "q120_token_entropy",
-    "q122_k_anonymity",
-    "q128_expectations",
-    # last green in r03 (stalest cohort, two rounds old)
-    "q04_anti_join",
-    "q05_band_join",
-    "q07_rollup",
-    "q08_cube",
-    "q09_group_concat",
-    "q10_window_rank",
-    "q12_running_sum",
-    "q14_topk_orders",
-    "q15_intersect",
-    "q16_except",
-    "q18_row_index",
-    "q19_count_distinct",
-    "q25_header_promotion",
-    "q28_redact",
-    "q30_string_funcs",
-    "q31_regex",
-    "q32_dates",
-    "q42_minhash_lsh",
-    "q43_simhash",
-    "q45_ann_lsh",
-    "q50_llm_enrich",
-    "q51_llm_correction",
-    "q52_multimodal",
-    "q55_ann_ivf",
-    "q56_cosine_neardup_gemm",
-    "q58_overlap_pairs",
-    "q59_incremental_dedup",
-    "q65_hash_sample",
-    "q72_upsert_latest",
-    "q73_salted_join",
-    "q78_grouping_sets",
-    # 14 r06-new + 5 r05-red + 31 r03-stale fill the first 50 exactly;
-    # q79 (r03) plus the whole singly-verified r04 cohort (q06,
-    # q100-series) rotates in r07
-    # --- driver sample boundary (first 50 end here); everything green
-    # in r05 plus the remaining r04 cohort falls through to module order
+    # stalest green in the suite: last driver row r03
     "q79_ntile",
+    # the singly-verified r04 cohort, stalest-first (name-ordered
+    # within the round); 49 of 50 fit in the sample — q99 leads the
+    # overflow and rotates first next round
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",
@@ -122,6 +72,44 @@ _PRIORITY: tuple[str, ...] = (
     "q109_session_paths",
     "q110_value_histogram",
     "q111_grouped_percentiles",
+    "q112_correlation",
+    "q113_kmeans",
+    "q11_window_lag",
+    "q13_sessionize",
+    "q17_pivot",
+    "q27_sql_api",
+    "q29_salted_agg",
+    "q34_json",
+    "q36_map",
+    "q60_tumbling",
+    "q61_sliding",
+    "q62_session_window",
+    "q63_stream_dedup",
+    "q64_gapfill",
+    "q66_cumulative_alerts",
+    "q71_range_window",
+    "q76_stream_join",
+    "q80_semantic_clusters_lsh",
+    "q81_xlsx_image_extract",
+    "q82_docx_ingest",
+    "q83_row_index_ingest",
+    "q84_frame_sample",
+    "q85_chunk_documents",
+    "q86_sequence_pack",
+    "q87_decontaminate",
+    "q88_repetition_filter",
+    "q89_curation_pipeline",
+    "q90_pii_redact",
+    "q91_scd2_history",
+    "q92_bucketed_join",
+    "q93_outlier_zscore",
+    "q94_unigram_logprob",
+    "q95_inverted_index",
+    "q96_winsorize",
+    "q97_time_rollup",
+    "q98_point_in_time_join",
+    # --- driver sample boundary (first 50 end here) ---
+    "q99_hybrid_retrieval",
 )
 
 

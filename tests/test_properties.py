@@ -734,9 +734,9 @@ def test_budget_sample_rejects_reserved_column_names(spark):
     from gov_data_pipeline_spark.functions.sampling import budget_sample
 
     base = [(1, "a", 10)]
-    for bad in ("cum", "__tot"):
+    for bad in ("cum", "__tot", "CUM", "__Tot"):
         df = spark.createDataFrame(
-            base, f"doc_id long, g string, size long"
+            base, "doc_id long, g string, size long"
         ).withColumn(bad, F.lit(0))
         with pytest.raises(ValueError, match=bad):
             budget_sample(df, "doc_id", "g", "size", 1, 2)

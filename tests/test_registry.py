@@ -40,6 +40,47 @@ def test_every_priority_name_resolves():
     assert list(qs)[: len(_PRIORITY)] == list(_PRIORITY)
 
 
+def test_priority_rotation_is_fresh():
+    """_PRIORITY staleness tripwire (round-7 process fault: the tuple
+    was not re-derived after r06, so r06 and r07 sampled the IDENTICAL
+    50 queries and a full driver round verified nothing new).
+
+    The driver samples the first 50 entries of queries(). Invariant:
+    no query inside the sample may have a FRESHER latest-green driver
+    round than any query outside it — never-sampled queries (no row in
+    any CORRECTNESS file) count as stalest of all. Violated ⟺ someone
+    added queries or a new CORRECTNESS_r*.json landed without
+    re-deriving _PRIORITY. Ties across the boundary are fine."""
+    import glob
+    import json
+    import re as _re
+
+    latest_green: dict[str, int] = {}
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    assert files, "no CORRECTNESS files — driver layout changed?"
+    for f in files:
+        rnd = int(_re.search(r"r(\d+)", f).group(1))
+        for q, row in json.load(open(f)).items():
+            green = row.get("hash_match") is True or (
+                row.get("hash_match") is None
+                and row.get("rows_match") is True
+                and not row.get("err")
+            )
+            if green:
+                latest_green[q] = max(latest_green.get(q, -1), rnd)
+    names = list(all_queries())
+    key = lambda q: latest_green.get(q, -1)  # noqa: E731
+    sample, rest = names[:50], names[50:]
+    stale_out = min(rest, key=key)
+    fresh_in = max(sample, key=key)
+    assert key(fresh_in) <= key(stale_out), (
+        f"_PRIORITY is stale: {fresh_in} (green r{key(fresh_in)}) sits "
+        f"inside the driver's 50-query sample while {stale_out} (green "
+        f"r{key(stale_out)}) sits outside — re-derive _PRIORITY from "
+        "the newest CORRECTNESS_r*.json (queries/__init__.py)"
+    )
+
+
 def test_phantom_priority_name_raises(monkeypatch):
     import gov_data_pipeline_spark.queries as reg
 

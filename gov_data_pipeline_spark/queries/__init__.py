@@ -54,11 +54,14 @@ _MODULES = (
 # r05 or r07. r07 greens are demoted past position 50 (fall through to
 # module order).
 _PRIORITY: tuple[str, ...] = (
+    # new in r08 (no driver row yet)
+    "q151_compact_roundtrip",
+    "q152_jsonl_roundtrip",
     # stalest green in the suite: last driver row r03
     "q79_ntile",
     # the singly-verified r04 cohort, stalest-first (name-ordered
-    # within the round); 49 of 50 fit in the sample — q99 leads the
-    # overflow and rotates first next round
+    # within the round); 47 of 50 fit in the sample alongside the two
+    # r08-new queries — q97/q98/q99 lead the overflow
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",
@@ -106,9 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     "q94_unigram_logprob",
     "q95_inverted_index",
     "q96_winsorize",
+    # --- driver sample boundary (first 50 end here: 2 r08-new + q79 +
+    # 47 of the r04 cohort; q97-q99 lead the rotation next round) ---
     "q97_time_rollup",
     "q98_point_in_time_join",
-    # --- driver sample boundary (first 50 end here) ---
     "q99_hybrid_retrieval",
 )
 

@@ -908,6 +908,135 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# q151 — small-file compaction round-trip (the driver-checkable oracle
+# row for operators/layout.compact_parquet, COVERAGE L8k): write a
+# deliberately FRAGMENTED copy of orders (48 round-robin shards — the
+# one-file-per-micro-batch shape streaming sinks leave behind), run the
+# compaction maintenance pass, read the compacted copy back and
+# aggregate. The hash matches only if compaction preserved every row
+# and value; ``files_collapsed`` additionally pins the layout claim
+# (output file count strictly below the fragment count — computed from
+# the actual post-compaction listing, emitted as TRUE by the oracle).
+# Same two-generation tmp-dir protocol as q136.
+# ---------------------------------------------------------------------------
+
+_Q151_SEQ: dict[str, int] = {}
+
+
+def q151_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from gov_data_pipeline_spark.operators.layout import compact_parquet
+    from gov_data_pipeline_spark.sources.files import write_parquet
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "q151_compact_%d_%s"
+        % (os.getpid(), sf_dir.strip("/").replace("/", "_")),
+    )
+    seq = _Q151_SEQ.get(base, 0)
+    _Q151_SEQ[base] = seq + 1
+    shutil.rmtree(f"{base}_{seq - 2}", ignore_errors=True)
+    n_frag = 48
+    frag = f"{base}_{seq}/frag"
+    dest = f"{base}_{seq}/compact"
+    write_parquet(orders.repartition(n_frag), frag, mode="overwrite")
+    written = compact_parquet(
+        spark, frag, dest, target_file_bytes=256 * 1024 * 1024
+    )
+    back = spark.read.schema(orders.schema).parquet(dest)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .withColumn("files_collapsed", F.lit(written < n_frag))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q151_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       TRUE AS files_collapsed
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q152 — JSONL export round-trip (the driver-checkable oracle row for
+# sources/files.write_jsonl, COVERAGE L8k): export documents as 4
+# gzip-compressed JSONL shards — the training-corpus interchange
+# layout — read them back with an explicit schema, and aggregate a
+# content-sensitive digest (md5 prefix of each text, summed per
+# language) against DuckDB over the ORIGINAL parquet. JSON string
+# escaping, UTF-8 round-tripping, and null-field dropping
+# (ignoreNullFields) must all be lossless for the hash to match.
+# Same two-generation tmp-dir protocol as q136.
+# ---------------------------------------------------------------------------
+
+_Q152_SEQ: dict[str, int] = {}
+
+
+def q152_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from gov_data_pipeline_spark.sources.files import write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "q152_jsonl_%d_%s"
+        % (os.getpid(), sf_dir.strip("/").replace("/", "_")),
+    )
+    seq = _Q152_SEQ.get(base, 0)
+    _Q152_SEQ[base] = seq + 1
+    shutil.rmtree(f"{base}_{seq - 2}", ignore_errors=True)
+    out = f"{base}_{seq}"
+    write_jsonl(docs, out, mode="overwrite", shards=4, compression="gzip")
+    back = spark.read.schema(docs.schema).json(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+            ).alias("text_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q152_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT) AS text_digest
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "q81_xlsx_image_extract": q81_xlsx_image_extract,
     "q82_docx_ingest": q82_docx_ingest,
@@ -922,6 +1051,8 @@ QUERIES = {
     "q141_jpeg_dims": q141_jpeg_dims,
     "q135_media_meta": q135_media_meta,
     "q136_parquet_roundtrip": q136_parquet_roundtrip,
+    "q151_compact_roundtrip": q151_compact_roundtrip,
+    "q152_jsonl_roundtrip": q152_jsonl_roundtrip,
 }
 
 ORACLE = {
@@ -938,4 +1069,6 @@ ORACLE = {
     "q141_jpeg_dims": _Q141_SQL,
     "q135_media_meta": _Q135_SQL,
     "q136_parquet_roundtrip": _Q136_SQL,
+    "q151_compact_roundtrip": _Q151_SQL,
+    "q152_jsonl_roundtrip": _Q152_SQL,
 }

@@ -194,10 +194,13 @@ def q84_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling end-to-end over the raw-frame profile: pack
     document text bytes as video/x-raw media (16-byte frames), sample
     every 3rd frame inside mapInPandas (row explosion in the task, not
-    the driver), hash each emitted frame payload natively. The oracle
-    slices the same frames with substr — byte-identical because the
-    fixture text is ASCII (1 char == 1 byte), which the ORDER of q52's
-    encode() oracle already relies on."""
+    the driver), emit each frame payload hex-encoded. The oracle
+    hex-encodes the UTF-8 bytes too and slices the hex string (2 chars
+    per byte), so the comparison is BYTE-exact on any codepoint —
+    DuckDB has no BLOB substring/md5, but char-slicing hex IS byte
+    slicing. (Until round 8 the oracle used char-based substr and the
+    query was only correct on ASCII fixtures; the adversarial-Unicode
+    sweep now asserts equality, not divergence.)"""
     from gov_data_pipeline_spark.sources.multimodal import frame_sample, pack_media_col
 
     docs = _t(spark, sf_dir, "documents")
@@ -215,17 +218,17 @@ def q84_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id",
         "frame_idx",
-        F.md5(F.col("frame.data")).alias("frame_md5"),
+        F.hex(F.col("frame.data")).alias("frame_hex"),
     ).orderBy("doc_id", "frame_idx")
 
 
 _Q84_SQL = """
 WITH f AS (
-  SELECT doc_id, text,
-         unnest(range(0, length(text) // 16)) AS frame_idx
+  SELECT doc_id, hex(encode(text)) AS h,
+         unnest(range(0, octet_length(encode(text)) // 16)) AS frame_idx
   FROM documents)
 SELECT doc_id, frame_idx,
-       md5(substr(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)) AS frame_md5
+       substr(h, CAST(frame_idx * 32 + 1 AS BIGINT), 32) AS frame_hex
 FROM f
 WHERE frame_idx % 3 = 0
 ORDER BY doc_id, frame_idx

@@ -259,10 +259,11 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
     split('\\s+') must agree on every codepoint class or a future
     fixture change silently breaks the driver hash.
 
-    Two DOCUMENTED divergences are asserted divergent so the boundary
+    ONE documented divergence is asserted divergent so the boundary
     stays visible: q20 (DuckDB has no NFKC — its oracle is exact only
-    for NFKC-invariant text) and q84 (char-based substr vs byte
-    frames — its docstring pins the ASCII-fixture assumption)."""
+    for NFKC-invariant text). q84's former char-vs-byte divergence was
+    closed in round 8 (the oracle now slices hex-encoded bytes), so it
+    moved into the must-match list."""
     import pyspark.sql.functions as F
 
     from gov_data_pipeline_spark.catalog import read_table
@@ -300,6 +301,7 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
         "q87_decontaminate", "q88_repetition_filter",
         "q94_unigram_logprob", "q120_token_entropy",
         "q143_distinctive_terms", "q144_duplicate_passages",
+        "q84_frame_sample",
     ]
     missing = [n for n in must_match if n not in Q or n not in O]
     assert not missing, f"sweep list out of date: {missing}"
@@ -309,7 +311,7 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
         if not r["hash_match"]:
             bad.append(name)
     assert not bad, f"unicode parity broke: {bad}"
-    for name in ("q20_clean_text", "q84_frame_sample"):
+    for name in ("q20_clean_text",):
         r = compare(Q[name](spark, str(base)).toPandas(), run_oracle(con, O[name]))
         assert not r["hash_match"], (
             f"{name} now matches on compatibility-class text — its "

@@ -1,0 +1,72 @@
+"""Tokenizer-aware token counting for curation budgets (SURVEY L8,
+round-8 surface extension).
+
+The packing (q149/q86) and mixture (q139/q146) operators budget on
+chars or whitespace tokens; a real training pipeline budgets on what
+its TOKENIZER counts. Real tokenizers are Python libraries, so the
+honest integration shape is exactly the ``llm_map`` one: an
+Arrow-batched pandas UDF in the plan where the library call would go,
+with a deterministic mock vocabulary standing in for the learned
+merges so every count stays oracle-checkable end-to-end.
+
+The mock scheme keeps BPE's structure — a vocabulary hit costs one
+token, anything else falls back to fixed-width subword chunks:
+
+- words are maximal runs of ``[^ \\t\\n\\f\\r]`` (the explicit char
+  class is IDENTICAL in Python ``re`` and DuckDB's RE2 — no ``\\s``
+  class-membership drift, no trim semantics);
+- a word is "in vocabulary" iff its md5 hex digest starts with
+  ``0/1/2/3`` (a deterministic, engine-agnostic 25% sample of word
+  space — the mock-seeding trick the llm_map fake model uses);
+- out-of-vocabulary words cost ``ceil(chars / 4)`` tokens (codepoint
+  length — Python ``len`` and DuckDB ``length`` agree on every
+  codepoint class, including astral emoji and combining marks);
+- NULL text counts 0 (no tokens), matching the oracle's
+  ``coalesce(list_sum(...), 0)`` twin.
+
+Swapping in a real tokenizer = replacing ``_count_one`` with the
+library call; the plan shape (one Arrow batch crossing, native
+everything else) is already the production one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import Column, functions as F, types as T
+
+_WORD_RE = re.compile(r"[^ \t\n\f\r]+")
+
+# DuckDB twin of the whole count (kept next to the implementation so
+# the two halves of the contract can't drift apart silently):
+MOCK_BPE_SQL = (
+    "coalesce(list_sum(list_transform("
+    "regexp_extract_all({col}, '[^ \\t\\n\\f\\r]+'), "
+    "w -> CASE WHEN substr(md5(w), 1, 1) IN ('0','1','2','3') THEN 1 "
+    "ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)), 0)"
+)
+
+
+def _count_one(text: str | None) -> int:
+    if text is None:
+        return 0
+    n = 0
+    for w in _WORD_RE.findall(text):
+        h = hashlib.md5(w.encode("utf-8")).hexdigest()
+        n += 1 if h[0] in "0123" else math.ceil(len(w) / 4)
+    return n
+
+
+@F.pandas_udf(T.LongType())
+def _mock_bpe_count(s: pd.Series) -> pd.Series:
+    return s.map(_count_one).astype("int64")
+
+
+def mock_bpe_token_count(col: Column) -> Column:
+    """Token count of ``col`` under the deterministic mock-BPE scheme
+    (one Arrow-batched crossing; see module docstring for the scheme
+    and its exact DuckDB twin in ``MOCK_BPE_SQL``)."""
+    return _mock_bpe_count(col)

@@ -57,11 +57,12 @@ _PRIORITY: tuple[str, ...] = (
     # new in r08 (no driver row yet)
     "q151_compact_roundtrip",
     "q152_jsonl_roundtrip",
+    "q153_token_budget_pack",
     # stalest green in the suite: last driver row r03
     "q79_ntile",
     # the singly-verified r04 cohort, stalest-first (name-ordered
-    # within the round); 47 of 50 fit in the sample alongside the two
-    # r08-new queries — q97/q98/q99 lead the overflow
+    # within the round); 46 of 50 fit in the sample alongside the
+    # three r08-new queries — q96-q99 lead the overflow
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",
@@ -108,9 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     "q93_outlier_zscore",
     "q94_unigram_logprob",
     "q95_inverted_index",
+    # --- driver sample boundary (first 50 end here: 3 r08-new + q79 +
+    # 46 of the r04 cohort; q96-q99 lead the rotation next round) ---
     "q96_winsorize",
-    # --- driver sample boundary (first 50 end here: 2 r08-new + q79 +
-    # 47 of the r04 cohort; q97-q99 lead the rotation next round) ---
     "q97_time_rollup",
     "q98_point_in_time_join",
     "q99_hybrid_retrieval",

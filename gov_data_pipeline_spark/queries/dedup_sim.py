@@ -1339,6 +1339,65 @@ ORDER BY shard, doc_id
 """
 
 
+def q153_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q149's packer budgeted in TOKENIZER tokens instead of chars —
+    how a real training pipeline counts. Token counts come from the
+    deterministic mock-BPE tokenizer (``functions/tokenizer.py``:
+    vocab hit = 1 token, OOV word = ceil(chars/4) chunks) through ONE
+    Arrow-batched pandas UDF — the exact integration shape a real
+    tokenizer library takes; everything around the crossing is native.
+
+    Scale shape: the tokenizer runs scan-side (per document,
+    embarrassingly parallel, no shuffle added); the packer then sees
+    only (shard, id, n_tokens) rows as in q149. The oracle restates
+    the token arithmetic in SQL (``MOCK_BPE_SQL``) and unrolls the
+    same per-shard NFD pass as a linear recursive CTE — all-integer,
+    bit-exact.
+    """
+    from gov_data_pipeline_spark.functions.chunking import pack_documents_nfd
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+    from gov_data_pipeline_spark.functions.tokenizer import mock_bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        mock_bpe_token_count(F.col("text")).alias("n_tokens"),
+        (hash_bucket_col(F.col("doc_id")) % 8).cast("int").alias("shard"),
+    )
+    return pack_documents_nfd(
+        docs, "doc_id", "n_tokens", "shard", capacity=400
+    ).orderBy("shard", "doc_id")
+
+
+from gov_data_pipeline_spark.functions.tokenizer import (  # noqa: E402
+    MOCK_BPE_SQL as _MOCK_BPE_SQL,
+)
+
+_Q153_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         {_MOCK_BPE_SQL.format(col="text")} AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 8
+              AS INT) AS shard
+  FROM documents),
+o AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY shard
+                                    ORDER BY n_tokens DESC, doc_id) AS INT) AS rn
+  FROM d),
+fill(shard, rn, doc_id, n_tokens, bin, used) AS (
+  SELECT shard, rn, doc_id, n_tokens, 1, n_tokens FROM o WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN f.used + t.n_tokens <= 400 THEN f.bin ELSE f.bin + 1 END,
+         CASE WHEN f.used + t.n_tokens <= 400 THEN f.used + t.n_tokens
+              ELSE t.n_tokens END
+  FROM o t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
+SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bin AS INT) AS bin
+FROM fill
+ORDER BY shard, doc_id
+"""
+
+
 def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-data step that removes
     documents sharing any 13-gram with an evaluation set. The benchmark
@@ -2255,6 +2314,7 @@ QUERIES = {
     "q144_duplicate_passages": q144_duplicate_passages,
     "q145_cluster_split": q145_cluster_split,
     "q149_doc_pack_nfd": q149_doc_pack_nfd,
+    "q153_token_budget_pack": q153_token_budget_pack,
     "q88_repetition_filter": q88_repetition_filter,
     "q89_curation_pipeline": q89_curation_pipeline,
 }
@@ -2299,6 +2359,7 @@ ORACLE = {
     "q144_duplicate_passages": _Q144_SQL,
     "q145_cluster_split": _Q145_SQL,
     "q149_doc_pack_nfd": _Q149_SQL,
+    "q153_token_budget_pack": _Q153_SQL,
     "q88_repetition_filter": _Q88_SQL,
     "q89_curation_pipeline": _Q89_SQL,
 }

@@ -989,3 +989,57 @@ def test_throttle_batch_matches_model(spark, rows, gap_s):
         gap_s * 1_000_000,
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mock-BPE tokenizer: the Arrow-batched count, its pure-Python scheme,
+# and the DuckDB SQL twin (MOCK_BPE_SQL) must agree on EVERY text —
+# the q153 token budgets are only oracle-checkable if the three never
+# drift. The alphabet deliberately mixes the adversarial classes the
+# unicode sweep uses (CJK, emoji, combining, zero-width, nbsp) with
+# the ASCII separators the explicit char class names.
+# ---------------------------------------------------------------------------
+
+_TOK_ALPHABET = st.sampled_from(
+    list("ab z09._-,;")
+    + ["\t", "\n", "\f", "\r", "é", "ß", "你", "好", "\U0001f600",
+       "́", "​", "‍", " ", "　", "ﬁ"]
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(_TOK_ALPHABET, max_size=30)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_mock_bpe_tokenizer_three_way_parity(spark, texts):
+    import duckdb
+
+    from gov_data_pipeline_spark.functions.tokenizer import (
+        MOCK_BPE_SQL,
+        _count_one,
+        mock_bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", mock_bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = (
+        f"SELECT i, {MOCK_BPE_SQL.format(col='text')} AS n "
+        "FROM (SELECT unnest(?) AS i, unnest(?) AS text)"
+    )
+    duck = dict(
+        con.execute(sql, [list(range(len(texts))), list(texts)]).fetchall()
+    )
+    model = {i: _count_one(t) for i, t in enumerate(texts)}
+    assert got == duck == model

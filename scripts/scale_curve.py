@@ -53,6 +53,10 @@ NAMES = [
     "q148_event_throttle",
     "q149_doc_pack_nfd",
     "q150_stream_throttle",
+    # round-8 additions
+    "q151_compact_roundtrip",
+    "q152_jsonl_roundtrip",
+    "q153_token_budget_pack",
 ]
 
 

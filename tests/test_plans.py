@@ -772,3 +772,29 @@ class TestCorpusRound6Plans:
         assert reads and all("text" not in l for l in reads)
         assert "FlatMapGroupsInPandas" in plan
         assert "BatchEvalPython" not in plan
+
+    def test_token_pack_tokenizer_is_single_arrow_crossing(
+        self, spark, sf_dir
+    ):
+        """q153: tokenizer-aware budgeting must add ZERO data movement
+        over q149 — the mock-BPE count is one scan-side Arrow-batched
+        crossing (ArrowEvalPython, never row-at-a-time BatchEvalPython)
+        feeding the same grouped-map packer; the only hash exchange is
+        the packer's shard partition. The scan may read only
+        (doc_id, text)."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q153_token_budget_pack,
+        )
+
+        df = q153_token_budget_pack(spark, sf_dir)
+        df.collect()
+        plan = self._plan(df)
+        final = plan.split("Initial Plan")[0]
+        assert final.count("ArrowEvalPython") == 1
+        assert final.count("FlatMapGroupsInPandas") == 1
+        assert "BatchEvalPython" not in plan
+        reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert reads and all(
+            "doc_id" in l and "n_chars" not in l for l in reads
+        )
+        assert final.count("Exchange hashpartitioning") == 1

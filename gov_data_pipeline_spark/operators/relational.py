@@ -332,3 +332,81 @@ def scd2_history(
         )
         .withColumn("is_current", F.col("effective_to").isNull())
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_days: int = 30,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) pairs sharing the
+    ``on`` keys whose closed date intervals ``[start, end]`` overlap
+    (``l.start <= r.end AND r.start <= l.end``).
+
+    Spark has no range-join optimization, so the naive formulation is
+    an equi-join on the keys followed by a quadratic per-key filter —
+    every pair of rows in a hot key group gets compared, which is the
+    classic scale killer for long-history keys. This operator uses the
+    standard BINNING decomposition instead: each interval explodes
+    into the ``bin_days``-wide bins it touches, candidates come from
+    an equi-join on ``(keys..., bin)``, and a pair is accepted exactly
+    once — in the bin of ``greatest(l.start, r.start)``, a bin both
+    intervals provably cover whenever they overlap. Per-key-per-bin
+    group sizes replace per-key group sizes in the quadratic term, so
+    cost scales with temporal DENSITY (rows whose intervals genuinely
+    coexist), not history length. Row explosion is bounded by
+    ``interval_len / bin_days + 1`` per row — pick ``bin_days`` near
+    the typical interval length (explosion <= 2x) for the best
+    candidate-to-match ratio.
+
+    ``start``/``end`` must be date or timestamp columns; binning is on
+    the DATE day number, overlap on the raw values. Both inputs' other
+    column names must be disjoint (keys excepted) — standard join
+    hygiene.
+
+    ``num_partitions`` pins the candidate join's parallelism. Bin
+    joins EXPAND — output rows ≈ sum of per-(key, bin) products — but
+    AQE sizes post-shuffle partitions by INPUT bytes, so a
+    small-input/large-output join can get coalesced onto a handful of
+    cores and run CPU-bound single-file (measured on the sf0.1
+    fixture: 4.6 s coalesced-to-3 vs 1.8 s pinned-to-32). Set it to
+    the cluster's core count when the expansion factor is high; leave
+    None to let AQE decide (right when the exchange bytes, not the
+    pair CPU, dominate).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def _day(col: str) -> Column:
+        return F.datediff(F.to_date(F.col(col)), F.lit("1970-01-01"))
+
+    def _binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        lo = F.floor(_day(start) / bin_days)
+        hi = F.floor(_day(end) / bin_days)
+        out = df.withColumn("__bin", F.explode(F.sequence(lo, hi)))
+        if num_partitions is not None:
+            # explicit co-partitioning on the join key: the join reuses
+            # it (no extra exchange) and AQE honours the pinned count
+            out = out.repartition(num_partitions, *keys, "__bin")
+        return out
+
+    cand = _binned(left, left_start, left_end).join(
+        _binned(right, right_start, right_end), [*keys, "__bin"]
+    )
+    max_start = F.greatest(F.col(left_start), F.col(right_start))
+    anchor_bin = F.floor(
+        F.datediff(F.to_date(max_start), F.lit("1970-01-01")) / bin_days
+    )
+    return (
+        cand.where(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("__bin") == anchor_bin)
+        )
+        .drop("__bin")
+    )

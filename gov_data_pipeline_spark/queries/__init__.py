@@ -58,11 +58,14 @@ _PRIORITY: tuple[str, ...] = (
     "q151_compact_roundtrip",
     "q152_jsonl_roundtrip",
     "q153_token_budget_pack",
+    "q154_decontaminate_bloom",
+    "q155_sparse_cosine_topk",
+    "q156_interval_overlap",
     # stalest green in the suite: last driver row r03
     "q79_ntile",
     # the singly-verified r04 cohort, stalest-first (name-ordered
-    # within the round); 46 of 50 fit in the sample alongside the
-    # three r08-new queries — q96-q99 lead the overflow
+    # within the round); 43 of 50 fit in the sample alongside the
+    # six r08-new queries — q93-q99 lead the overflow
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",
@@ -106,11 +109,11 @@ _PRIORITY: tuple[str, ...] = (
     "q90_pii_redact",
     "q91_scd2_history",
     "q92_bucketed_join",
+    # --- driver sample boundary (first 50 end here: 6 r08-new + q79 +
+    # 43 of the r04 cohort; q93-q99 lead the rotation next round) ---
     "q93_outlier_zscore",
     "q94_unigram_logprob",
     "q95_inverted_index",
-    # --- driver sample boundary (first 50 end here: 3 r08-new + q79 +
-    # 46 of the r04 cohort; q96-q99 lead the rotation next round) ---
     "q96_winsorize",
     "q97_time_rollup",
     "q98_point_in_time_join",

@@ -1453,6 +1453,152 @@ ORDER BY w.doc_id
 """
 
 
+def q154_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q87's scale twin for the regime its broadcast can't reach: when
+    the BENCHMARK 13-gram set itself is broadcast-hostile (a large eval
+    suite's gram set reaches tens of GB as strings), the membership
+    test goes through a Bloom bitset instead — 128 KiB at 2^20 bits
+    regardless of insert count (``operators/bloom.py``).
+
+    Plan shape: corpus grams stay expression-level (no exchange, as in
+    q87), probe the bitset via k broadcast equi-joins + bit tests, and
+    only the SURVIVORS — true hits plus the filter's ~0.1% false
+    positives — reach the exact verify join against the benchmark
+    grams. At 100 TB that verify is a small shuffle join over a tiny
+    fraction of the corpus gram stream (deliberately NOT
+    broadcast-hinted here: the premise is that the benchmark set
+    doesn't broadcast), so the corpus text itself never shuffles.
+
+    Output is exact — the verify join removes every false positive, so
+    the oracle is plain SQL with no Bloom mirror. Emits the per-doc
+    count of distinct matched benchmark grams (q87 reports the boolean;
+    the count is the triage signal reviewers of a contamination report
+    actually want)."""
+    from gov_data_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = _words_col()
+    bench = _bench_grams(docs, ws)
+    bits = bloom_build(bench, F.col("s"))
+    ex = docs.select("doc_id", F.explode(_grams13(ws)).alias("s"))
+    survivors = bloom_probe(ex, F.col("s"), bits)
+    # exact verify: grams are distinct per doc (_grams13) and bench is
+    # distinct, so count(*) == distinct matched benchmark grams.
+    hits = (
+        survivors.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0).cast("long")).alias(
+                "n_hit_grams"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q154_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+bench AS (
+  SELECT DISTINCT array_to_string(ws[6:18], ' ') AS s
+  FROM w WHERE doc_id % 17 = 0 AND len(ws) >= 18),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 13
+           THEN list_transform(range(1, len(ws) - 11),
+                               i -> array_to_string(ws[i:i+12], ' '))
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM w),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hits AS (
+  SELECT ex.doc_id, count(*) AS n
+  FROM ex JOIN bench USING (s) GROUP BY ex.doc_id)
+SELECT w.doc_id, coalesce(h.n, 0) AS n_hit_grams
+FROM w LEFT JOIN hits h USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+def q155_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 lexical nearest neighbors per document via sparse TF-IDF
+    cosine over word BIGRAMS — the inverted-index similarity join
+    (``operators/search.sparse_cosine_topk``). Dense-embedding cosine
+    (q44/q45/q55) needs vectors; this is the similarity search you run
+    straight off text, and the df cap is what keeps the posting-list
+    self-join linear-ish at 100 TB (hot terms leave the vector space
+    instead of generating |corpus|^2 candidate pairs).
+
+    Bigrams rather than unigrams because similarity lives in word
+    ORDER at this fixture's 31-word vocabulary — and in general
+    unigram spaces are df-cap casualties. Every weight is integer
+    fixed-point (idf = n_docs*1000 div df), so the cosine is
+    bit-identical across engines (see the operator docstring) and the
+    oracle mirrors it term-for-term with no float-summation hazard.
+    The df cap is absolute (100 docs) — the operator docstring records
+    the measured blowup a relative cap caused on this fixture."""
+    from gov_data_pipeline_spark.operators.search import sparse_cosine_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = _words_col()
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    term_rows = docs.select("doc_id", F.explode(bigrams).alias("term"))
+    return sparse_cosine_topk(term_rows, id_col="doc_id", k=3, df_cap=100).orderBy(
+        "doc_id", "rank"
+    )
+
+
+_Q155_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+tr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS term
+  FROM w WHERE len(ws) >= 2),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tr GROUP BY doc_id, term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tr),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+vocab AS (
+  SELECT term, (n_docs * 1000) // df AS idf
+  FROM dfreq, nd WHERE df <= 100),
+p AS (
+  SELECT tf.doc_id, tf.term, tf.tf * v.idf AS w
+  FROM tf JOIN vocab v USING (term)),
+nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM p GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+         sum(a.w * b.w) AS dot
+  FROM p a JOIN p b ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sc AS (
+  SELECT d.doc_id, d.neighbor_id,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS s
+  FROM dots d
+  JOIN nrm na ON na.doc_id = d.doc_id
+  JOIN nrm nb ON nb.doc_id = d.neighbor_id),
+rk AS (
+  SELECT doc_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, neighbor_id) AS rn
+  FROM sc)
+SELECT doc_id, neighbor_id, round(s, 4) AS cos_sim, rn AS rank
+FROM rk WHERE rn <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def q138_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic benchmark decontamination — q87's EMBEDDING sibling:
     drop (here: flag) corpus vectors whose max cosine against the
@@ -2308,6 +2454,8 @@ QUERIES = {
     "q85_chunk_documents": q85_chunk_documents,
     "q86_sequence_pack": q86_sequence_pack,
     "q87_decontaminate": q87_decontaminate,
+    "q154_decontaminate_bloom": q154_decontaminate_bloom,
+    "q155_sparse_cosine_topk": q155_sparse_cosine_topk,
     "q138_semantic_decontaminate": q138_semantic_decontaminate,
     "q140_semantic_decontaminate_lsh": q140_semantic_decontaminate_lsh,
     "q142_source_overlap": q142_source_overlap,
@@ -2353,6 +2501,8 @@ ORACLE = {
     "q85_chunk_documents": _Q85_SQL,
     "q86_sequence_pack": _Q86_SQL,
     "q87_decontaminate": _Q87_SQL,
+    "q154_decontaminate_bloom": _Q154_SQL,
+    "q155_sparse_cosine_topk": _Q155_SQL,
     "q138_semantic_decontaminate": _Q138_SQL,
     "q140_semantic_decontaminate_lsh": _Q140_SQL,
     "q142_source_overlap": _Q142_SQL,

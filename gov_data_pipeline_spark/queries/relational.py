@@ -223,6 +223,102 @@ ORDER BY band
 
 
 # ---------------------------------------------------------------------------
+# T12 scale twin — interval-overlap join via the binning decomposition
+# (operators/relational.interval_join). q05's broadcast nested-loop is
+# the right call for a 3-row band table; this is the shape for
+# interval-vs-interval at fact scale, where the quadratic per-key
+# filter of a naive key join dies on long-history keys.
+# ---------------------------------------------------------------------------
+
+
+def q156_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier count of concurrently-in-transit lineitem pairs:
+    each lineitem's transit interval is [shipdate, shipdate + dur] with
+    a deterministic per-row duration (1-25 days from the line's keys —
+    the fixture carries only l_shipdate), and two lineitems of the
+    same supplier overlap when their closed intervals intersect.
+
+    The operator joins on (l_suppkey, 30-day bin) and accepts each
+    pair exactly once in the bin of the later start — no DISTINCT
+    pass, no per-supplier quadratic blowup (600 rows/supplier here
+    would already be 180k comparisons per supplier naively; binning
+    compares only rows that coexist within a month). The oracle runs
+    the textbook quadratic self-join, proving the decomposition exact.
+    """
+    from gov_data_pipeline_spark.operators.relational import interval_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dur = ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 25 + 1).cast("int")
+    items = li.select(
+        "l_suppkey",
+        F.col("l_orderkey").alias("o"),
+        F.col("l_linenumber").alias("ln"),
+        F.to_date("l_shipdate").alias("st"),
+        F.date_add(F.to_date("l_shipdate"), dur).alias("en"),
+    )
+    a = items.select(
+        "l_suppkey",
+        F.col("o").alias("a_o"),
+        F.col("ln").alias("a_ln"),
+        F.col("st").alias("a_st"),
+        F.col("en").alias("a_en"),
+    )
+    b = items.select(
+        "l_suppkey",
+        F.col("o").alias("b_o"),
+        F.col("ln").alias("b_ln"),
+        F.col("st").alias("b_st"),
+        F.col("en").alias("b_en"),
+    )
+    pairs = interval_join(
+        a, b, on="l_suppkey",
+        left_start="a_st", left_end="a_en",
+        right_start="b_st", right_end="b_en",
+        # pin the candidate join's parallelism: it expands ~10x over
+        # its input, which AQE's byte-based coalescing under-sizes
+        num_partitions=spark.sparkContext.defaultParallelism,
+    ).where(
+        (F.col("a_o") < F.col("b_o"))
+        | ((F.col("a_o") == F.col("b_o")) & (F.col("a_ln") < F.col("b_ln")))
+    )
+    overlap_days = (
+        F.datediff(
+            F.least(F.col("a_en"), F.col("b_en")),
+            F.greatest(F.col("a_st"), F.col("b_st")),
+        )
+        + 1
+    )
+    return (
+        pairs.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(overlap_days.cast("long")).alias("sum_overlap_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+_Q156_SQL = """
+WITH it AS (
+  SELECT l_suppkey, l_orderkey AS o, l_linenumber AS ln,
+         CAST(l_shipdate AS DATE) AS st,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey * 7 + l_linenumber) % 25 + 1 AS INT) AS en
+  FROM lineitem)
+SELECT a.l_suppkey, count(*) AS n_pairs,
+       CAST(sum(datediff('day', greatest(a.st, b.st),
+                         least(a.en, b.en)) + 1) AS BIGINT)
+         AS sum_overlap_days
+FROM it a
+JOIN it b ON a.l_suppkey = b.l_suppkey
+         AND (a.o < b.o OR (a.o = b.o AND a.ln < b.ln))
+         AND a.st <= b.en AND b.st <= a.en
+GROUP BY a.l_suppkey
+ORDER BY a.l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # T13 — as-of join: for each error event, the nearest prior signup by the
 # same user. Union-tag + last(ignorenulls) — one key shuffle, linear.
 # ---------------------------------------------------------------------------
@@ -1228,6 +1324,7 @@ QUERIES = {
     "q03_semi_join": q03_semi_join,
     "q04_anti_join": q04_anti_join,
     "q05_band_join": q05_band_join,
+    "q156_interval_overlap": q156_interval_overlap,
     "q06_asof_join": q06_asof_join,
     "q07_rollup": q07_rollup,
     "q08_cube": q08_cube,
@@ -1263,6 +1360,7 @@ ORACLE = {
     "q03_semi_join": _Q03_SQL,
     "q04_anti_join": _Q04_SQL,
     "q05_band_join": _Q05_SQL,
+    "q156_interval_overlap": _Q156_SQL,
     "q06_asof_join": _Q06_SQL,
     "q07_rollup": _Q07_SQL,
     "q08_cube": _Q08_SQL,

@@ -928,3 +928,65 @@ class TestDocPackNFD:
         a = q149_doc_pack_nfd(spark, sf_dir).collect()
         b = q149_doc_pack_nfd(spark, sf_dir).collect()
         assert a == b
+
+
+class TestBloom:
+    """operators/bloom.py — relational Bloom filter contracts."""
+
+    def _frames(self, spark):
+        members = spark.createDataFrame(
+            [(f"v{i}",) for i in range(0, 400, 2)], "s string"
+        )
+        probe = spark.createDataFrame(
+            [(f"v{i}",) for i in range(400)] + [(None,)], "s string"
+        )
+        return members, probe
+
+    def test_no_false_negatives_and_null_dropped(self, spark):
+        from gov_data_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+        members, probe = self._frames(spark)
+        bits = bloom_build(members, F.col("s"))
+        got = {r.s for r in bloom_probe(probe, F.col("s"), bits).collect()}
+        want = {f"v{i}" for i in range(0, 400, 2)}
+        assert want <= got  # the Bloom guarantee
+        assert None not in got  # NULL membership is undefined -> dropped
+
+    def test_saturated_filter_still_sound(self, spark):
+        # a deliberately undersized filter passes false positives but
+        # must STILL pass every inserted member (soundness under load).
+        from gov_data_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+        members, probe = self._frames(spark)
+        bits = bloom_build(members, F.col("s"), num_bits=128, num_hashes=2)
+        got = {
+            r.s
+            for r in bloom_probe(
+                probe, F.col("s"), bits, num_bits=128, num_hashes=2
+            ).collect()
+        }
+        assert {f"v{i}" for i in range(0, 400, 2)} <= got
+
+    def test_bitset_is_bounded_and_probe_broadcasts(self, spark):
+        from gov_data_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+        members, probe = self._frames(spark)
+        bits = bloom_build(members, F.col("s"), num_bits=1 << 12)
+        # payload bound: at most num_bits/64 words, however many inserts
+        assert bits.count() <= (1 << 12) // 64
+        surv = bloom_probe(probe, F.col("s"), bits, num_bits=1 << 12)
+        plan = surv._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        surv.collect()
+
+    def test_probe_preserves_input_columns(self, spark):
+        from gov_data_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+        members = spark.createDataFrame([("a",)], "s string")
+        probe = spark.createDataFrame([("a", 1), ("b", 2)], "s string, extra int")
+        bits = bloom_build(members, F.col("s"))
+        out = bloom_probe(probe, F.col("s"), bits)
+        assert out.columns == ["s", "extra"]
+        rows = out.collect()
+        assert [(r.s, r.extra) for r in rows] == [("a", 1)]

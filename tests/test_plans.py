@@ -172,6 +172,68 @@ class TestRound2OperatorPlans:
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("Exchange hashpartitioning") <= 2
 
+    def test_q154_bloom_probes_broadcast_corpus_never_shuffles(
+        self, spark, sf_dir
+    ):
+        """q154: the Bloom bitset probes must be BROADCAST hash joins
+        on the word index, and corpus-sized data must cross no
+        exchange — the only hash shuffles are over small relations
+        (benchmark-gram distinct, the 128 KiB bitset's bit_or
+        aggregate, the per-doc hit counts)."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q154_decontaminate_bloom,
+        )
+
+        df = q154_decontaminate_bloom(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("BroadcastHashJoin") >= 2  # the k bloom probes
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert final.count("Exchange hashpartitioning") <= 4
+
+    def test_q155_sparse_cosine_equi_joins_only(self, spark, sf_dir):
+        """q155: candidates must come from the posting-list EQUI-join
+        on term (plus key joins for norms) — never a cartesian or
+        nested-loop pair enumeration. This is the whole point of the
+        inverted-index similarity join."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q155_sparse_cosine_topk,
+        )
+
+        df = q155_sparse_cosine_topk(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        # the only nested loops allowed are the 1-row n_docs corpus
+        # total broadcast onto the vocabulary (the house cross-join
+        # pattern) — never a pair-enumeration stage
+        for line in _plan(df).splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "n_docs" in line, line
+        # the pair stage is an equi-join on term
+        assert "SortMergeJoin [term" in plan or "ShuffledHashJoin [term" in plan or (
+            "BroadcastHashJoin [term" in plan
+        )
+
+    def test_q156_interval_join_is_binned_equi_join(self, spark, sf_dir):
+        """q156: the overlap join must be an EQUI-join on
+        (l_suppkey, __bin) — binning is what removes the per-key
+        quadratic term, so a plan showing a nested-loop or cartesian
+        pair stage means the operator regressed to the naive form."""
+        from gov_data_pipeline_spark.queries.relational import (
+            q156_interval_overlap,
+        )
+
+        df = q156_interval_overlap(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the candidate join keys include the bin column
+        assert "__bin" in plan
+
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no
         joins, no aggregate exchange — only the output sort shuffles."""

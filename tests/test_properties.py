@@ -1043,3 +1043,133 @@ def test_mock_bpe_tokenizer_three_way_parity(spark, texts):
     )
     model = {i: _count_one(t) for i, t in enumerate(texts)}
     assert got == duck == model
+
+
+# --- interval_join vs the naive quadratic model -------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),              # key
+            st.integers(min_value=0, max_value=400),    # start day offset
+            st.integers(min_value=0, max_value=70),     # duration days
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    bin_days=st.sampled_from([7, 30, 365]),
+)
+def test_interval_join_matches_naive_model(spark, rows, bin_days):
+    """operators/relational.interval_join vs the quadratic model: the
+    binning decomposition must yield EXACTLY the overlapping pairs,
+    each EXACTLY once — including intervals spanning many bins,
+    touching at a single endpoint day, or far longer than the bin."""
+    import datetime as dt
+
+    from gov_data_pipeline_spark.operators.relational import interval_join
+
+    epoch = dt.date(1995, 1, 1)
+    items = [
+        (i, k, epoch + dt.timedelta(days=s), epoch + dt.timedelta(days=s + d))
+        for i, (k, s, d) in enumerate(rows)
+    ]
+    left = spark.createDataFrame(
+        [(i, k, s, e) for (i, k, s, e) in items],
+        "a_id int, k string, a_st date, a_en date",
+    )
+    right = spark.createDataFrame(
+        [(i, k, s, e) for (i, k, s, e) in items],
+        "b_id int, k string, b_st date, b_en date",
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_join(
+            left, right, on="k",
+            left_start="a_st", left_end="a_en",
+            right_start="b_st", right_end="b_en",
+            bin_days=bin_days,
+        ).collect()
+    )
+    want = sorted(
+        (i1, i2)
+        for (i1, k1, s1, e1) in items
+        for (i2, k2, s2, e2) in items
+        if k1 == k2 and s1 <= e2 and s2 <= e1
+    )
+    assert got == want  # equality pins both completeness AND exactly-once
+
+
+# --- sparse_cosine_topk vs a pure-Python model ---------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),      # doc id
+            st.sampled_from(list("abcdefgh")),           # term
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    df_cap=st.sampled_from([1, 3, 100]),
+)
+def test_sparse_cosine_matches_python_model(spark, rows, df_cap):
+    """operators/search.sparse_cosine_topk vs a pure-Python replica of
+    its integer fixed-point pipeline (idf = n*1000 div df, int64 dot
+    and norms, float only at the final divide). Pins membership, rank
+    order (ties by neighbor id), and the 4-decimal score — i.e. the
+    bit-identical-float claim the oracle relies on."""
+    import math
+    from collections import Counter, defaultdict
+
+    from gov_data_pipeline_spark.operators.search import sparse_cosine_topk
+
+    df_rows = spark.createDataFrame(rows, "doc_id int, term string")
+    got = [
+        (r.doc_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in sparse_cosine_topk(df_rows, id_col="doc_id", k=3, df_cap=df_cap)
+        .orderBy("doc_id", "rank")
+        .collect()
+    ]
+
+    tf = Counter(rows)
+    docs = sorted({d for d, _ in rows})
+    n = len(docs)
+    dfreq = Counter(t for (d, t) in tf)
+    idf = {t: (n * 1000) // c for t, c in dfreq.items() if c <= df_cap}
+    vecs = defaultdict(dict)
+    for (d, t), c in tf.items():
+        if t in idf:
+            vecs[d][t] = c * idf[t]
+    want = []
+    for d in docs:
+        cands = []
+        for d2 in docs:
+            if d2 == d or not vecs[d] or not vecs[d2]:
+                continue
+            dot = sum(w * vecs[d2].get(t, 0) for t, w in vecs[d].items())
+            if dot == 0:
+                continue
+            n2a = sum(w * w for w in vecs[d].values())
+            n2b = sum(w * w for w in vecs[d2].values())
+            s = float(dot) / (math.sqrt(float(n2a)) * math.sqrt(float(n2b)))
+            cands.append((-s, d2))
+        for rk, (neg_s, d2) in enumerate(sorted(cands)[:3], start=1):
+            want.append((d, d2, round(-neg_s, 4), rk))
+    # Spark round() is HALF_UP, Python round() is banker's — compare at
+    # tolerance 1e-4 on the score, exactly on everything else.
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2] and g[3] == w[3]
+        assert abs(g[2] - w[2]) <= 1e-4

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q154_decontaminate_bloom",
     "q155_sparse_cosine_topk",
     "q156_interval_overlap",
+    "q157_capped_sessions",
     # stalest green in the suite: last driver row r03
     "q79_ntile",
     # the singly-verified r04 cohort, stalest-first (name-ordered
@@ -108,9 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     "q89_curation_pipeline",
     "q90_pii_redact",
     "q91_scd2_history",
+    # --- driver sample boundary (first 50 end here: 7 r08-new + q79 +
+    # 42 of the r04 cohort; q92-q99 lead the rotation next round) ---
     "q92_bucketed_join",
-    # --- driver sample boundary (first 50 end here: 6 r08-new + q79 +
-    # 43 of the r04 cohort; q93-q99 lead the rotation next round) ---
     "q93_outlier_zscore",
     "q94_unigram_logprob",
     "q95_inverted_index",

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gov_data_pipeline_spark.catalog import read_table as _t
 from gov_data_pipeline_spark.streaming import (
+    capped_session_stats,
     click_purchase_join,
     cumulative_alerts,
     dedup_within_watermark,
@@ -243,6 +244,55 @@ ORDER BY user_id, event_id
 """
 
 
+def q157_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch execution of the timer-based custom stateful operator
+    (streaming/stateful.capped_session_stats): per-user sessions that
+    close on a 12 h inactivity gap OR after 4 events, whichever first
+    — the count cap is state-dependent and inexpressible with
+    F.session_window, and the silent-user flush needs an event-time
+    TIMER (GroupStateTimeout.EventTimeTimeout). The streaming form is
+    asserted equal to this plan in tests/test_streaming.py; value sums
+    are exact integer cents, so stream, batch, and oracle agree
+    bit-for-bit."""
+    events = _t(spark, sf_dir, "events")
+    return capped_session_stats(events, gap_seconds=43200, max_events=4).orderBy(
+        "user_id", "session_start"
+    )
+
+
+# Two-window form: the q13 cumulative-flag gap session id, then
+# (row_number - 1) // cap inside it. Cents arithmetic as in q66.
+_Q157_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+gids AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gid
+  FROM flagged),
+subs AS (
+  SELECT *,
+         (row_number() OVER (PARTITION BY user_id, gid
+                             ORDER BY ts, event_id) - 1) // 4 AS sid
+  FROM gids)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS sum_cents
+FROM subs
+GROUP BY user_id, gid, sid
+ORDER BY user_id, session_start
+"""
+
+
 def q76_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch execution of the stream-stream interval join (attribution:
     purchases matched to the same user's clicks within the prior 30
@@ -310,10 +360,12 @@ QUERIES = {
     "q64_gapfill": q64_gapfill,
     "q65_hash_sample": q65_hash_sample,
     "q66_cumulative_alerts": q66_cumulative_alerts,
+    "q157_capped_sessions": q157_capped_sessions,
 }
 
 ORACLE = {
     "q66_cumulative_alerts": _Q66_SQL,
+    "q157_capped_sessions": _Q157_SQL,
     "q150_stream_throttle": _Q150_SQL,
     "q76_stream_join": _Q76_SQL,
     "q60_tumbling": _Q60_SQL,

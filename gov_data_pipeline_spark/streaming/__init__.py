@@ -1,5 +1,6 @@
 from gov_data_pipeline_spark.streaming.stateful import (  # noqa: F401
     ALERT_SCHEMA,
+    capped_session_stats,
     cumulative_alerts,
     throttle_dedup,
 )

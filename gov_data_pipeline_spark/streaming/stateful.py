@@ -237,3 +237,174 @@ def throttle_dedup(events: DataFrame, gap_seconds: int = 86400) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CAPPED_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+_CAPPED_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def capped_session_stats(
+    events: DataFrame,
+    gap_seconds: int = 43200,
+    max_events: int = 4,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-user session summaries where a session closes on EITHER rule:
+    an inactivity gap > ``gap_seconds`` (the q62/q13 rule), or reaching
+    ``max_events`` rows (batching/quota semantics — "flush every N
+    interactions"). Emits (user, start, end=last event ts, n, exact
+    integer-cents value sum) per closed session.
+
+    Why this operator exists when ``F.session_window`` already does
+    streaming sessions: the count cap is STATE-DEPENDENT — whether an
+    event opens a new session depends on how many rows the current one
+    has absorbed — which no built-in window (session, sliding, or
+    tumbling) can express. And unlike ``cumulative_alerts`` /
+    ``throttle_dedup`` above (NoTimeout), it needs a TIMER: a session
+    whose user simply goes silent must flush when the event-time
+    watermark passes last_ts + gap — the lag-window trick cannot emit
+    a row no later event triggers.
+
+    - **Batch mode**: two windows — the cumulative-flag gap session id
+      (q13's trick), then ``(row_number - 1) div max_events`` inside it
+      — fully SQL-expressible, so this form carries the DuckDB oracle
+      (q157).
+    - **Streaming mode**: ``applyInPandasWithState`` with
+      ``GroupStateTimeout.EventTimeTimeout`` — one 4-long tuple per
+      user of state (start_us, last_us, n, cents), O(distinct keys);
+      sessions stream out on the closing event (count cap / gap
+      break) or on the timeout invocation (silence). Each batch
+      re-arms ``setTimeoutTimestamp(last_us + gap)``, which OVERWRITES
+      the key's previous deadline — no stale-timer bookkeeping.
+      Spark 4's ``transformWithStateInPandas`` expresses this same
+      operator with named timers + typed state and is the migration
+      target, but its state protocol requires the ``protobuf`` package
+      (absent in this runtime — probed: the twS Python driver worker
+      dies importing ``StateMessage_pb2``), so the shipped and TESTED
+      implementation is the timeout form, which is protocol-free.
+
+    Cross-micro-batch ordering contract and integer-cents arithmetic
+    as in ``cumulative_alerts``. A trailing open session emits only
+    once the watermark passes its deadline — replay harnesses append a
+    sentinel event beyond max(ts) + gap to flush (see
+    tests/test_streaming.py); in production the next day's data is
+    that sentinel.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    cols = ("user_id", "event_id", "ts", "value")
+    if not events.isStreaming:
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        flagged = events.select(*cols).withColumn(
+            "__new", (gap.isNull() | (gap > gap_us)).cast("long")
+        )
+        gid = F.sum("__new").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        sessions = flagged.withColumn("__gid", gid)
+        w2 = W.partitionBy("user_id", "__gid").orderBy("ts", "event_id")
+        sub = sessions.withColumn(
+            "__sid", F.floor((F.row_number().over(w2) - 1) / max_events)
+        )
+        vc = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        return (
+            sub.groupBy("user_id", "__gid", "__sid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(vc).alias("sum_cents"),
+            )
+            .select(
+                "user_id", "session_start", "session_end",
+                "n_events", "sum_cents",
+            )
+        )
+
+    import pandas as pd  # local: executors import lazily
+
+    cap = int(max_events)
+
+    def _row(key: tuple[Any, ...], st: tuple) -> tuple:
+        return (
+            key[0],
+            pd.Timestamp(st[0], unit="us"),
+            pd.Timestamp(st[1], unit="us"),
+            st[2],
+            st[3],
+        )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: Any
+    ) -> Iterator["pd.DataFrame"]:
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            # watermark passed last_us + gap with no new events: the
+            # open session can never grow — flush it
+            st = tuple(state.get) if state.exists else None
+            if st is not None:
+                out.append(_row(key, st))
+                state.remove()  # also clears the armed timeout
+        else:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            st = tuple(state.get) if state.exists else None
+            for row in batch.itertuples(index=False):
+                us = int(pd.Timestamp(row.ts).value // 1_000)
+                cents = _to_cents(float(row.value))
+                if st is None:
+                    st = (us, us, 1, cents)
+                elif us - st[1] > gap_us:
+                    out.append(_row(key, st))
+                    st = (us, us, 1, cents)
+                else:
+                    st = (st[0], us, st[2] + 1, st[3] + cents)
+                if st[2] >= cap:
+                    # complete by definition: any later event starts a
+                    # new session whether it beats the gap or not
+                    out.append(_row(key, st))
+                    st = None
+            if st is not None:
+                state.update(st)
+                # overwrites any previous deadline for this key
+                state.setTimeoutTimestamp((st[1] + gap_us) // 1_000)
+            elif state.exists:
+                state.remove()
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "sum_cents",
+            ],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select(*cols)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CAPPED_SESSION_SCHEMA,
+            stateStructType=_CAPPED_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1173,3 +1173,74 @@ def test_sparse_cosine_matches_python_model(spark, rows, df_cap):
     for g, w in zip(got, want):
         assert g[:2] == w[:2] and g[3] == w[3]
         assert abs(g[2] - w[2]) <= 1e-4
+
+
+# --- capped_session_stats (batch twin) vs a pure-Python model ------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user
+            st.integers(min_value=0, max_value=500_000),  # offset seconds
+            st.integers(min_value=-99, max_value=999),    # value x100
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    params=st.sampled_from([(3600, 1), (3600, 3), (86400, 4)]),
+)
+def test_capped_sessions_match_python_model(spark, rows, params):
+    """streaming/stateful.capped_session_stats (batch twin — the q157
+    plan) vs a sequential pure-Python replica of the streaming state
+    machine. Equality here is the bridge between the oracle (checks the
+    two-window SQL) and the stream==batch test (checks the state
+    machine) — all three must be one semantics."""
+    import datetime as dt
+
+    from gov_data_pipeline_spark.streaming import capped_session_stats
+
+    gap_s, cap = params
+    epoch = dt.datetime(2024, 1, 1)
+    events = [
+        (i, u, epoch + dt.timedelta(seconds=s), v / 100.0, "{}")
+        for i, (u, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        events, "event_id long, user_id long, ts timestamp, value double, props string"
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_cents)
+        for r in capped_session_stats(
+            df, gap_seconds=gap_s, max_events=cap
+        ).collect()
+    )
+
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for i, (u, s, v) in enumerate(rows):
+        per_user[u].append((epoch + dt.timedelta(seconds=s), i, v))
+    want = []
+    for u, evs in per_user.items():
+        st_ = None  # (start, last, n, cents)
+        for ts, _i, v in sorted(evs):
+            if st_ is None:
+                st_ = (ts, ts, 1, v)
+            elif (ts - st_[1]).total_seconds() > gap_s:
+                want.append((u, *st_))
+                st_ = (ts, ts, 1, v)
+            else:
+                st_ = (st_[0], ts, st_[2] + 1, st_[3] + v)
+            if st_[2] >= cap:
+                want.append((u, *st_))
+                st_ = None
+        if st_ is not None:
+            want.append((u, *st_))  # batch mode flushes trailing sessions
+    want = sorted((u, a, b, n, c) for (u, a, b, n, c) in want)
+    assert got == want

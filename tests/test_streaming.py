@@ -722,3 +722,76 @@ def test_stateful_throttle_matches_batch(spark, sf_dir):
         assert 0 < len(want) < events.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_capped_sessions_stream_matches_batch(spark, sf_dir):
+    """capped_session_stats' streaming form (applyInPandasWithState +
+    EventTimeTimeout timers) must emit exactly the sessions the
+    batch two-window twin (the oracle-checked q157 plan) produces —
+    including sessions split across micro-batch boundaries and
+    trailing sessions flushed by TIMER, not by a closing event. The
+    sorted-replay harness appends a sentinel far-future event for a
+    dummy user so the final watermark passes every real session's
+    deadline; the dummy's own (unflushable) session is excluded from
+    the comparison."""
+    import os
+
+    from gov_data_pipeline_spark.streaming import (
+        capped_session_stats,
+        read_events_stream,
+    )
+
+    SENTINEL_USER = 10_000_000
+    d = tempfile.mkdtemp(prefix="capped_sess_stream_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 3
+        cuts = [lo + span, lo + 2 * span]
+        ranges = [
+            F.col("ts") < cuts[0],
+            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+            F.col("ts") >= cuts[2 - 1],
+        ]
+        for i, cond in enumerate(ranges):
+            path = os.path.join(d, f"part{i}")
+            events.filter(cond).coalesce(1).write.parquet(path)
+        sentinel = spark.createDataFrame(
+            [(99_999_999, SENTINEL_USER, "flush", 0.0, "{}")],
+            "event_id long, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.lit(hi + __import__("datetime").timedelta(days=30)))
+        sentinel.select(*events.columns).coalesce(1).write.parquet(
+            os.path.join(d, "part3")
+        )
+        for i in range(4):
+            path = os.path.join(d, f"part{i}")
+            for root, _, files in os.walk(path):
+                for f in files:
+                    t = 1_000_000_000 + i * 5_000
+                    os.utime(os.path.join(root, f), (t, t))
+        stream = read_events_stream(spark, d + "/*")
+        name = f"cs_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(
+            capped_session_stats(stream, gap_seconds=43200, max_events=4),
+            name,
+            "append",
+        )
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                f"SELECT * FROM {name} WHERE user_id != {SENTINEL_USER}"
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in capped_session_stats(
+                events, gap_seconds=43200, max_events=4
+            ).collect()
+        }
+        assert got == want
+        # the fixture must exercise BOTH closing rules and the timer:
+        # some sessions at the cap, some below it
+        sizes = {r[3] for r in want}
+        assert 4 in sizes and (sizes - {4})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

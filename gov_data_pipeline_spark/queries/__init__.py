@@ -62,11 +62,12 @@ _PRIORITY: tuple[str, ...] = (
     "q155_sparse_cosine_topk",
     "q156_interval_overlap",
     "q157_capped_sessions",
+    "q158_containment_pairs",
     # stalest green in the suite: last driver row r03
     "q79_ntile",
     # the singly-verified r04 cohort, stalest-first (name-ordered
-    # within the round); 43 of 50 fit in the sample alongside the
-    # six r08-new queries — q93-q99 lead the overflow
+    # within the round); 41 of 50 fit in the sample alongside the
+    # eight r08-new queries — q91-q99 lead the overflow
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",
@@ -108,9 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     "q88_repetition_filter",
     "q89_curation_pipeline",
     "q90_pii_redact",
+    # --- driver sample boundary (first 50 end here: 8 r08-new + q79 +
+    # 41 of the r04 cohort; q91-q99 lead the rotation next round) ---
     "q91_scd2_history",
-    # --- driver sample boundary (first 50 end here: 7 r08-new + q79 +
-    # 42 of the r04 cohort; q92-q99 lead the rotation next round) ---
     "q92_bucketed_join",
     "q93_outlier_zscore",
     "q94_unigram_logprob",

@@ -158,6 +158,64 @@ ORDER BY a_id, b_id
 """
 
 
+def q158_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: n-gram CONTAINMENT pairs
+    (``operators/dedup.containment_pairs_text``) over documents plus
+    planted EXCERPTS — every 7th doc's words[4..17] published as its
+    own document. An excerpt's shingles are a strict subset of its
+    source's, so containment(excerpt→source) is exactly 1.0 while
+    Jaccard is ~|excerpt|/|source| and sails under every symmetric
+    threshold — the quote/boilerplate-leak shape document-level
+    Jaccard/MinHash structurally miss. Same inverted-index candidate
+    machinery as q41; only the scoring tail differs."""
+    from gov_data_pipeline_spark.operators.dedup import containment_pairs_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = _words_col()
+    excerpts = docs.filter((F.col("doc_id") % 7 == 0) & (F.size(ws) >= 17)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(ws, 4, 14)).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    return containment_pairs_text(
+        corpus, "doc_id", F.col("text"), n=3, threshold=0.9, cache=True
+    ).orderBy("a_id", "b_id")
+
+
+_Q158_SQL = r"""
+WITH w0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, array_to_string(ws[4:17], ' ') AS text
+  FROM w0 WHERE doc_id % 7 = 0 AND len(ws) >= 17),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id,
+       round(inter / sa.n, 4) AS containment_ab,
+       round(inter / sb.n, 4) AS containment_ba
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE greatest(inter / sa.n, inter / sb.n) >= 0.9
+ORDER BY a_id, b_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # L6 (sketch path) — MinHash + banded LSH candidates, exact-Jaccard
 # verified. The md5-derived hash family (h1 + i*h2 double hashing) is
@@ -2438,6 +2496,7 @@ QUERIES = {
     "q69_stratified_sample": q69_stratified_sample,
     "q70_frequent_terms": q70_frequent_terms,
     "q41_jaccard_pairs": q41_jaccard_pairs,
+    "q158_containment_pairs": q158_containment_pairs,
     "q42_minhash_lsh": q42_minhash_lsh,
     "q43_simhash": q43_simhash,
     "q44_cosine_topk": q44_cosine_topk,
@@ -2493,6 +2552,7 @@ ORACLE = {
     "q59_incremental_dedup": _Q59_SQL,
     "q40_exact_dedup": _Q40_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
+    "q158_containment_pairs": _Q158_SQL,
     "q44_cosine_topk": _Q44_SQL,
     "q46_cosine_neardup": _Q46_SQL,
     "q47_text_stats": _Q47_SQL,

@@ -990,3 +990,43 @@ class TestBloom:
         assert out.columns == ["s", "extra"]
         rows = out.collect()
         assert [(r.s, r.extra) for r in rows] == [("a", 1)]
+
+
+class TestContainmentPairs:
+    """operators/dedup.containment_pairs_text — the asymmetric signal."""
+
+    def test_excerpt_has_full_containment_but_low_jaccard(self, spark):
+        from gov_data_pipeline_spark.operators.dedup import (
+            containment_pairs_text,
+            jaccard_pairs_text,
+        )
+
+        base = " ".join(f"w{i}" for i in range(60))
+        excerpt = " ".join(f"w{i}" for i in range(10, 22))  # contiguous slice
+        df = spark.createDataFrame(
+            [(1, base), (2, excerpt), (3, " ".join(f"x{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r.a_id, r.b_id): (r.containment_ab, r.containment_ba)
+            for r in containment_pairs_text(
+                df, "doc_id", F.col("text"), threshold=0.9
+            ).collect()
+        }
+        # the excerpt is fully contained in the base document...
+        assert cont[(1, 2)][1] == 1.0
+        # ...while symmetric Jaccard at the same kind of threshold sees
+        # nothing (10 shared shingles / 58 union ≈ 0.17)
+        jac = jaccard_pairs_text(df, "doc_id", F.col("text"), threshold=0.5)
+        assert jac.count() == 0
+
+    def test_unrelated_docs_produce_no_pairs(self, spark):
+        from gov_data_pipeline_spark.operators.dedup import containment_pairs_text
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "q r s t u v")], "doc_id long, text string"
+        )
+        assert (
+            containment_pairs_text(df, "doc_id", F.col("text"), threshold=0.1).count()
+            == 0
+        )

@@ -365,10 +365,12 @@ def interval_join(
     the typical interval length (explosion <= 2x) for the best
     candidate-to-match ratio.
 
-    ``start``/``end`` must be date or timestamp columns; binning is on
-    the DATE day number, overlap on the raw values. Both inputs' other
-    column names must be disjoint (keys excepted) — standard join
-    hygiene.
+    ``start``/``end`` must be date or timestamp columns with
+    ``end >= start`` per row (an inverted interval would explode into a
+    DESCENDING bin sequence and silently match nothing it should);
+    binning is on the DATE day number, overlap on the raw values. Both
+    inputs' other column names must be disjoint (keys excepted) —
+    standard join hygiene.
 
     ``num_partitions`` pins the candidate join's parallelism. Bin
     joins EXPAND — output rows ≈ sum of per-(key, bin) products — but

@@ -300,11 +300,14 @@ def capped_session_stats(
       implementation is the timeout form, which is protocol-free.
 
     Cross-micro-batch ordering contract and integer-cents arithmetic
-    as in ``cumulative_alerts``. A trailing open session emits only
-    once the watermark passes its deadline — replay harnesses append a
-    sentinel event beyond max(ts) + gap to flush (see
-    tests/test_streaming.py); in production the next day's data is
-    that sentinel.
+    as in ``cumulative_alerts``. NULL event time is out-of-contract,
+    as for ``throttle_dedup``: it would stall any watermark, and batch
+    engines disagree on NULL ordering (Spark sorts NULLS FIRST ASC,
+    DuckDB NULLS LAST) — filter or repair ts upstream. A trailing open
+    session emits only once the watermark passes its deadline — replay
+    harnesses append a sentinel event beyond max(ts) + gap to flush
+    (see tests/test_streaming.py); in production the next day's data
+    is that sentinel.
     """
     gap_us = int(gap_seconds) * 1_000_000
     cols = ("user_id", "event_id", "ts", "value")

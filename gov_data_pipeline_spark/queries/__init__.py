@@ -63,11 +63,12 @@ _PRIORITY: tuple[str, ...] = (
     "q156_interval_overlap",
     "q157_capped_sessions",
     "q158_containment_pairs",
+    "q159_normalized_dedup",
     # stalest green in the suite: last driver row r03
     "q79_ntile",
     # the singly-verified r04 cohort, stalest-first (name-ordered
-    # within the round); 41 of 50 fit in the sample alongside the
-    # eight r08-new queries — q91-q99 lead the overflow
+    # within the round); 40 of 50 fit in the sample alongside the
+    # nine r08-new queries — q90-q99 lead the overflow
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",
@@ -108,9 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     "q87_decontaminate",
     "q88_repetition_filter",
     "q89_curation_pipeline",
+    # --- driver sample boundary (first 50 end here: 9 r08-new + q79 +
+    # 40 of the r04 cohort; q90-q99 lead the rotation next round) ---
     "q90_pii_redact",
-    # --- driver sample boundary (first 50 end here: 8 r08-new + q79 +
-    # 41 of the r04 cohort; q91-q99 lead the rotation next round) ---
     "q91_scd2_history",
     "q92_bucketed_join",
     "q93_outlier_zscore",

@@ -113,6 +113,69 @@ SELECT min(doc_id) AS doc_id FROM u GROUP BY text ORDER BY doc_id
 """
 
 
+def q159_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized ("fuzzy-exact") dedup — q40 with a canonical key:
+    documents group on ``canonical_text_col`` (ASCII-alnum strip →
+    lower), so case/punctuation/whitespace variants of the same text
+    dedup together — the C4/CCNet cleanup step between byte-exact
+    hashing (q40, misses them) and shingle similarity (q41, overkill
+    for them). Planted variants: every 5th doc re-published SHOUTING
+    with trailing punctuation. Output is the per-document verdict
+    (canonical group size + keep = min id in group), one groupBy on a
+    40-byte key — the q40/L5 scale shape, no pairs, no text shuffle
+    beyond the key.
+
+    The SHOUTING variant is built with an ASCII ``translate`` map, not
+    ``upper()``: JVM upper() applies 1:N Unicode case mappings (the ﬁ
+    ligature expands to FI) where DuckDB's does not — an engine
+    boundary the fixture must not depend on (found by the
+    adversarial-Unicode sweep, which this query must pass)."""
+    from gov_data_pipeline_spark.transforms import canonical_text_col
+
+    _LO = "abcdefghijklmnopqrstuvwxyz"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shouty = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(
+            F.translate(F.col("text"), _LO, _LO.upper()), F.lit(" !!")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(shouty)
+    keyed = corpus.select(
+        "doc_id", F.md5(canonical_text_col(F.col("text"))).alias("__k")
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("__k")
+    return (
+        keyed.withColumn("group_size", F.count(F.lit(1)).over(wk))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(wk))
+        .select("doc_id", "group_size", "keep")
+        .orderBy("doc_id")
+    )
+
+
+_Q159_SQL = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' !!' AS text
+  FROM documents WHERE doc_id % 5 = 0),
+keyed AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))))
+           AS k
+  FROM u)
+SELECT doc_id,
+       count(*) OVER (PARTITION BY k) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY k) AS keep
+FROM keyed
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # L6 (exact path) — n-gram Jaccard near-dup pairs via shingle inverted
 # index. Full oracle: DuckDB builds identical shingles and joins them.
@@ -2487,6 +2550,7 @@ ORDER BY a_id, b_id
 
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
+    "q159_normalized_dedup": q159_normalized_dedup,
     "q67_dedup_clusters": q67_dedup_clusters,
     "q77_fuzzy_join": q77_fuzzy_join,
     "q74_semantic_clusters": q74_semantic_clusters,
@@ -2551,6 +2615,7 @@ ORACLE = {
     "q58_overlap_pairs": _Q58_SQL,
     "q59_incremental_dedup": _Q59_SQL,
     "q40_exact_dedup": _Q40_SQL,
+    "q159_normalized_dedup": _Q159_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q158_containment_pairs": _Q158_SQL,
     "q44_cosine_topk": _Q44_SQL,

@@ -1,5 +1,6 @@
 from gov_data_pipeline_spark.transforms.text import (  # noqa: F401
     clean_cell_col,
+    canonical_text_col,
     clean_text_col,
     is_excluded_col,
     nfkc_normalize,

@@ -163,3 +163,21 @@ def redact_long_col(col: Column, max_len: int = 100, keep: int = 50) -> Column:
             F.substring(col, 1, keep), F.lit(" ... "), F.substring(col, -keep, keep)
         ),
     ).otherwise(col)
+
+
+def canonical_text_col(col: Column) -> Column:
+    """ASCII-alnum canonical form for normalized ("fuzzy-exact") dedup:
+    every run of characters outside [A-Za-z0-9] collapses to one space,
+    THEN the survivors lowercase. Case/punctuation/whitespace variants
+    of the same text — the near-miss duplicates a byte-exact content
+    hash walks past — share one canonical key.
+
+    The class strip runs BEFORE ``lower()`` deliberately: lowercasing
+    only ever sees ASCII letters, so the result is bit-identical across
+    engines even on adversarial Unicode (JVM and DuckDB disagree on
+    exotic case mappings like İ, but both agree on A-Z — and everything
+    non-ASCII is already gone by then). This is the English-ish
+    C4/CCNet-style canonicalization; multilingual corpora should dedup
+    on the NFKC-cleaned text (``clean_text_col``) instead.
+    """
+    return F.lower(F.trim(F.regexp_replace(col, "[^A-Za-z0-9]+", " ")))

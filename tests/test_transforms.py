@@ -531,3 +531,32 @@ class TestWebFunctions:
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
             mod.main()  # raises on any stage failure
+
+
+def test_canonical_text_dedup_key(spark):
+    """canonical_text_col: case/punct/whitespace variants share one
+    key (the q159 semantics) while genuinely different text does not;
+    non-ASCII is stripped BEFORE lowercasing so exotic case mappings
+    can't reach lower()."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.transforms import canonical_text_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   world!"),
+            (2, "HELLO WORLD"),
+            (3, "hello world"),
+            (4, "hello worlds"),
+            (5, "İstanbul 你好 ﬁne x"),  # exotic case + CJK + ligature
+        ],
+        "id int, t string",
+    )
+    got = {
+        r.id: r.k
+        for r in df.select("id", canonical_text_col(F.col("t")).alias("k")).collect()
+    }
+    assert got[1] == got[2] == got[3] == "hello world"
+    assert got[4] != got[3]
+    # everything non-ASCII stripped; surviving ASCII lowered
+    assert got[5] == "stanbul ne x"

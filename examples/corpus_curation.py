@@ -38,8 +38,26 @@ def main() -> None:
         F.concat("text", F.lit(" qq zz")).alias("text"),
         "lang",
     )
-    corpus = docs.unionByName(mutants)
-    print(f"corpus (docs + planted near-dups): {corpus.count()}")
+    _LO = "abcdefghijklmnopqrstuvwxyz"
+    shouty = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.translate("text", _LO, _LO.upper()), F.lit(" !!")).alias("text"),
+        "lang",
+    )
+    corpus = docs.unionByName(mutants).unionByName(shouty)
+    print(f"corpus (docs + planted near-dups + SHOUTING variants): {corpus.count()}")
+
+    # --- stage 0: normalized ("fuzzy-exact") dedup — case/punctuation
+    # variants collapse on the canonical key before any similarity work
+    # (q159's rule; far cheaper than shingling, so it runs first) -----
+    from gov_data_pipeline_spark.transforms import canonical_text_col
+
+    wk = F.md5(canonical_text_col(F.col("text")))
+    from pyspark.sql import Window
+
+    keep_min = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(wk))
+    corpus = corpus.withColumn("__keep", keep_min).filter("__keep").drop("__keep")
+    print(f"after canonical-key dedup: {corpus.count()}")
 
     ex = shingle_rows(corpus, "doc_id", F.col("text"), 3, widen=False)
     sigs = minhash_from_shingle_rows(ex, "doc_id", num_hashes=32)
@@ -76,6 +94,15 @@ def main() -> None:
         kept, "doc_id", F.col("text"), n=5, min_grams=3
     )
     print(f"cross-doc duplicate-passage spans among canonical docs: {spans.count()}")
+
+    # --- containment audit: excerpts/quotes symmetric Jaccard misses —
+    # C(A in B) ~ 1 flags A as (mostly) inside B (q158's operator) ----
+    from gov_data_pipeline_spark.operators.dedup import containment_pairs_text
+
+    contained = containment_pairs_text(
+        kept, "doc_id", F.col("text"), n=3, threshold=0.9
+    )
+    print(f"high-containment pairs among canonical docs: {contained.count()}")
 
     # --- leakage-safe split: hash the CLUSTER representative so
     # near-dups never straddle train/val (q145's rule, reusing the

@@ -357,6 +357,71 @@ ORDER BY e.event_id
 """
 
 
+def q160_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q06's NEAREST sibling: for each error event, the closest signup
+    by the same user in EITHER time direction, ties to the prior one —
+    pandas.merge_asof(direction='nearest') semantics, which backward
+    as-of cannot express (a user whose only signup comes after their
+    error gets NULL from q06 and the right answer here). Same
+    union-tag machinery, both window frames over ONE key shuffle
+    (operators/relational.asof_join(direction='nearest'))."""
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        errors, signups, on="user_id", left_time="ts", right_time="ts",
+        right_values=["value"], direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("signup_ts"),
+        F.round("asof_value", 2).alias("signup_value"),
+    ).orderBy("event_id")
+
+
+# Distance compare in exact integer microseconds (epoch_us); the Spark
+# side compares double epoch seconds whose microsecond payloads are
+# exactly representable, so the verdicts agree. Equal distance -> the
+# prior signup, matching the operator's merge_asof tie convention.
+_Q160_SQL = """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+sc AS (
+  SELECT e.event_id, e.user_id, e.ts,
+    (SELECT max(s.ts) FROM events s
+     WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+       AND s.ts <= e.ts) AS bts,
+    (SELECT s.value FROM events s
+     WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+       AND s.ts <= e.ts
+     ORDER BY s.ts DESC, s.value DESC LIMIT 1) AS bv,
+    (SELECT min(s.ts) FROM events s
+     WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+       AND s.ts >= e.ts) AS fts,
+    (SELECT s.value FROM events s
+     WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+       AND s.ts >= e.ts
+     ORDER BY s.ts ASC, s.value ASC LIMIT 1) AS fv
+  FROM err e)
+SELECT event_id, user_id,
+       CASE WHEN bts IS NULL THEN fts
+            WHEN fts IS NULL THEN bts
+            WHEN epoch_us(fts) - epoch_us(ts) < epoch_us(ts) - epoch_us(bts)
+              THEN fts ELSE bts END AS signup_ts,
+       round(CASE WHEN bts IS NULL THEN fv
+                  WHEN fts IS NULL THEN bv
+                  WHEN epoch_us(fts) - epoch_us(ts) < epoch_us(ts) - epoch_us(bts)
+                    THEN fv ELSE bv END, 2) AS signup_value
+FROM sc
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # T16 — rollup / cube. NULL group markers are coalesced to 'ALL' so the
 # encoding is engine-independent (fixture keys are never null).
@@ -1325,6 +1390,7 @@ QUERIES = {
     "q04_anti_join": q04_anti_join,
     "q05_band_join": q05_band_join,
     "q156_interval_overlap": q156_interval_overlap,
+    "q160_asof_nearest": q160_asof_nearest,
     "q06_asof_join": q06_asof_join,
     "q07_rollup": q07_rollup,
     "q08_cube": q08_cube,
@@ -1361,6 +1427,7 @@ ORACLE = {
     "q04_anti_join": _Q04_SQL,
     "q05_band_join": _Q05_SQL,
     "q156_interval_overlap": _Q156_SQL,
+    "q160_asof_nearest": _Q160_SQL,
     "q06_asof_join": _Q06_SQL,
     "q07_rollup": _Q07_SQL,
     "q08_cube": _Q08_SQL,

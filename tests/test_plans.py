@@ -206,12 +206,14 @@ class TestRound2OperatorPlans:
         df.collect()
         plan = _plan(df)
         assert "CartesianProduct" not in plan
-        # the only nested loops allowed are the 1-row n_docs corpus
-        # total broadcast onto the vocabulary (the house cross-join
-        # pattern) — never a pair-enumeration stage
-        for line in _plan(df).splitlines():
-            if "BroadcastNestedLoopJoin" in line:
-                assert "n_docs" in line, line
+        # the only nested loops allowed are the condition-free 1-row
+        # n_docs total broadcasts onto the vocabulary (the house
+        # cross-join pattern; one per postings consumer) — never a
+        # pair-enumeration stage, which would carry a join condition
+        final = plan.split("== Initial Plan ==")[0]
+        n_bnlj = final.count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= 4, final
+        assert n_bnlj == final.count("BroadcastNestedLoopJoin BuildRight, Cross")
         # the pair stage is an equi-join on term
         assert "SortMergeJoin [term" in plan or "ShuffledHashJoin [term" in plan or (
             "BroadcastHashJoin [term" in plan

@@ -276,3 +276,83 @@ class TestExpectations:
         ]
         # 7 has no parent; NULL never matches -> both orphans
         assert n == 2
+
+
+class TestAsofDirections:
+    """asof_join direction='forward'/'nearest' vs pandas.merge_asof —
+    the reference implementation of the semantics (incl. the
+    ties-to-prior nearest convention)."""
+
+    def _run(self, spark, left_rows, right_rows, direction):
+        import pandas as pd
+
+        from gov_data_pipeline_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame(left_rows, "lid int, k string, lt timestamp")
+        right = spark.createDataFrame(right_rows, "k string, rt timestamp, v double")
+        got = {
+            r.lid: (r.asof_rt, r.asof_v)
+            for r in asof_join(
+                left, right, on="k", left_time="lt", right_time="rt",
+                direction=direction,
+            ).collect()
+        }
+        lp = pd.DataFrame(left_rows, columns=["lid", "k", "lt"]).sort_values("lt")
+        rp = pd.DataFrame(right_rows, columns=["k", "rt", "v"]).sort_values("rt")
+        m = pd.merge_asof(
+            lp, rp, left_on="lt", right_on="rt", by="k", direction=direction
+        )
+        want = {
+            int(r.lid): (
+                None if pd.isna(r.rt) else r.rt.to_pydatetime(),
+                None if pd.isna(r.v) else r.v,
+            )
+            for r in m.itertuples()
+        }
+        assert got == want, f"{direction}: {got} != {want}"
+
+    def test_all_directions_match_pandas_merge_asof(self, spark):
+        import datetime as dt
+        import random
+
+        rng = random.Random(1234)
+        E = dt.datetime(2024, 1, 1)
+        for trial in range(3):
+            left_rows = [
+                (i, rng.choice("ab"), E + dt.timedelta(minutes=rng.randrange(120)))
+                for i in range(20)
+            ]
+            right_rows = [
+                (
+                    rng.choice("ac"),
+                    E + dt.timedelta(minutes=rng.randrange(120)),
+                    float(rng.randrange(100)),
+                )
+                for _ in range(15)
+            ]
+            for d in ("backward", "forward", "nearest"):
+                self._run(spark, left_rows, right_rows, d)
+
+    def test_equal_time_tie_goes_to_prior(self, spark):
+        import datetime as dt
+
+        E = dt.datetime(2024, 1, 1)
+        # right rows exactly 2 min before AND after the left row: the
+        # nearest tie must resolve to the PRIOR (merge_asof convention)
+        self._run(
+            spark,
+            [(1, "k", E + dt.timedelta(minutes=10))],
+            [("k", E + dt.timedelta(minutes=8), 1.0),
+             ("k", E + dt.timedelta(minutes=12), 2.0)],
+            "nearest",
+        )
+
+    def test_unknown_direction_raises(self, spark):
+        import pytest as _pytest
+
+        from gov_data_pipeline_spark.operators.relational import asof_join
+
+        left = spark.createDataFrame([(1, "k")], "lid int, k string")
+        with _pytest.raises(ValueError, match="sideways"):
+            asof_join(left, left, on="k", left_time="lid", right_time="lid",
+                      direction="sideways")

@@ -65,11 +65,12 @@ _PRIORITY: tuple[str, ...] = (
     "q158_containment_pairs",
     "q159_normalized_dedup",
     "q160_asof_nearest",
+    "q161_token_bucket",
     # stalest green in the suite: last driver row r03
     "q79_ntile",
     # the singly-verified r04 cohort, stalest-first (name-ordered
-    # within the round); 39 of 50 fit in the sample alongside the
-    # ten r08-new queries — q89-q99 lead the overflow
+    # within the round); 38 of 50 fit in the sample alongside the
+    # eleven r08-new queries — q88-q99 lead the overflow
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",
@@ -108,9 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     "q85_chunk_documents",
     "q86_sequence_pack",
     "q87_decontaminate",
+    # --- driver sample boundary (first 50 end here: 11 r08-new + q79 +
+    # 38 of the r04 cohort; q88-q99 lead the rotation next round) ---
     "q88_repetition_filter",
-    # --- driver sample boundary (first 50 end here: 10 r08-new + q79 +
-    # 39 of the r04 cohort; q89-q99 lead the rotation next round) ---
     "q89_curation_pipeline",
     "q90_pii_redact",
     "q91_scd2_history",

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gov_data_pipeline_spark.catalog import read_table as _t
 from gov_data_pipeline_spark.streaming import (
     capped_session_stats,
+    token_bucket_throttle,
     click_purchase_join,
     cumulative_alerts,
     dedup_within_watermark,
@@ -293,6 +294,55 @@ ORDER BY user_id, session_start
 """
 
 
+def q161_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch execution of the token-bucket rate limiter
+    (streaming/stateful.token_bucket_throttle): per-user bucket of 2
+    tokens refilling 1/day; kept events consume a token, floods drain
+    the bucket and get dropped WITHOUT starving the average rate (the
+    guarantee the gap throttle q148/q150 cannot make). The recurrence
+    is non-associative, so batch mode is one applyInPandas per user
+    over (user, event, ts) rows only — the NFD-packer shape — and the
+    oracle is a per-key linear recursive CTE. Balances are integer
+    units (1 token = 86 400e6 = day micros), so stream, batch, and
+    oracle agree bit-for-bit."""
+    events = _t(spark, sf_dir, "events")
+    return token_bucket_throttle(
+        events, rate_tokens=1, per_seconds=86400, burst=2
+    ).orderBy("user_id", "event_id")
+
+
+# Per-key linear recursion (the q149-oracle pattern): row n's verdict
+# and balance derive from row n-1's. U = one token in integer units;
+# refill = dt_us * rate is a pure integer multiply in both engines.
+_Q161_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL),
+step AS (
+  SELECT user_id, rn, event_id, ts, us,
+         CAST(86400000000 AS BIGINT) AS tokens,  -- full burst minus one
+         TRUE AS kept
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.event_id, o.ts, o.us,
+         CASE WHEN least(s.tokens + (o.us - s.us) * 1,
+                         CAST(172800000000 AS BIGINT)) >= 86400000000
+              THEN least(s.tokens + (o.us - s.us) * 1,
+                         CAST(172800000000 AS BIGINT)) - 86400000000
+              ELSE least(s.tokens + (o.us - s.us) * 1,
+                         CAST(172800000000 AS BIGINT)) END,
+         least(s.tokens + (o.us - s.us) * 1,
+               CAST(172800000000 AS BIGINT)) >= 86400000000
+  FROM step s
+  JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1)
+SELECT user_id, event_id, ts, CAST(tokens AS BIGINT) AS tokens_after
+FROM step WHERE kept
+ORDER BY user_id, event_id
+"""
+
+
 def q76_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch execution of the stream-stream interval join (attribution:
     purchases matched to the same user's clicks within the prior 30
@@ -361,11 +411,13 @@ QUERIES = {
     "q65_hash_sample": q65_hash_sample,
     "q66_cumulative_alerts": q66_cumulative_alerts,
     "q157_capped_sessions": q157_capped_sessions,
+    "q161_token_bucket": q161_token_bucket,
 }
 
 ORACLE = {
     "q66_cumulative_alerts": _Q66_SQL,
     "q157_capped_sessions": _Q157_SQL,
+    "q161_token_bucket": _Q161_SQL,
     "q150_stream_throttle": _Q150_SQL,
     "q76_stream_join": _Q76_SQL,
     "q60_tumbling": _Q60_SQL,

@@ -3,6 +3,7 @@ from gov_data_pipeline_spark.streaming.stateful import (  # noqa: F401
     capped_session_stats,
     cumulative_alerts,
     throttle_dedup,
+    token_bucket_throttle,
 )
 from gov_data_pipeline_spark.streaming.ingest import (  # noqa: F401
     incremental_dedup_sink,

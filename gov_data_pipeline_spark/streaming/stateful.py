@@ -411,3 +411,129 @@ def capped_session_stats(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+TOKEN_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("tokens_after", T.LongType()),
+    ]
+)
+
+_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("tokens", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+def token_bucket_throttle(
+    events: DataFrame,
+    rate_tokens: int = 1,
+    per_seconds: int = 86400,
+    burst: int = 2,
+) -> DataFrame:
+    """Per-user token-bucket rate limiter — the quota-shaped sibling of
+    ``throttle_dedup``'s gap rule: each user owns a bucket of
+    ``burst`` tokens refilling at ``rate_tokens`` per ``per_seconds``
+    seconds; an event is kept
+    iff a whole token is available (and consumes it), dropped
+    otherwise. Dropped events do NOT advance any anchor — unlike the
+    gap throttle, a sustained flood still lets ``rate_per_hour``
+    events through (gap throttles starve under floods; token buckets
+    guarantee the average rate). Emits kept events with the remaining
+    balance.
+
+    Arithmetic is integer-exact end to end in BOTH modes and in the
+    DuckDB oracle: one token is ``per_seconds * 1e6`` balance units,
+    so the refill is ``dt_us * rate_tokens`` — one integer multiply,
+    no division for engines to round differently.
+
+    - **Batch mode**: the recurrence is non-associative (each verdict
+      depends on the full prior history), so — exactly like the NFD
+      packer — ONE ``applyInPandas`` per user over (user, event, ts)
+      rows only; payload columns never enter Python. Oracle (q161) =
+      per-key linear recursive CTE.
+    - **Streaming mode**: ``applyInPandasWithState`` holding
+      (tokens, last_us) per user — O(distinct keys) state, NoTimeout
+      (a bucket needs no timer: balance is reconstructed from dt at
+      the next event).
+
+    NULL event times are dropped up front in both modes (a quota
+    decision needs a clock; also the q150 NULL-ordering divergence).
+    Cross-micro-batch ordering contract as in ``cumulative_alerts``.
+    """
+    rate = int(rate_tokens)
+    token_unit = int(per_seconds) * 1_000_000
+    burst_units = int(burst) * token_unit
+    cols = ("user_id", "event_id", "ts")
+
+    import pandas as pd  # local: executors import lazily
+
+    def _drain(
+        pdf: "pd.DataFrame", tokens: int, last_us: int | None
+    ) -> tuple["pd.DataFrame", int, int | None]:
+        # timestamp->micros VECTORIZED before the sequential pass: a
+        # per-row pd.Timestamp() costs more than the whole state loop
+        # (measured ~2x the operator's end-to-end time at sf0.1); the
+        # loop itself then touches only plain ints.
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # normalize whatever datetime64 resolution Arrow delivered
+        us_arr = pdf.ts.values.astype("datetime64[us]").astype("int64").tolist()
+        keep = [False] * len(us_arr)
+        balance = [0] * len(us_arr)
+        for i, us in enumerate(us_arr):
+            if last_us is not None:
+                tokens = min(tokens + (us - last_us) * rate, burst_units)
+            if tokens >= token_unit:
+                tokens -= token_unit
+                keep[i] = True
+                balance[i] = tokens
+            last_us = us
+        out = pdf.loc[keep, ["user_id", "event_id", "ts"]].copy()
+        out["tokens_after"] = [b for k, b in zip(keep, balance) if k]
+        return out, tokens, last_us
+
+    out_cols = ["user_id", "event_id", "ts", "tokens_after"]
+
+    if not events.isStreaming:
+        src = events.select(*cols).where(F.col("ts").isNotNull())
+
+        def run_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            out, _, _ = _drain(pdf, burst_units, None)
+            return out
+
+        return src.groupBy("user_id").applyInPandas(
+            run_group, schema=TOKEN_BUCKET_SCHEMA
+        )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: Any
+    ) -> Iterator["pd.DataFrame"]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch.ts.notna()]
+        tokens, last_us = (
+            tuple(state.get) if state.exists else (burst_units, None)
+        )
+        out, tokens, last_us = _drain(batch, tokens, last_us)
+        if last_us is not None:
+            state.update((tokens, last_us))
+        yield out if len(out) else pd.DataFrame(
+            {c: [] for c in out_cols}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select(*cols)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TOKEN_BUCKET_SCHEMA,
+            stateStructType=_BUCKET_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1244,3 +1244,65 @@ def test_capped_sessions_match_python_model(spark, rows, params):
             want.append((u, *st_))  # batch mode flushes trailing sessions
     want = sorted((u, a, b, n, c) for (u, a, b, n, c) in want)
     assert got == want
+
+
+# --- token_bucket_throttle (batch twin) vs a pure-Python model -----------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user
+            st.integers(min_value=0, max_value=500_000),  # offset seconds
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    params=st.sampled_from([(1, 3600, 1), (1, 86400, 2), (3, 3600, 5)]),
+)
+def test_token_bucket_matches_python_model(spark, rows, params):
+    """streaming/stateful.token_bucket_throttle (batch twin — the q161
+    plan) vs a sequential pure-Python replica of the bucket state
+    machine, integer balance units and all."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from gov_data_pipeline_spark.streaming import token_bucket_throttle
+
+    rate, per_s, burst = params
+    epoch = dt.datetime(2024, 1, 1)
+    events = [
+        (i, u, epoch + dt.timedelta(seconds=s), 0.0, "{}")
+        for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        events, "event_id long, user_id long, ts timestamp, value double, props string"
+    )
+    got = sorted(
+        (r.user_id, r.event_id, r.ts, r.tokens_after)
+        for r in token_bucket_throttle(
+            df, rate_tokens=rate, per_seconds=per_s, burst=burst
+        ).collect()
+    )
+
+    unit = per_s * 1_000_000
+    per_user = defaultdict(list)
+    for i, (u, s) in enumerate(rows):
+        per_user[u].append((epoch + dt.timedelta(seconds=s), i))
+    want = []
+    for u, evs in per_user.items():
+        tokens, last_us = burst * unit, None
+        for ts, i in sorted(evs):
+            us = int(ts.timestamp() * 1_000_000)
+            if last_us is not None:
+                tokens = min(tokens + (us - last_us) * rate, burst * unit)
+            if tokens >= unit:
+                tokens -= unit
+                want.append((u, i, ts, tokens))
+            last_us = us
+    assert got == sorted(want)

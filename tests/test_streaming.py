@@ -795,3 +795,55 @@ def test_capped_sessions_stream_matches_batch(spark, sf_dir):
         assert 4 in sizes and (sizes - {4})
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_token_bucket_stream_matches_batch(spark, sf_dir):
+    """token_bucket_throttle's streaming form must emit exactly the
+    rows the batch applyInPandas twin (the oracle-checked q161 plan)
+    produces — including buckets draining ACROSS micro-batch
+    boundaries (the balance and last-event anchor persist in
+    GroupState). Sorted-replay harness as in the throttle test."""
+    import os
+
+    from gov_data_pipeline_spark.streaming import (
+        read_events_stream,
+        token_bucket_throttle,
+    )
+
+    d = tempfile.mkdtemp(prefix="bucket_stream_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 3
+        cuts = [lo + span, lo + 2 * span]
+        ranges = [
+            F.col("ts") < cuts[0],
+            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+            F.col("ts") >= cuts[1],
+        ]
+        for i, cond in enumerate(ranges):
+            path = os.path.join(d, f"part{i}")
+            events.filter(cond).coalesce(1).write.parquet(path)
+            for root, _, files in os.walk(path):
+                for f in files:
+                    t = 1_000_000_000 + i * 5_000
+                    os.utime(os.path.join(root, f), (t, t))
+        stream = read_events_stream(spark, d + "/*")
+        name = f"tb_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(
+            token_bucket_throttle(stream, rate_tokens=1, per_seconds=86400, burst=2),
+            name,
+            "append",
+        )
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {
+            tuple(r)
+            for r in token_bucket_throttle(
+                events, rate_tokens=1, per_seconds=86400, burst=2
+            ).collect()
+        }
+        assert got == want
+        # the fixture must exercise BOTH verdicts
+        assert 0 < len(want) < events.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

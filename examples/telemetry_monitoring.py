@@ -87,6 +87,31 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    print("— alert shaping: gap throttle vs token bucket (batch twins) —")
+    from gov_data_pipeline_spark.streaming import (
+        throttle_dedup,
+        token_bucket_throttle,
+    )
+
+    all_events = read_table(spark, sf_dir, "events")
+    gap_kept = throttle_dedup(all_events, gap_seconds=43200).count()
+    bucket_kept = token_bucket_throttle(
+        all_events, rate_tokens=1, per_seconds=86400, burst=2
+    ).count()
+    total = all_events.count()
+    print(f"  raw events:          {total}")
+    print(f"  gap throttle (12 h): {gap_kept} kept — bursts collapse to heads")
+    print(
+        f"  token bucket (1/day, burst 2): {bucket_kept} kept — floods drop "
+        "but the average rate never starves"
+    )
+
+    print("— capped sessions (gap OR 4-event flush; batch twin) —")
+    from gov_data_pipeline_spark.streaming import capped_session_stats
+
+    sess = capped_session_stats(all_events, gap_seconds=43200, max_events=4)
+    sess.groupBy("n_events").count().orderBy("n_events").show()
+
 
 if __name__ == "__main__":
     main()

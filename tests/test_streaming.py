@@ -847,3 +847,161 @@ def test_token_bucket_stream_matches_batch(spark, sf_dir):
         assert 0 < len(want) < events.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_token_bucket_state_survives_restart(spark, sf_dir):
+    """Checkpoint-restart contract for the new stateful ops: run the
+    token bucket over the first two time-range files, STOP the query,
+    then restart from the same checkpoint with a third file present —
+    the bucket balances and last-event anchors must come back from the
+    state store, so the union of both runs' (parquet-sink) output
+    equals the one-shot batch twin. A restart that silently reset
+    state would re-fill every bucket and over-admit the third file's
+    events."""
+    import os
+
+    from gov_data_pipeline_spark.streaming import (
+        read_events_stream,
+        token_bucket_throttle,
+    )
+
+    d = tempfile.mkdtemp(prefix="bucket_restart_")
+    out = tempfile.mkdtemp(prefix="bucket_out_")
+    ckpt = tempfile.mkdtemp(prefix="bucket_ckpt_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 3
+        cuts = [lo + span, lo + 2 * span]
+        ranges = [
+            F.col("ts") < cuts[0],
+            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+            F.col("ts") >= cuts[1],
+        ]
+
+        def write_part(i, cond):
+            path = os.path.join(d, f"part{i}")
+            events.filter(cond).coalesce(1).write.parquet(path)
+            for root, _, files in os.walk(path):
+                for f in files:
+                    t = 1_000_000_000 + i * 5_000
+                    os.utime(os.path.join(root, f), (t, t))
+
+        def run_once():
+            stream = read_events_stream(spark, d + "/*")
+            q = (
+                token_bucket_throttle(
+                    stream, rate_tokens=1, per_seconds=86400, burst=2
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        write_part(0, ranges[0])
+        write_part(1, ranges[1])
+        run_once()  # first lifetime of the query
+        n_first = spark.read.parquet(out).count()
+        write_part(2, ranges[2])
+        run_once()  # restarted from the same checkpoint
+
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {
+            tuple(r)
+            for r in token_bucket_throttle(
+                events, rate_tokens=1, per_seconds=86400, burst=2
+            ).collect()
+        }
+        assert got == want
+        # both lifetimes contributed rows (the restart actually resumed)
+        assert 0 < n_first < len(got)
+    finally:
+        for p in (d, out, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def test_capped_sessions_state_and_timers_survive_restart(spark, sf_dir):
+    """Restart contract for the TIMER-based operator: open sessions and
+    their re-armed event-time timeouts must come back from the
+    checkpoint — the second lifetime delivers the third time-range
+    file plus the sentinel watermark-pusher, and the union of both
+    lifetimes' output must equal the one-shot batch twin. A reset
+    would fabricate session splits at the restart boundary."""
+    import datetime as dt
+    import os
+
+    from gov_data_pipeline_spark.streaming import (
+        capped_session_stats,
+        read_events_stream,
+    )
+
+    SENTINEL_USER = 10_000_000
+    d = tempfile.mkdtemp(prefix="sess_restart_")
+    out = tempfile.mkdtemp(prefix="sess_out_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 3
+        cuts = [lo + span, lo + 2 * span]
+        parts = [
+            events.filter(F.col("ts") < cuts[0]),
+            events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+            events.filter(F.col("ts") >= cuts[1]),
+            spark.createDataFrame(
+                [(99_999_999, SENTINEL_USER, "flush", 0.0, "{}")],
+                "event_id long, user_id long, event_type string, value double, props string",
+            ).withColumn("ts", F.lit(hi + dt.timedelta(days=30)))
+            .select(*events.columns),
+        ]
+
+        def write_part(i):
+            path = os.path.join(d, f"part{i}")
+            parts[i].coalesce(1).write.parquet(path)
+            for root, _, files in os.walk(path):
+                for f in files:
+                    t = 1_000_000_000 + i * 5_000
+                    os.utime(os.path.join(root, f), (t, t))
+
+        def run_once():
+            stream = read_events_stream(spark, d + "/*")
+            q = (
+                capped_session_stats(stream, gap_seconds=43200, max_events=4)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        write_part(0)
+        write_part(1)
+        run_once()
+        n_first = spark.read.parquet(out).count()
+        write_part(2)
+        write_part(3)  # sentinel: final watermark passes every deadline
+        run_once()
+
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .where(F.col("user_id") != SENTINEL_USER)
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in capped_session_stats(
+                events, gap_seconds=43200, max_events=4
+            ).collect()
+        }
+        assert got == want
+        assert 0 < n_first < len(got)
+    finally:
+        for p in (d, out, ckpt):
+            shutil.rmtree(p, ignore_errors=True)

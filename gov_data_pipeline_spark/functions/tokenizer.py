@@ -34,9 +34,12 @@ from __future__ import annotations
 import hashlib
 import math
 import re
+from typing import TYPE_CHECKING
 
-import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
+
+if TYPE_CHECKING:  # pandas only at UDF-construction/executor time
+    import pandas as pd
 
 _WORD_RE = re.compile(r"[^ \t\n\f\r]+")
 
@@ -60,13 +63,29 @@ def _count_one(text: str | None) -> int:
     return n
 
 
-@F.pandas_udf(T.LongType())
-def _mock_bpe_count(s: pd.Series) -> pd.Series:
-    return s.map(_count_one).astype("int64")
+_UDF_CACHE: list = []
 
 
 def mock_bpe_token_count(col: Column) -> Column:
     """Token count of ``col`` under the deterministic mock-BPE scheme
     (one Arrow-batched crossing; see module docstring for the scheme
-    and its exact DuckDB twin in ``MOCK_BPE_SQL``)."""
-    return _mock_bpe_count(col)
+    and its exact DuckDB twin in ``MOCK_BPE_SQL``).
+
+    The pandas UDF is built lazily on first call (and memoized):
+    decorating at import time would make merely LISTING the query
+    registry import pandas/pyarrow — every other Python-stage module
+    here defers pandas to call time (review finding)."""
+    if not _UDF_CACHE:
+        # pandas_udf resolves the (stringified, thanks to `from
+        # __future__ import annotations`) type hints against MODULE
+        # globals — bind pd there now that we genuinely need it
+        import pandas
+
+        globals()["pd"] = pandas
+
+        @F.pandas_udf(T.LongType())
+        def _mock_bpe_count(s: "pd.Series") -> "pd.Series":
+            return s.map(_count_one).astype("int64")
+
+        _UDF_CACHE.append(_mock_bpe_count)
+    return _UDF_CACHE[0](col)

@@ -44,9 +44,10 @@ def asof_join(
     scales linearly — the pattern survives 100x data where a naive
     range join + row_number would blow up quadratically in hot keys.
 
-    ``nearest`` compares time distances by casting the time column to
-    double (epoch seconds for timestamps) — use timestamp or numeric
-    time columns with it.
+    ``nearest`` compares time distances EXACTLY: int64 microseconds
+    (``unix_micros``) for timestamp columns, native values otherwise —
+    never floating point, where quantized payloads would flip exact
+    ties. Use timestamp or numeric time columns with it.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction!r}")
@@ -125,8 +126,22 @@ def asof_join(
         # distance — go to the PRIOR row (merge_asof convention). An
         # equal-time right row appears only in the backward frame by
         # the tie-ordering above, and wins at distance 0 regardless.
-        d_back = F.col("__t").cast("double") - back["__time"].cast("double")
-        d_fwd = fwd["__time"].cast("double") - F.col("__t").cast("double")
+        # EXACT integer time distances: timestamps compare in int64
+        # micros (unix_micros). Epoch-SECOND doubles would quantize a
+        # microsecond payload and flip ~25% of exact-distance ties to
+        # forward (caught by review simulation — the fixture has
+        # non-zero micros on every row), silently violating both the
+        # ties-to-prior contract and the q160 oracle's epoch_us math.
+        from pyspark.sql import types as T2
+
+        if isinstance(left.schema[left_time].dataType, (T2.TimestampType, T2.TimestampNTZType)):
+            def _us(c: Column) -> Column:
+                return F.unix_micros(c)
+        else:  # numeric time axes compare natively
+            def _us(c: Column) -> Column:
+                return c
+        d_back = _us(F.col("__t")) - _us(back["__time"])
+        d_fwd = _us(fwd["__time"]) - _us(F.col("__t"))
         matched = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)

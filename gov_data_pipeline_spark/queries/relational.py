@@ -384,10 +384,11 @@ def q160_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-# Distance compare in exact integer microseconds (epoch_us); the Spark
-# side compares double epoch seconds whose microsecond payloads are
-# exactly representable, so the verdicts agree. Equal distance -> the
-# prior signup, matching the operator's merge_asof tie convention.
+# Distance compare in exact integer microseconds on BOTH engines
+# (epoch_us here, unix_micros in the operator) — review simulation
+# showed double epoch-seconds flip ~25% of exact-distance ties on
+# microsecond-payload data. Equal distance -> the prior signup,
+# matching the operator's merge_asof tie convention.
 _Q160_SQL = """
 WITH err AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),

@@ -56,11 +56,17 @@ ALERT_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType([T.StructField("cum_cents", T.LongType())])
 
 
-def _to_cents(v: float) -> int:
+def _to_cents(v: float | None) -> int:
     """Match the batch twin's DECIMAL(18,2) cast (HALF_UP), not Python
-    ``round()``'s half-to-even: 0.125 -> 13 cents in both paths."""
+    ``round()``'s half-to-even: 0.125 -> 13 cents in both paths. A
+    NULL/NaN value contributes 0 — exactly what the batch twins'
+    ``F.sum`` does by skipping nulls (review finding: Decimal('nan')
+    raises InvalidOperation and would kill the streaming query where
+    the batch twin quietly carries on)."""
     from decimal import ROUND_HALF_UP, Decimal
 
+    if v is None or v != v:  # None or NaN
+        return 0
     return int(Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
 
 

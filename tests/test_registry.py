@@ -55,8 +55,11 @@ def test_priority_rotation_is_fresh():
     import json
     import re as _re
 
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest_green: dict[str, int] = {}
-    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
     assert files, "no CORRECTNESS files — driver layout changed?"
     for f in files:
         rnd = int(_re.search(r"r(\d+)", f).group(1))

@@ -347,6 +347,23 @@ class TestAsofDirections:
             "nearest",
         )
 
+    def test_microsecond_payload_tie_still_goes_to_prior(self, spark):
+        """The regression the review simulation found: with NON-ZERO
+        microsecond payloads (every fixture row has them), epoch-second
+        DOUBLE distances quantize and flip ~25% of exact ties to the
+        forward row; the exact int64-micros compare must hold the
+        ties-to-prior contract on exactly such timestamps."""
+        import datetime as dt
+
+        E = dt.datetime(2024, 1, 1, 0, 0, 0, 123457)  # odd micros
+        D = dt.timedelta(seconds=1, microseconds=337)
+        self._run(
+            spark,
+            [(1, "k", E)],
+            [("k", E - D, 1.0), ("k", E + D, 2.0)],
+            "nearest",
+        )
+
     def test_unknown_direction_raises(self, spark):
         import pytest as _pytest
 

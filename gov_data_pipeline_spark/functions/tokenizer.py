@@ -82,10 +82,30 @@ def mock_bpe_token_count(col: Column) -> Column:
         import pandas
 
         globals()["pd"] = pandas
+        # The counting logic is NESTED (stdlib-only closure) so
+        # cloudpickle ships the whole UDF BY VALUE: any reference to a
+        # module-level function pickles as an import of
+        # gov_data_pipeline_spark, which executors can't satisfy when
+        # the driver runs outside the repo root / without --py-files
+        # (measured: ModuleNotFoundError on the workers). Must stay
+        # semantically identical to `_count_one` above (the property
+        # test's model) — same regex, same md5 nibble, same ceil.
+        def count_one(text):
+            if text is None:
+                return 0
+            import hashlib as _hl
+            import math as _m
+            import re as _re
+
+            n = 0
+            for w in _re.findall(r"[^ \t\n\f\r]+", text):
+                h = _hl.md5(w.encode("utf-8")).hexdigest()
+                n += 1 if h[0] in "0123" else _m.ceil(len(w) / 4)
+            return n
 
         @F.pandas_udf(T.LongType())
         def _mock_bpe_count(s: "pd.Series") -> "pd.Series":
-            return s.map(_count_one).astype("int64")
+            return s.map(count_one).astype("int64")
 
         _UDF_CACHE.append(_mock_bpe_count)
     return _UDF_CACHE[0](col)

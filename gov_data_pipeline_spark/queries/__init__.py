@@ -48,69 +48,15 @@ _MODULES = (
 # to freshest; everything green in the LATEST driver round is demoted past
 # position 50 (falls through to module order).  Re-derive the ordering
 # from CORRECTNESS_r{N}.json every round — never trust last round's order.
-# Re-derived after r07 from all CORRECTNESS_r*.json (tripwire:
+# Re-derived after r08 from all CORRECTNESS_r*.json (tripwire:
 # tests/test_registry.py::test_priority_rotation_is_fresh). Latest
-# green rounds: q79 r03; the 50-query r04 cohort r04; everything else
-# r05 or r07. r07 greens are demoted past position 50 (fall through to
-# module order).
+# green rounds after r08: 12 queries at r04 (q88-q99), 45 at r05,
+# 50 at r07, 50 at r08. The sample = the full r04 cohort + the 38
+# name-first r05 greens; the remaining 7 r05 greens lead the overflow
+# (tie across the boundary — allowed), r07/r08 greens fall through to
+# module order.
 _PRIORITY: tuple[str, ...] = (
-    # new in r08 (no driver row yet)
-    "q151_compact_roundtrip",
-    "q152_jsonl_roundtrip",
-    "q153_token_budget_pack",
-    "q154_decontaminate_bloom",
-    "q155_sparse_cosine_topk",
-    "q156_interval_overlap",
-    "q157_capped_sessions",
-    "q158_containment_pairs",
-    "q159_normalized_dedup",
-    "q160_asof_nearest",
-    "q161_token_bucket",
-    # stalest green in the suite: last driver row r03
-    "q79_ntile",
-    # the singly-verified r04 cohort, stalest-first (name-ordered
-    # within the round); 38 of 50 fit in the sample alongside the
-    # eleven r08-new queries — q88-q99 lead the overflow
-    "q06_asof_join",
-    "q100_source_cap_sample",
-    "q101_source_quality_gate",
-    "q102_funnel",
-    "q103_retention",
-    "q104_embed_topk",
-    "q105_corpus_diff",
-    "q106_unpivot",
-    "q107_negative_sampling",
-    "q108_time_weighted_avg",
-    "q109_session_paths",
-    "q110_value_histogram",
-    "q111_grouped_percentiles",
-    "q112_correlation",
-    "q113_kmeans",
-    "q11_window_lag",
-    "q13_sessionize",
-    "q17_pivot",
-    "q27_sql_api",
-    "q29_salted_agg",
-    "q34_json",
-    "q36_map",
-    "q60_tumbling",
-    "q61_sliding",
-    "q62_session_window",
-    "q63_stream_dedup",
-    "q64_gapfill",
-    "q66_cumulative_alerts",
-    "q71_range_window",
-    "q76_stream_join",
-    "q80_semantic_clusters_lsh",
-    "q81_xlsx_image_extract",
-    "q82_docx_ingest",
-    "q83_row_index_ingest",
-    "q84_frame_sample",
-    "q85_chunk_documents",
-    "q86_sequence_pack",
-    "q87_decontaminate",
-    # --- driver sample boundary (first 50 end here: 11 r08-new + q79 +
-    # 38 of the r04 cohort; q88-q99 lead the rotation next round) ---
+    # stalest cohort: last driver row r04
     "q88_repetition_filter",
     "q89_curation_pipeline",
     "q90_pii_redact",
@@ -123,6 +69,54 @@ _PRIORITY: tuple[str, ...] = (
     "q97_time_rollup",
     "q98_point_in_time_join",
     "q99_hybrid_retrieval",
+    # r05 greens, name-ordered; first 38 fit in the sample
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_semi_join",
+    "q114_psi_drift",
+    "q117_ohlc_bars",
+    "q118_embed_quantize",
+    "q119_trend_regression",
+    "q121_zipf_slope",
+    "q123_markov_transitions",
+    "q124_ab_welch",
+    "q125_heavy_hitters",
+    "q126_hourly_percentile_bands",
+    "q127_time_to_convert",
+    "q129_html_extract",
+    "q130_url_normalize",
+    "q131_pagerank",
+    "q132_sitemap_extract",
+    "q133_robots_gate",
+    "q134_image_dims",
+    "q135_media_meta",
+    "q136_parquet_roundtrip",
+    "q20_clean_text",
+    "q21_reg_num",
+    "q22_exclusion",
+    "q23_clean_cell",
+    "q24_merge_continuation",
+    "q26_approx_agg",
+    "q33_math",
+    "q35_array",
+    "q37_base64",
+    "q40_exact_dedup",
+    "q41_jaccard_pairs",
+    "q44_cosine_topk",
+    "q46_cosine_neardup",
+    "q47_text_stats",
+    "q48_lang_id",
+    "q49_fingerprint",
+    "q57_winnowing",
+    # --- driver sample boundary (first 50 end here: 12 r04 + 38 r05;
+    # the 7 remaining r05 greens below are boundary ties) ---
+    "q67_dedup_clusters",
+    "q68_bm25",
+    "q69_stratified_sample",
+    "q70_frequent_terms",
+    "q74_semantic_clusters",
+    "q75_corpus_pipeline",
+    "q77_fuzzy_join",
 )
 
 

@@ -124,8 +124,10 @@ def asof_join(
         # nearest: both frames share the one key partitioning (Spark
         # plans one exchange + two in-partition sorts); ties — equal
         # distance — go to the PRIOR row (merge_asof convention). An
-        # equal-time right row appears only in the backward frame by
-        # the tie-ordering above, and wins at distance 0 regardless.
+        # equal-time right row appears in BOTH frames (w_fwd sorts left
+        # rows first at equal __t, so the right row is still in the
+        # following frame); correctness rests on d_fwd == d_back == 0
+        # resolving to the backward pick via the .otherwise(back) arm.
         # EXACT integer time distances: timestamps compare in int64
         # micros (unix_micros). Epoch-SECOND doubles would quantize a
         # microsecond payload and flip ~25% of exact-distance ties to

@@ -256,8 +256,12 @@ def q157_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integer cents, so stream, batch, and oracle agree
     bit-for-bit."""
     events = _t(spark, sf_dir, "events")
+    # session_end/n_events tiebreaks: a cap-flushed session and its
+    # successor can share (user_id, session_start) when >= max_events
+    # events carry one timestamp — without them row order is
+    # nondeterministic in both engines.
     return capped_session_stats(events, gap_seconds=43200, max_events=4).orderBy(
-        "user_id", "session_start"
+        "user_id", "session_start", "session_end", "n_events"
     )
 
 
@@ -287,10 +291,10 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,
-       CAST(sum(vc) AS BIGINT) AS sum_cents
+       CAST(coalesce(sum(vc), 0) AS BIGINT) AS sum_cents
 FROM subs
 GROUP BY user_id, gid, sid
-ORDER BY user_id, session_start
+ORDER BY user_id, session_start, session_end, n_events
 """
 
 

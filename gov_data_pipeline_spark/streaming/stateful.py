@@ -59,10 +59,11 @@ _STATE_SCHEMA = T.StructType([T.StructField("cum_cents", T.LongType())])
 def _to_cents(v: float | None) -> int:
     """Match the batch twin's DECIMAL(18,2) cast (HALF_UP), not Python
     ``round()``'s half-to-even: 0.125 -> 13 cents in both paths. A
-    NULL/NaN value contributes 0 — exactly what the batch twins'
-    ``F.sum`` does by skipping nulls (review finding: Decimal('nan')
-    raises InvalidOperation and would kill the streaming query where
-    the batch twin quietly carries on)."""
+    NULL/NaN value contributes 0 — matching the batch twins, whose
+    ``F.sum`` skips nulls and (for capped sessions) coalesces the
+    all-NULL-session sum to 0 so the edge agrees too (review finding:
+    Decimal('nan') raises InvalidOperation and would kill the
+    streaming query where the batch twin quietly carries on)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     if v is None or v != v:  # None or NaN
@@ -338,7 +339,12 @@ def capped_session_stats(
                 F.min("ts").alias("session_start"),
                 F.max("ts").alias("session_end"),
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum(vc).alias("sum_cents"),
+                # coalesce: a session whose EVERY value is NULL must sum
+                # to 0 cents, matching the streaming loop (NULL/NaN ->
+                # 0 per event) — F.sum alone returns NULL for that edge
+                F.coalesce(F.sum(vc), F.lit(0).cast("long")).alias(
+                    "sum_cents"
+                ),
             )
             .select(
                 "user_id", "session_start", "session_end",

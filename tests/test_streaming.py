@@ -797,6 +797,80 @@ def test_capped_sessions_stream_matches_batch(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_capped_sessions_all_null_values_sum_to_zero(spark):
+    """A session whose EVERY value is NULL must report sum_cents = 0 in
+    BOTH modes: the streaming loop maps each NULL/NaN to 0 cents, and
+    the batch twin coalesces its F.sum (which alone would return NULL
+    for that edge — the round-9 advisor finding; the sf fixtures carry
+    no NULL values, so only this test exercises it)."""
+    import datetime as dt
+    import os
+
+    from gov_data_pipeline_spark.streaming import (
+        capped_session_stats,
+        read_events_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: one 3-event session, every value NULL
+        (1, 1, base, None, "a", "{}"),
+        (2, 1, base + dt.timedelta(minutes=5), None, "a", "{}"),
+        (3, 1, base + dt.timedelta(minutes=9), None, "a", "{}"),
+        # user 2: mixed NULL and non-NULL in one session
+        (4, 2, base, None, "a", "{}"),
+        (5, 2, base + dt.timedelta(minutes=1), 2.5, "a", "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string, props string",
+    )
+    batch = {
+        tuple(r)
+        for r in capped_session_stats(
+            events, gap_seconds=3600, max_events=10
+        ).collect()
+    }
+    sums = {r[0]: r[4] for r in batch}
+    assert sums[1] == 0, "all-NULL session must sum to 0 cents, not NULL"
+    assert sums[2] == 250
+
+    d = tempfile.mkdtemp(prefix="capped_null_stream_")
+    try:
+        events.coalesce(1).write.parquet(os.path.join(d, "part0"))
+        sentinel = spark.createDataFrame(
+            [(99, 999, base + dt.timedelta(days=30), 0.0, "flush", "{}")],
+            "event_id long, user_id long, ts timestamp, value double, "
+            "event_type string, props string",
+        )
+        sentinel.coalesce(1).write.parquet(os.path.join(d, "part1"))
+        for i in range(2):
+            for root, _, files in os.walk(os.path.join(d, f"part{i}")):
+                for f in files:
+                    t = 1_000_000_000 + i * 5_000
+                    os.utime(os.path.join(root, f), (t, t))
+        name = f"csnull_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(
+            capped_session_stats(
+                read_events_stream(spark, d + "/*"),
+                gap_seconds=3600,
+                max_events=10,
+            ),
+            name,
+            "append",
+        )
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                f"SELECT * FROM {name} WHERE user_id != 999"
+            ).collect()
+        }
+        assert got == batch
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_token_bucket_stream_matches_batch(spark, sf_dir):
     """token_bucket_throttle's streaming form must emit exactly the
     rows the batch applyInPandas twin (the oracle-checked q161 plan)

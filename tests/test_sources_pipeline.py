@@ -559,6 +559,150 @@ def test_write_jsonl_roundtrip_sharded_compressed(spark, tmp_path):
     assert got == {(i, f"text {i}") for i in range(100)}
 
 
+class TestFetchPost:
+    """R2 parity: the reference's ``post()`` sends form-data or JSON
+    bodies (``handlers/base.py:106-169``); the engine's fetch_urls must
+    deliver the same method/body/Content-Type to the wire — asserted
+    against a local recording server."""
+
+    @staticmethod
+    def _server(record):
+        import http.server
+        import threading
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def _handle(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                record.append(
+                    {
+                        "method": self.command,
+                        "path": self.path,
+                        "headers": dict(self.headers),
+                        "body": self.rfile.read(n),
+                    }
+                )
+                body = b"posted"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            do_POST = _handle
+            do_GET = _handle
+            do_PUT = _handle
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    def test_form_data_dict_posts_urlencoded(self, spark):
+        from gov_data_pipeline_spark.sources.http import fetch_urls
+
+        record = []
+        srv = self._server(record)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/task"
+            df = spark.createDataFrame([(url,)], "url string")
+            row = fetch_urls(
+                df, data={"tool": "officepdf", "files[]": "x.docx"},
+                max_retries=1,
+            ).collect()[0]
+            assert row["status"] == 200 and row["content"] == b"posted"
+            got = record[0]
+            assert got["method"] == "POST"
+            assert got["headers"]["Content-Type"] == (
+                "application/x-www-form-urlencoded"
+            )
+            from urllib.parse import parse_qs
+
+            assert parse_qs(got["body"].decode()) == {
+                "tool": ["officepdf"], "files[]": ["x.docx"]
+            }
+        finally:
+            srv.shutdown()
+
+    def test_json_data_posts_json(self, spark):
+        import json as _json
+
+        from gov_data_pipeline_spark.sources.http import fetch_urls
+
+        record = []
+        srv = self._server(record)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/v1/process"
+            df = spark.createDataFrame([(url,)], "url string")
+            row = fetch_urls(
+                df, json_data={"task": "abc", "n": 3}, max_retries=1
+            ).collect()[0]
+            assert row["status"] == 200
+            got = record[0]
+            assert got["method"] == "POST"
+            assert got["headers"]["Content-Type"] == "application/json"
+            assert _json.loads(got["body"]) == {"task": "abc", "n": 3}
+        finally:
+            srv.shutdown()
+
+    def test_body_col_sends_per_row_bodies(self, spark):
+        """The distributed form: each row carries its own body; an
+        explicit Content-Type header wins; rows with NULL body post
+        an empty body (not a crash)."""
+        from gov_data_pipeline_spark.sources.http import fetch_urls
+
+        record = []
+        srv = self._server(record)
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            df = spark.createDataFrame(
+                [(f"{base}/a", '{"doc":1}'), (f"{base}/b", '{"doc":2}')],
+                "url string, payload string",
+            )
+            rows = fetch_urls(
+                df,
+                body_col="payload",
+                headers={"Content-Type": "application/json"},
+                max_retries=1,
+            ).collect()
+            assert {r["status"] for r in rows} == {200}
+            by_path = {r["path"]: r for r in record}
+            assert by_path["/a"]["body"] == b'{"doc":1}'
+            assert by_path["/b"]["body"] == b'{"doc":2}'
+            assert all(
+                r["method"] == "POST"
+                and r["headers"]["Content-Type"] == "application/json"
+                for r in record
+            )
+        finally:
+            srv.shutdown()
+
+    def test_explicit_method_overrides_derived(self, spark):
+        from gov_data_pipeline_spark.sources.http import fetch_urls
+
+        record = []
+        srv = self._server(record)
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/res"
+            df = spark.createDataFrame([(url,)], "url string")
+            fetch_urls(
+                df, method="PUT", data=b"raw-bytes", max_retries=1
+            ).collect()
+            assert record[0]["method"] == "PUT"
+            assert record[0]["body"] == b"raw-bytes"
+        finally:
+            srv.shutdown()
+
+    def test_body_argument_conflicts_raise_at_plan_time(self, spark):
+        from gov_data_pipeline_spark.sources.http import fetch_urls
+
+        df = spark.createDataFrame([("http://x/", "b")], "url string, p string")
+        with pytest.raises(ValueError, match="not both"):
+            fetch_urls(df, data={"a": "1"}, json_data={"b": 2})
+        with pytest.raises(ValueError, match="exclusive"):
+            fetch_urls(df, body_col="p", data={"a": "1"})
+
+
 class TestFetchProxyCookies:
     """Fetch-surface parity with the reference's handlers/base.py fetch:
     proxy (inline-auth string format), cookies, per-source User-Agent."""

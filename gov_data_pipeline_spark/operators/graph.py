@@ -130,6 +130,66 @@ def dedup_clusters(
     return out.withColumn("is_canonical", F.col("component") == F.col(id_col))
 
 
+def containment_dedup(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    threshold: float = 0.9,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    c_ab_col: str = "containment_ab",
+    c_ba_col: str = "containment_ba",
+) -> DataFrame:
+    """Keep-the-superset dedup over asymmetric containment pairs
+    (``operators/dedup.containment_pairs_text`` output): every document
+    gets a ``component`` label (cluster minimum id, computed over the
+    containment edges exactly like ``dedup_clusters``) and a ``kept``
+    flag that actually REMOVES excerpt leaks instead of reporting them.
+
+    The keep decision is per-EDGE, not per-cluster: a document is
+    dropped iff it is the subset side of at least one containment pair
+    — ``c_ab >= threshold`` means A's shingles sit inside B, so A is
+    the quote/excerpt and B the superset to keep. Mutual containment
+    (both ratios over threshold — near-identical shingle sets) keeps
+    the smaller id, the canonical-min convention. Per-cluster
+    keep-the-largest would be WRONG here: two originals sharing one
+    boilerplate snippet land in one cluster, and only the snippet —
+    the contained side — may be dropped, never the second original.
+    Subset-ness is also independent of whether the superset itself
+    survives: in a chain A ⊂ B ⊂ C, A is (transitively) inside C, so
+    dropping both A and B while keeping C is exactly right.
+
+    Thresholding uses the PAIR FRAME'S ratio columns as-is (rounded to
+    4 by the generator) so an oracle reproducing the decision from the
+    same rounded values agrees bit-for-bit; round-to-4 is monotone, so
+    every pair the generator admitted at ``threshold`` still passes.
+
+    Scale shape: the pair set from the inverted-index generator is
+    orders of magnitude smaller than the corpus; the loser set is one
+    distinct over it, and both final joins are corpus ⋈ small (AQE
+    broadcasts them). The corpus is never shuffled on anything but its
+    id.
+    """
+    ab = F.col(c_ab_col) >= threshold
+    ba = F.col(c_ba_col) >= threshold
+    edges = pairs.filter(ab | ba)
+    losers = edges.select(
+        F.when(ab & ba, F.greatest(F.col(a_col), F.col(b_col)))
+        .when(ab, F.col(a_col))
+        .otherwise(F.col(b_col))
+        .alias("__loser")
+    ).distinct()
+    comp = connected_components(edges, a_col, b_col)
+    out = corpus.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    return (
+        out.join(losers, out[id_col] == losers["__loser"], "left")
+        .withColumn("kept", F.col("__loser").isNull())
+        .drop("__loser")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,

@@ -56,6 +56,9 @@ _MODULES = (
 # (tie across the boundary — allowed), r07/r08 greens fall through to
 # module order.
 _PRIORITY: tuple[str, ...] = (
+    # new in r09 (no driver row yet)
+    "q162_excel_roundtrip",
+    "q163_containment_dedup",
     # stalest cohort: last driver row r04
     "q88_repetition_filter",
     "q89_curation_pipeline",
@@ -106,10 +109,11 @@ _PRIORITY: tuple[str, ...] = (
     "q46_cosine_neardup",
     "q47_text_stats",
     "q48_lang_id",
+    # --- driver sample boundary (first 50 end here: 2 r09-new +
+    # 12 r04 + 36 r05; the 9 remaining r05 greens below are boundary
+    # ties) ---
     "q49_fingerprint",
     "q57_winnowing",
-    # --- driver sample boundary (first 50 end here: 12 r04 + 38 r05;
-    # the 7 remaining r05 greens below are boundary ties) ---
     "q67_dedup_clusters",
     "q68_bm25",
     "q69_stratified_sample",

@@ -279,6 +279,92 @@ ORDER BY a_id, b_id
 """
 
 
+def q163_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q158's pairs fed through the keep-the-superset decision
+    (``operators/graph.containment_dedup``): the full fixture corpus
+    (documents + planted excerpts) labeled with its containment-cluster
+    component and a ``kept`` flag — planted excerpts come back
+    ``kept=false`` while their sources stay ``kept=true``, so excerpt
+    leaks are REMOVED, not just reported. Oracle reproduces the edge
+    direction rule and min-label components via a recursive CTE over
+    the same pair set."""
+    from gov_data_pipeline_spark.operators.dedup import containment_pairs_text
+    from gov_data_pipeline_spark.operators.graph import containment_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = _words_col()
+    excerpts = docs.filter((F.col("doc_id") % 7 == 0) & (F.size(ws) >= 17)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(ws, 4, 14)).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    pairs = containment_pairs_text(
+        corpus, "doc_id", F.col("text"), n=3, threshold=0.9, cache=True
+    )
+    return (
+        containment_dedup(pairs, corpus.select("doc_id"), "doc_id", threshold=0.9)
+        .select("doc_id", "component", "kept")
+        .orderBy("doc_id")
+    )
+
+
+_Q163_SQL = r"""
+WITH RECURSIVE w0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, array_to_string(ws[4:17], ' ') AS text
+  FROM w0 WHERE doc_id % 7 = 0 AND len(ws) >= 17),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id,
+         round(inter / sa.n, 4) AS c_ab,
+         round(inter / sb.n, 4) AS c_ba
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE greatest(inter / sa.n, inter / sb.n) >= 0.9),
+losers AS (
+  SELECT DISTINCT CASE
+           WHEN c_ab >= 0.9 AND c_ba >= 0.9 THEN greatest(a_id, b_id)
+           WHEN c_ab >= 0.9 THEN a_id
+           ELSE b_id END AS id
+  FROM pairs),
+edges AS (
+  SELECT a_id AS eu, b_id AS ev FROM pairs
+  UNION
+  SELECT b_id AS eu, a_id AS ev FROM pairs),
+reach AS (
+  SELECT eu, ev FROM edges
+  UNION
+  SELECT r.eu, e.ev FROM reach r JOIN edges e ON e.eu = r.ev),
+comp AS (
+  SELECT eu AS id, least(eu, min(ev)) AS component FROM reach GROUP BY eu)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+       (l.id IS NULL) AS kept
+FROM u d
+LEFT JOIN comp c ON c.id = d.doc_id
+LEFT JOIN losers l ON l.id = d.doc_id
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # L6 (sketch path) — MinHash + banded LSH candidates, exact-Jaccard
 # verified. The md5-derived hash family (h1 + i*h2 double hashing) is
@@ -2561,6 +2647,7 @@ QUERIES = {
     "q70_frequent_terms": q70_frequent_terms,
     "q41_jaccard_pairs": q41_jaccard_pairs,
     "q158_containment_pairs": q158_containment_pairs,
+    "q163_containment_dedup": q163_containment_dedup,
     "q42_minhash_lsh": q42_minhash_lsh,
     "q43_simhash": q43_simhash,
     "q44_cosine_topk": q44_cosine_topk,
@@ -2618,6 +2705,7 @@ ORACLE = {
     "q159_normalized_dedup": _Q159_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q158_containment_pairs": _Q158_SQL,
+    "q163_containment_dedup": _Q163_SQL,
     "q44_cosine_topk": _Q44_SQL,
     "q46_cosine_neardup": _Q46_SQL,
     "q47_text_stats": _Q47_SQL,

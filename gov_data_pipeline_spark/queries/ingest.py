@@ -1037,6 +1037,81 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q162 — Excel sink round-trip (the driver-checkable oracle row for
+# sources/excel.write_excel, COVERAGE R26/T4-sink): slice lineitem
+# deterministically, write it through the stdlib xlsx writer, read it
+# back with read_excel (all-strings + header row), re-type by position
+# and aggregate against DuckDB over the ORIGINAL parquet rows. The
+# hash matches only if the sink's stringification (longs without
+# '.0', doubles shortest-repr, nulls as empty cells) and the codec's
+# SpreadsheetML escaping round-trip every value losslessly. The slice
+# keeps the driver-side collect at report size — write_excel's
+# documented regime (datasets go to write_parquet). Same
+# two-generation tmp-dir protocol as q136/q151/q152.
+# ---------------------------------------------------------------------------
+
+_Q162_SEQ: dict[str, int] = {}
+
+
+def q162_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from gov_data_pipeline_spark.sources.excel import read_excel, write_excel
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "q162_excel_%d_%s"
+        % (os.getpid(), sf_dir.strip("/").replace("/", "_")),
+    )
+    seq = _Q162_SEQ.get(base, 0)
+    _Q162_SEQ[base] = seq + 1
+    shutil.rmtree(f"{base}_{seq - 2}", ignore_errors=True)
+    os.makedirs(f"{base}_{seq}", exist_ok=True)
+    path = f"{base}_{seq}/slice.xlsx"
+    write_excel(li, path)
+    back = read_excel(spark, path)
+    # row 0 is the header write_excel emits; re-type by position
+    parsed = back.filter(F.col("row_idx") > 0).select(
+        F.col("c0").cast("long").alias("l_orderkey"),
+        F.col("c1").cast("int").alias("l_linenumber"),
+        F.col("c2").cast("double").alias("l_quantity"),
+        F.col("c3").alias("l_returnflag"),
+    )
+    return (
+        parsed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.sum("l_linenumber").alias("line_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q162_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(l_linenumber) AS BIGINT) AS line_sum
+FROM lineitem
+WHERE l_orderkey % 97 = 0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q81_xlsx_image_extract": q81_xlsx_image_extract,
     "q82_docx_ingest": q82_docx_ingest,
@@ -1053,6 +1128,7 @@ QUERIES = {
     "q136_parquet_roundtrip": q136_parquet_roundtrip,
     "q151_compact_roundtrip": q151_compact_roundtrip,
     "q152_jsonl_roundtrip": q152_jsonl_roundtrip,
+    "q162_excel_roundtrip": q162_excel_roundtrip,
 }
 
 ORACLE = {
@@ -1071,4 +1147,5 @@ ORACLE = {
     "q136_parquet_roundtrip": _Q136_SQL,
     "q151_compact_roundtrip": _Q151_SQL,
     "q152_jsonl_roundtrip": _Q152_SQL,
+    "q162_excel_roundtrip": _Q162_SQL,
 }

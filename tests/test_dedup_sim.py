@@ -1030,3 +1030,69 @@ class TestContainmentPairs:
             containment_pairs_text(df, "doc_id", F.col("text"), threshold=0.1).count()
             == 0
         )
+
+
+class TestContainmentDedup:
+    """operators/graph.containment_dedup — the keep-the-superset
+    decision that turns containment PAIRS into removals (q163)."""
+
+    @staticmethod
+    def _decide(spark, rows, threshold=0.9):
+        from gov_data_pipeline_spark.operators.dedup import containment_pairs_text
+        from gov_data_pipeline_spark.operators.graph import containment_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = containment_pairs_text(
+            df, "doc_id", F.col("text"), threshold=threshold
+        )
+        return {
+            r.doc_id: (r.component, r.kept)
+            for r in containment_dedup(
+                pairs, df.select("doc_id"), "doc_id", threshold=threshold
+            ).collect()
+        }
+
+    def test_planted_excerpt_dropped_source_kept(self, spark):
+        """The q163 fixture shape: the excerpt (quote leak) must be
+        REMOVED and its source kept, in one component; the unrelated
+        doc stays a kept singleton."""
+        base = " ".join(f"w{i}" for i in range(60))
+        excerpt = " ".join(f"w{i}" for i in range(10, 22))
+        got = self._decide(
+            spark,
+            [(1, base), (2, excerpt), (3, " ".join(f"x{i}" for i in range(30)))],
+        )
+        assert got[1] == (1, True)  # source kept
+        assert got[2] == (1, False)  # excerpt removed
+        assert got[3] == (3, True)  # unrelated doc untouched
+
+    def test_shared_boilerplate_drops_snippet_not_originals(self, spark):
+        """Two originals embedding one boilerplate snippet: one cluster,
+        but ONLY the contained snippet may be dropped — per-cluster
+        keep-the-largest would wrongly drop the second original."""
+        snippet = " ".join(f"s{i}" for i in range(12))
+        d1 = snippet + " " + " ".join(f"a{i}" for i in range(40))
+        d2 = snippet + " " + " ".join(f"b{i}" for i in range(45))
+        got = self._decide(spark, [(1, d1), (2, d2), (3, snippet)])
+        assert got[3][1] is False  # snippet removed
+        assert got[1][1] is True and got[2][1] is True  # originals kept
+        assert got[1][0] == got[2][0] == got[3][0] == 1  # one component
+
+    def test_chain_keeps_only_the_maximal_superset(self, spark):
+        """A ⊂ B ⊂ C: subset-ness is independent of whether the
+        container survives — A and B are dropped, C kept."""
+        c = " ".join(f"w{i}" for i in range(60))
+        b = " ".join(f"w{i}" for i in range(5, 35))
+        a = " ".join(f"w{i}" for i in range(10, 22))
+        got = self._decide(spark, [(1, a), (2, b), (3, c)])
+        assert got[1][1] is False and got[2][1] is False
+        assert got[3][1] is True
+        assert {v[0] for v in got.values()} == {1}
+
+    def test_mutual_containment_keeps_smaller_id(self, spark):
+        """Near-identical shingle sets (both ratios at 1.0) resolve by
+        the canonical-min convention."""
+        text = " ".join(f"w{i}" for i in range(20))
+        got = self._decide(spark, [(7, text), (9, text)])
+        assert got[7] == (7, True)
+        assert got[9] == (7, False)

@@ -998,6 +998,164 @@ def test_token_bucket_state_survives_restart(spark, sf_dir):
             shutil.rmtree(p, ignore_errors=True)
 
 
+def test_transform_with_state_migration_probe():
+    """Migration tripwire (SURVEY §15/§16): the timer-based stateful
+    operators ship on ``applyInPandasWithState`` because Spark 4's
+    ``transformWithStateInPandas`` state protocol imports
+    ``google.protobuf`` (StateMessage_pb2), which this runtime lacks —
+    the twS Python driver worker dies with "worker exited
+    unexpectedly". This probe SKIPS with that reason while the block
+    holds; the day the runtime gains protobuf it FAILS as a reminder
+    to revisit the migration (named timers + typed state in
+    streaming/stateful.py)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas migration blocked: "
+            "google.protobuf is not importable in this runtime; "
+            "applyInPandasWithState remains the shipped form "
+            "(streaming/stateful.py, SURVEY §15)"
+        )
+    pytest.fail(
+        "google.protobuf is now importable — the "
+        "transformWithStateInPandas migration (named timers + typed "
+        "state for capped_session_stats/token_bucket_throttle) is "
+        "unblocked; see SURVEY §15"
+    )
+
+
+def test_stateful_restart_fuzz_matches_batch(spark, sf_dir):
+    """Randomized replay+restart fuzz for the three custom stateful
+    operators (cumulative alerts, capped sessions, token bucket): 20
+    iterations, each with a RANDOM contiguous time-range split into
+    2-5 micro-batch files AND a random checkpoint stop/restart
+    boundary mid-stream, asserting bit-equality with the batch twin.
+    The fixed-split tests above each pin one boundary; this is the
+    generalization that hunts state-serialization-across-resume bugs
+    no oracle or fixed replay can see (random splits also produce
+    EMPTY micro-batches when two cuts land close together — a shape
+    the fixed harnesses never exercise). Seeded rng: failures
+    reproduce."""
+    import datetime as dt
+    import os
+    import random
+
+    from gov_data_pipeline_spark.streaming import (
+        capped_session_stats,
+        cumulative_alerts,
+        read_events_stream,
+        token_bucket_throttle,
+    )
+
+    SENTINEL_USER = 10_000_000
+    events = read_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    sentinel = (
+        spark.createDataFrame(
+            [(99_999_999, SENTINEL_USER, "flush", 0.0, "{}")],
+            "event_id long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .withColumn("ts", F.lit(hi + dt.timedelta(days=30)))
+        .select(*events.columns)
+    )
+
+    ops = {
+        "alerts": (
+            lambda df: cumulative_alerts(df, threshold=1000.0),
+            False,
+        ),
+        "sessions": (
+            lambda df: capped_session_stats(
+                df, gap_seconds=43200, max_events=4
+            ),
+            True,
+        ),
+        "bucket": (
+            lambda df: token_bucket_throttle(
+                df, rate_tokens=1, per_seconds=86400, burst=2
+            ),
+            False,
+        ),
+    }
+    # batch twins once — the input never changes across iterations
+    want = {
+        name: {tuple(r) for r in op(events).collect()}
+        for name, (op, _) in ops.items()
+    }
+    assert all(want.values())
+
+    rng = random.Random(0xC83F1E)
+    for it in range(20):
+        name = list(ops)[it % len(ops)]
+        op, needs_sentinel = ops[name]
+        k = rng.randint(2, 5)
+        fracs = sorted(rng.uniform(0.02, 0.98) for _ in range(k - 1))
+        cuts = [lo + span * f for f in fracs]
+        bounds = [None, *cuts, None]
+        parts = []
+        for i in range(k):
+            cond = F.lit(True)
+            if bounds[i] is not None:
+                cond = cond & (F.col("ts") >= bounds[i])
+            if bounds[i + 1] is not None:
+                cond = cond & (F.col("ts") < bounds[i + 1])
+            parts.append(events.filter(cond))
+        if needs_sentinel:
+            parts.append(sentinel)
+        restart_after = rng.randint(1, k - 1)
+
+        d = tempfile.mkdtemp(prefix=f"fuzz_{name}_{it}_src_")
+        out = tempfile.mkdtemp(prefix=f"fuzz_{name}_{it}_out_")
+        ckpt = tempfile.mkdtemp(prefix=f"fuzz_{name}_{it}_ckpt_")
+        try:
+
+            def write_part(i):
+                path = os.path.join(d, f"part{i}")
+                parts[i].coalesce(1).write.parquet(path)
+                for root, _, files in os.walk(path):
+                    for f in files:
+                        t = 1_000_000_000 + i * 5_000
+                        os.utime(os.path.join(root, f), (t, t))
+
+            def run_once():
+                q = (
+                    op(read_events_stream(spark, d + "/*"))
+                    .writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(120), "streaming query hung"
+
+            for i in range(restart_after):
+                write_part(i)
+            run_once()  # first lifetime
+            for i in range(restart_after, len(parts)):
+                write_part(i)
+            run_once()  # restarted from the same checkpoint
+
+            got = {
+                tuple(r)
+                for r in spark.read.parquet(out)
+                .where(F.col("user_id") != SENTINEL_USER)
+                .collect()
+            }
+            assert got == want[name], (
+                f"iteration {it} ({name}): k={k} fracs={fracs} "
+                f"restart_after={restart_after} — stream+restart "
+                f"diverged from batch by "
+                f"{len(got ^ want[name])} rows"
+            )
+        finally:
+            for p in (d, out, ckpt):
+                shutil.rmtree(p, ignore_errors=True)
+
+
 def test_capped_sessions_state_and_timers_survive_restart(spark, sf_dir):
     """Restart contract for the TIMER-based operator: open sessions and
     their re-armed event-time timeouts must come back from the

@@ -295,8 +295,84 @@ FROM rows_out
 ORDER BY "check"
 """
 
+# ---------------------------------------------------------------------------
+# q164 — learned quality filter: hashed-feature linear model scoring
+# (operators/scoring.score_linear_model), the fastText/CCNet-shaped
+# step after the heuristic signals (q47/q93). Model-as-a-table: the
+# deterministic pseudo-weights table (262 144 features, md5-derived
+# milli-unit weights both engines rebuild bit-identically) broadcasts
+# into an explode → hash → join → sum plan with zero Python. Logits
+# are exact int64 sums, so the oracle hashes every logit, not a
+# tolerance band.
+# ---------------------------------------------------------------------------
+
+_Q164_N_FEATURES = 1 << 18
+
+
+def q164_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.scoring import (
+        pseudo_weights,
+        score_linear_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = pseudo_weights(spark, n_features=_Q164_N_FEATURES)
+    return (
+        score_linear_model(
+            docs,
+            "doc_id",
+            F.col("text"),
+            w,
+            n_features=_Q164_N_FEATURES,
+            hash_family="md5",
+        )
+        .select("doc_id", "logit", "kept")
+        .orderBy("doc_id")
+    )
+
+
+_Q164_SQL = """
+WITH w AS (
+  SELECT range AS feature_id,
+         ('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 13))::BIGINT
+           % 2001 - 1000 AS weight
+  FROM range(262144)),
+docs AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))
+           AS canon
+  FROM documents),
+ws AS (
+  SELECT doc_id, string_split(canon, ' ') AS wlist
+  FROM docs WHERE len(canon) > 0),
+grams AS (
+  SELECT doc_id, unnest(wlist) AS g FROM ws
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wlist)),
+                               i -> wlist[i] || ' ' || wlist[i+1])) AS g
+  FROM ws WHERE len(wlist) >= 2),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 13))::BIGINT % 262144 AS feature_id,
+         count(*) AS tf
+  FROM grams GROUP BY 1, 2),
+sums AS (
+  SELECT f.doc_id, sum(f.tf * w.weight) AS dot
+  FROM feats f JOIN w ON w.feature_id = f.feature_id
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.dot, 0) AS BIGINT) AS logit,
+       coalesce(s.dot, 0) >= 0 AS kept
+FROM documents d
+LEFT JOIN sums s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "q128_expectations": q128_expectations,
+    "q164_quality_linear": q164_quality_linear,
     "q122_k_anonymity": q122_k_anonymity,
     "q90_pii_redact": q90_pii_redact,
     "q93_outlier_zscore": q93_outlier_zscore,
@@ -304,6 +380,7 @@ QUERIES = {
 
 ORACLE = {
     "q128_expectations": _Q128_SQL,
+    "q164_quality_linear": _Q164_SQL,
     "q122_k_anonymity": _Q122_SQL,
     "q90_pii_redact": _Q90_SQL,
     "q93_outlier_zscore": _Q93_SQL,

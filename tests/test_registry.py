@@ -307,7 +307,7 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
         "q84_frame_sample", "q153_token_budget_pack",
         "q154_decontaminate_bloom", "q155_sparse_cosine_topk",
         "q158_containment_pairs", "q159_normalized_dedup",
-        "q163_containment_dedup",
+        "q163_containment_dedup", "q164_quality_linear",
     ]
     missing = [n for n in must_match if n not in Q or n not in O]
     assert not missing, f"sweep list out of date: {missing}"

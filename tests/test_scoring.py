@@ -1,0 +1,149 @@
+"""operators/scoring — hashed-feature linear model scoring (q164)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _h1(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+
+def _model_weight(feature_id: int, spread: int = 1000) -> int:
+    return _h1(str(feature_id)) % (2 * spread + 1) - spread
+
+
+def _expected_logit(text: str, n_features: int) -> int:
+    import re
+
+    canon = re.sub(r"[^A-Za-z0-9]+", " ", text).strip().lower()
+    if not canon:
+        return 0
+    ws = canon.split(" ")
+    grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    return sum(_model_weight(_h1(g) % n_features) for g in grams)
+
+
+class TestScoreLinearModel:
+    def test_logit_matches_hand_computed_model(self, spark):
+        """Bit-exact pin of the whole chain — canonicalization, unigram
+        + bigram features, md5 feature hashing, weight lookup, integer
+        sum — against an independent pure-Python model."""
+        from gov_data_pipeline_spark.operators.scoring import (
+            pseudo_weights,
+            score_linear_model,
+        )
+
+        n = 1 << 10
+        rows = [
+            (1, "Hello, World!"),
+            (2, "the quick brown fox JUMPS over the lazy dog"),
+            (3, "Hello hello HELLO"),  # repeated token: tf=3 not 1
+            (4, "one"),  # single word: no bigrams
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.logit
+            for r in score_linear_model(
+                docs,
+                "doc_id",
+                F.col("text"),
+                pseudo_weights(spark, n_features=n),
+                n_features=n,
+                hash_family="md5",
+            ).collect()
+        }
+        want = {i: _expected_logit(t, n) for i, t in rows}
+        assert got == want
+
+    def test_zero_feature_docs_keep_the_intercept(self, spark):
+        from gov_data_pipeline_spark.operators.scoring import (
+            pseudo_weights,
+            score_linear_model,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "!!! ***"), (2, ""), (3, None), (4, "   ")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.logit, r.kept)
+            for r in score_linear_model(
+                docs,
+                "doc_id",
+                F.col("text"),
+                pseudo_weights(spark, n_features=64),
+                n_features=64,
+                intercept=5,
+                threshold=10,
+                hash_family="md5",
+            ).collect()
+        }
+        assert out == {i: (5, False) for i in (1, 2, 3, 4)}
+
+    def test_threshold_gates_kept(self, spark):
+        from gov_data_pipeline_spark.operators.scoring import (
+            pseudo_weights,
+            score_linear_model,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma")], "doc_id long, text string"
+        )
+        w = pseudo_weights(spark, n_features=256)
+        logit = score_linear_model(
+            docs, "doc_id", F.col("text"), w, n_features=256,
+            hash_family="md5",
+        ).collect()[0].logit
+        for thr, want in ((logit, True), (logit + 1, False)):
+            r = score_linear_model(
+                docs, "doc_id", F.col("text"), w, n_features=256,
+                threshold=thr, hash_family="md5",
+            ).collect()[0]
+            assert r.kept is want
+
+    def test_model_join_is_broadcast(self, spark):
+        """The weights table must reach executors as a broadcast — a
+        shuffled model join would move corpus-sized feature rows."""
+        from gov_data_pipeline_spark.operators.scoring import (
+            pseudo_weights,
+            score_linear_model,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        plan = score_linear_model(
+            docs, "doc_id", F.col("text"),
+            pseudo_weights(spark, n_features=1 << 12),
+            n_features=1 << 12,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_hash_families_agree_on_structure(self, spark):
+        """xxhash64 (scale default) and md5 (oracle family) must build
+        the same number of features per document — only the bucket ids
+        differ."""
+        from gov_data_pipeline_spark.operators.scoring import (
+            hashed_token_features,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "w1 w2 w3 w1"), (2, "solo")], "doc_id long, text string"
+        )
+        for fam in ("xxhash64", "md5"):
+            feats = hashed_token_features(
+                docs, "doc_id", F.col("text"), n_features=1 << 20,
+                hash_family=fam,
+            )
+            tf_total = {
+                r.doc_id: r.s
+                for r in feats.groupBy("doc_id")
+                .agg(F.sum("tf").alias("s"))
+                .collect()
+            }
+            # doc 1: 4 unigrams + 3 bigrams; doc 2: 1 unigram
+            assert tf_total == {1: 7, 2: 1}, fam

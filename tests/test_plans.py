@@ -236,6 +236,33 @@ class TestRound2OperatorPlans:
         # the candidate join keys include the bin column
         assert "__bin" in plan
 
+    def test_q163_containment_dedup_no_pair_enumeration(self, spark, sf_dir):
+        """q163: candidates ride q158's shingle-hash EQUI-join; the
+        keep-decision and component stages add only key joins over the
+        (tiny) pair set — no cartesian or nested-loop anywhere."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q163_containment_dedup,
+        )
+
+        df = q163_containment_dedup(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q164_linear_scorer_broadcasts_model(self, spark, sf_dir):
+        """q164: the weights table is the model — it must reach the
+        feature rows as a broadcast (a shuffled model join would move
+        corpus-sized feature rows), and nothing may pair-enumerate."""
+        from gov_data_pipeline_spark.queries.quality import q164_quality_linear
+
+        df = q164_quality_linear(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no
         joins, no aggregate exchange — only the output sort shuffles."""

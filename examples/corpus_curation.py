@@ -95,14 +95,45 @@ def main() -> None:
     )
     print(f"cross-doc duplicate-passage spans among canonical docs: {spans.count()}")
 
-    # --- containment audit: excerpts/quotes symmetric Jaccard misses —
-    # C(A in B) ~ 1 flags A as (mostly) inside B (q158's operator) ----
+    # --- containment removal: excerpts/quotes symmetric Jaccard
+    # misses — C(A in B) ~ 1 flags A as (mostly) inside B (q158's
+    # operator), and the keep-the-superset decision (q163's) then
+    # DROPS the contained side instead of just reporting it ----------
     from gov_data_pipeline_spark.operators.dedup import containment_pairs_text
+    from gov_data_pipeline_spark.operators.graph import containment_dedup
 
     contained = containment_pairs_text(
         kept, "doc_id", F.col("text"), n=3, threshold=0.9
     )
     print(f"high-containment pairs among canonical docs: {contained.count()}")
+    # drop the Jaccard-cluster labels first: containment_dedup attaches
+    # its own component column over the containment edges
+    decided = containment_dedup(
+        contained,
+        kept.drop("component", "is_canonical"),
+        "doc_id",
+        threshold=0.9,
+    )
+    kept = decided.filter(F.col("kept")).drop("kept")
+    print(f"after keep-the-superset containment removal: {kept.count()}")
+
+    # --- learned quality filter: the fastText-shaped linear scorer
+    # (q164's operator) over hashed unigram+bigram features; here the
+    # deterministic pseudo-model stands in for trained weights --------
+    from gov_data_pipeline_spark.operators.scoring import (
+        pseudo_weights,
+        score_linear_model,
+    )
+
+    scored = score_linear_model(
+        kept.select("doc_id", "text"),
+        "doc_id",
+        F.col("text"),
+        pseudo_weights(spark, n_features=1 << 18),
+        n_features=1 << 18,
+    )
+    n_pass = scored.filter(F.col("kept")).count()
+    print(f"learned quality filter pass rate: {n_pass}/{scored.count()}")
 
     # --- leakage-safe split: hash the CLUSTER representative so
     # near-dups never straddle train/val (q145's rule, reusing the

@@ -1306,3 +1306,82 @@ def test_token_bucket_matches_python_model(spark, rows, params):
                 want.append((u, i, ts, tokens))
             last_us = us
     assert got == sorted(want)
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=12
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_dedup_matches_brute_force_model(spark, docs):
+    """containment_pairs_text -> containment_dedup must agree with an
+    exact pure-Python model on arbitrary small corpora: shingle-set
+    containment ratios, the per-edge loser rule (mutual -> max id,
+    one-sided -> the subset side), min-label components over the
+    admitted pairs, kept = never a loser. Random word lists over a
+    tiny vocabulary make containment (incl. mutual/duplicate and
+    sub-3-word whole-text shingles) common rather than contrived."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.operators.dedup import containment_pairs_text
+    from gov_data_pipeline_spark.operators.graph import containment_dedup
+
+    thr = 0.5
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pairs = containment_pairs_text(
+        df, "doc_id", F.col("text"), n=3, threshold=thr
+    )
+    got = {
+        r.doc_id: (r.component, r.kept)
+        for r in containment_dedup(
+            pairs, df.select("doc_id"), "doc_id", threshold=thr
+        ).collect()
+    }
+
+    def sh(ws):
+        if len(ws) >= 3:
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        return {" ".join(ws)}
+
+    sets = [sh(ws) for ws in docs]
+    admitted, losers = [], set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            c_ab, c_ba = inter / len(sets[a]), inter / len(sets[b])
+            if max(c_ab, c_ba) < thr:
+                continue
+            admitted.append((a, b))
+            if c_ab >= thr and c_ba >= thr:
+                losers.add(b)  # max id of (a, b) with a < b
+            elif c_ab >= thr:
+                losers.add(a)
+            else:
+                losers.add(b)
+    uf = _UnionFind()
+    for a, b in admitted:
+        uf.union(a, b)
+    in_pairs = {n for e in admitted for n in e}
+    roots: dict[int, int] = {}
+    want = {}
+    for i in range(len(docs)):
+        if i in in_pairs:
+            r = uf.find(i)
+            roots.setdefault(r, i)  # first visit in ascending order = min
+            comp = roots[r]
+        else:
+            comp = i
+        want[i] = (comp, i not in losers)
+    assert got == want

@@ -57,6 +57,11 @@ HEADLINE = [
     "q154_decontaminate_bloom",
 ]
 
+# The set every round before r09 measured — its subtotal is emitted as
+# `value_r02_comparable` so the long-running ≤2x-vs-r02 anchor stays an
+# apples-to-apples comparison as the headline set grows.
+_R02_COMPARABLE = HEADLINE[:14]
+
 
 def _loadavg() -> list[float]:
     """1/5/15-minute load averages, [] where the platform lacks them.
@@ -131,6 +136,9 @@ def main() -> None:
         "metric": "headline_queries_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "value_r02_comparable": round(
+            sum(v for n, v in timings.items() if n in _R02_COMPARABLE), 3
+        ),
         "queries": timings,
         "query_runs": runs,
         "query_spread": {

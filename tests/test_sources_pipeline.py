@@ -656,7 +656,11 @@ class TestFetchPost:
         try:
             base = f"http://127.0.0.1:{srv.server_address[1]}"
             df = spark.createDataFrame(
-                [(f"{base}/a", '{"doc":1}'), (f"{base}/b", '{"doc":2}')],
+                [
+                    (f"{base}/a", '{"doc":1}'),
+                    (f"{base}/b", '{"doc":2}'),
+                    (f"{base}/c", None),
+                ],
                 "url string, payload string",
             )
             rows = fetch_urls(
@@ -669,6 +673,7 @@ class TestFetchPost:
             by_path = {r["path"]: r for r in record}
             assert by_path["/a"]["body"] == b'{"doc":1}'
             assert by_path["/b"]["body"] == b'{"doc":2}'
+            assert by_path["/c"]["body"] == b""  # NULL body -> empty POST
             assert all(
                 r["method"] == "POST"
                 and r["headers"]["Content-Type"] == "application/json"

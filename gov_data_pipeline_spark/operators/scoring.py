@@ -63,37 +63,32 @@ def hashed_token_features(
     empty / whitespace-only text yields no rows (scorers left-join and
     coalesce to the intercept).
 
-    One Generate (explode) + one hash aggregate; the term explosion is
-    the only row amplification and it is linear in corpus tokens.
+    ONE Generate (explode) over ONE scan — unigrams and bigrams are
+    built as arrays from the same split and concatenated BEFORE the
+    explode (a unioned second explode would re-scan the corpus text,
+    doubling the dominant cost at 100 TB); the term explosion is the
+    only row amplification and it is linear in corpus tokens.
     """
+    empty = F.array().cast("array<string>")
     canon = F.lower(F.trim(F.regexp_replace(text, "[^A-Za-z0-9]+", " ")))
     ws = F.split(canon, " ")
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.when(F.length(canon) > 0, ws).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("__tok"),
-    )
-    grams = toks.select(id_col, F.col("__tok").alias("__g"))
+    uni = F.when(F.length(canon) > 0, ws).otherwise(empty)
+    grams_arr = uni
     if bigrams:
-        # adjacent bigrams from one more pass over the split array —
-        # zip_with against the shifted tail stays inside codegen
-        bi = df.select(
-            F.col(id_col),
-            F.explode(
-                F.when(
-                    F.size(ws) >= 2,
-                    F.zip_with(
-                        F.slice(ws, 1, F.size(ws) - 1),
-                        F.slice(ws, 2, F.size(ws) - 1),
-                        lambda a, b: F.concat_ws(" ", a, b),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("__g"),
-        ).where(F.length(F.trim(F.col("__g"))) > 0)
-        grams = grams.unionByName(bi)
+        # adjacent bigrams: zip the split against its shifted tail —
+        # stays inside codegen, no second pass over the text
+        bi = F.when(
+            F.size(ws) >= 2,
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(empty)
+        grams_arr = F.concat(uni, bi)
+    grams = df.select(
+        F.col(id_col), F.explode(grams_arr).alias("__g")
+    )
     return (
         grams.select(
             id_col,

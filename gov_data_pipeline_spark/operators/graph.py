@@ -172,7 +172,12 @@ def containment_dedup(
     """
     ab = F.col(c_ab_col) >= threshold
     ba = F.col(c_ba_col) >= threshold
-    edges = pairs.filter(ab | ba)
+    # Materialize the admitted pair set ONCE: both consumers below —
+    # the loser projection and the CC fixpoint — would otherwise
+    # re-execute the (inverted-index join) subtree that produced the
+    # pairs. The pair set is the small relation here, the same bet
+    # connected_components already makes per round.
+    edges = pairs.filter(ab | ba).localCheckpoint()
     losers = edges.select(
         F.when(ab & ba, F.greatest(F.col(a_col), F.col(b_col)))
         .when(ab, F.col(a_col))

@@ -19,6 +19,43 @@ def hash_bucket_col(id_col: Column) -> Column:
     ).cast("int")
 
 
+def stratified_exact_k(
+    df: DataFrame, id_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per ``group_col``, chosen by
+    the stable md5 rank of ``id_col`` (ties broken by the id itself) —
+    the reproducible eval-set constructor. Where ``hash_bucket_col``
+    keeps a FRACTION (count drifts with stratum size) and
+    ``budget_sample`` fills a SIZE quota, this pins an exact COUNT:
+    "exactly 100 held-out docs per language, identical on every
+    re-ingest, cluster, and engine". Membership is a pure function of
+    the ids present, so it carries a full differential oracle.
+
+    Returns the kept rows plus ``sample_rank`` (1-based within the
+    stratum). Scale shape: ONE hash-partition-by-group window — each
+    stratum shuffles once and sorts within its partitions; there is no
+    per-group collect and no driver loop. Skewed strata sort more
+    data, but the window sort spills rather than OOMs; for k ≪ |group|
+    at extreme skew, pre-filter with ``hash_bucket_col`` to a safe
+    superset first (bucket < ceil(256·k·safety/|group|) still contains
+    ≥ k survivors w.h.p.) and rank only the survivors.
+    """
+    clash = {c for c in df.columns if c.lower() == "sample_rank"}
+    if clash:
+        raise ValueError(
+            f"stratified_exact_k: input already has column(s) "
+            f"{sorted(clash)}; rename them first — 'sample_rank' is the "
+            "operator's output rank"
+        )
+    w = W.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def budget_sample(
     df: DataFrame,
     id_col: str,

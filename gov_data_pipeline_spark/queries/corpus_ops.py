@@ -1122,8 +1122,45 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q165 — reproducible eval-set construction: exactly k docs per
+# language via the stable md5 rank (functions/sampling.
+# stratified_exact_k). q69 keeps a hash FRACTION (count drifts with
+# stratum size), q139 fills a size QUOTA; this pins an exact COUNT —
+# the held-out-set primitive. One window per stratum, membership a
+# pure function of the ids present, so the oracle hashes the exact
+# selected rows and ranks.
+# ---------------------------------------------------------------------------
+
+
+def q165_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.sampling import stratified_exact_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        stratified_exact_k(docs, "doc_id", "lang", k=20)
+        .select("lang", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    )
+
+
+_Q165_SQL = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT lang, doc_id, CAST(rn AS INT) AS sample_rank
+FROM ranked
+WHERE rn <= 20
+ORDER BY lang, sample_rank
+"""
+
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
+    "q165_eval_sample": q165_eval_sample,
     "q139_char_budget_mix": q139_char_budget_mix,
     "q143_distinctive_terms": q143_distinctive_terms,
     "q146_epoch_mixture": q146_epoch_mixture,
@@ -1143,6 +1180,7 @@ QUERIES = {
 
 ORACLE = {
     "q94_unigram_logprob": _Q94_SQL,
+    "q165_eval_sample": _Q165_SQL,
     "q139_char_budget_mix": _Q139_SQL,
     "q143_distinctive_terms": _Q143_SQL,
     "q146_epoch_mixture": _Q146_SQL,

@@ -1385,3 +1385,48 @@ def test_containment_dedup_matches_brute_force_model(spark, docs):
             comp = i
         want[i] = (comp, i not in losers)
     assert got == want
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 400), st.sampled_from("abc")),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 6),
+)
+def test_stratified_exact_k_matches_md5_rank_model(spark, rows, k):
+    """functions/sampling.stratified_exact_k vs the pure-Python model:
+    per stratum, sort ids by (md5 hex, id), take exactly min(k, n),
+    ranks 1-based — membership a pure function of the ids present."""
+    import hashlib
+
+    from gov_data_pipeline_spark.functions.sampling import stratified_exact_k
+
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    got = {
+        (r.g, r.doc_id, r.sample_rank)
+        for r in stratified_exact_k(df, "doc_id", "g", k).collect()
+    }
+    want = set()
+    for g in {g for _, g in rows}:
+        ids = sorted(
+            (i for i, gg in rows if gg == g),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        want |= {(g, i, r + 1) for r, i in enumerate(ids[:k])}
+    assert got == want
+
+
+def test_stratified_exact_k_rejects_reserved_column(spark):
+    import pytest as _pytest
+
+    from gov_data_pipeline_spark.functions.sampling import stratified_exact_k
+
+    df = spark.createDataFrame([(1, "a", 9)], "doc_id long, g string, SAMPLE_RANK long")
+    with _pytest.raises(ValueError, match="sample_rank"):
+        stratified_exact_k(df, "doc_id", "g", 3)

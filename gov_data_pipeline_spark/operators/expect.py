@@ -98,3 +98,75 @@ def fk_violation_count(
         "left_anti",
     )
     return orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str] | None = None, exact_distinct: bool = True
+) -> DataFrame:
+    """SUMMARIZE-style column profile in ONE aggregate pass: for each
+    column, (column, n_rows, n_null, n_distinct, min_str, max_str) —
+    the ingest-time dataset datasheet that feeds expectation
+    thresholds (a q128 suite is usually written FROM a profile).
+
+    Min/max are emitted as strings so one long-form schema covers
+    every column type; Spark's and DuckDB's casts agree on
+    long/string/timestamp and on shortest-round-trip doubles, which is
+    what makes the differential oracle (q166) exact. NULLs: ``n_null``
+    counts them, min/max ignore them (both engines'), and n_distinct
+    does NOT count NULL as a value (COUNT DISTINCT semantics in both).
+
+    Scale shape: one scan; every metric is a map-side-partial
+    aggregate. ``exact_distinct=True`` compiles multiple COUNT
+    DISTINCTs into Catalyst's Expand (input amplified x|columns| before
+    the partial aggregate — fine to tens of columns at any row count,
+    it is still one scan and one exchange of the expanded partials).
+    At extreme width or when amplification matters, pass
+    ``exact_distinct=False`` for HLL sketches
+    (``approx_count_distinct``, default rsd 5%) — the profile then
+    stops being oracle-exact, which is why exact is the default. The
+    wide one-row result reshapes to long form by exploding an
+    array<struct> built from the aggregate output — the q128 pattern,
+    never a per-column union of scans.
+    """
+    cols = columns if columns is not None else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_columns: unknown column(s) {missing}")
+    nd = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}"),
+            nd(c).alias(f"__nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
+        ]
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__null_{i}").alias("n_null"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__min_{i}").alias("min_str"),
+                F.col(f"__max_{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return (
+        one.select(F.col("__n").alias("n_rows"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.column").alias("column"),
+            "n_rows",
+            F.col("e.n_null").alias("n_null"),
+            F.col("e.n_distinct").alias("n_distinct"),
+            F.col("e.min_str").alias("min_str"),
+            F.col("e.max_str").alias("max_str"),
+        )
+        .orderBy("column")
+    )

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q163_containment_dedup",
     "q164_quality_linear",
     "q165_eval_sample",
+    "q166_column_profile",
     # stalest cohort: last driver row r04
     "q88_repetition_filter",
     "q89_curation_pipeline",
@@ -108,10 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     "q40_exact_dedup",
     "q41_jaccard_pairs",
     "q44_cosine_topk",
-    "q46_cosine_neardup",
-    # --- driver sample boundary (first 50 end here: 4 r09-new +
-    # 12 r04 + 34 r05; the 11 remaining r05 greens below are boundary
+    # --- driver sample boundary (first 50 end here: 5 r09-new +
+    # 12 r04 + 33 r05; the 12 remaining r05 greens below are boundary
     # ties) ---
+    "q46_cosine_neardup",
     "q47_text_stats",
     "q48_lang_id",
     "q49_fingerprint",

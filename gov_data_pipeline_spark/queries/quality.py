@@ -370,9 +370,45 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q166 — SUMMARIZE-style column profile (operators/expect.
+# profile_columns): per-column row/null/exact-distinct counts and
+# string-cast min/max over a mixed-type slice of orders (long, double,
+# timestamp, varchar) in ONE aggregate pass — the datasheet that
+# expectation suites are written from. The oracle recomputes each
+# column independently; the engine side must reshape its single-scan
+# wide row into the same long form.
+# ---------------------------------------------------------------------------
+
+_Q166_COLS = (
+    "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+    "o_totalprice",
+)
+
+
+def q166_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.expect import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(orders, list(_Q166_COLS))
+
+
+_Q166_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column",
+       count(*) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM orders"""
+    for c in _Q166_COLS
+) + '\nORDER BY "column"'
+
+
 QUERIES = {
     "q128_expectations": q128_expectations,
     "q164_quality_linear": q164_quality_linear,
+    "q166_column_profile": q166_column_profile,
     "q122_k_anonymity": q122_k_anonymity,
     "q90_pii_redact": q90_pii_redact,
     "q93_outlier_zscore": q93_outlier_zscore,
@@ -381,6 +417,7 @@ QUERIES = {
 ORACLE = {
     "q128_expectations": _Q128_SQL,
     "q164_quality_linear": _Q164_SQL,
+    "q166_column_profile": _Q166_SQL,
     "q122_k_anonymity": _Q122_SQL,
     "q90_pii_redact": _Q90_SQL,
     "q93_outlier_zscore": _Q93_SQL,

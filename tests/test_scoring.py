@@ -147,3 +147,57 @@ class TestScoreLinearModel:
             }
             # doc 1: 4 unigrams + 3 bigrams; doc 2: 1 unigram
             assert tf_total == {1: 7, 2: 1}, fam
+
+
+class TestProfileColumns:
+    """operators/expect.profile_columns — the SUMMARIZE-style datasheet
+    (q166)."""
+
+    def test_profile_matches_hand_computed(self, spark):
+        from gov_data_pipeline_spark.operators.expect import profile_columns
+
+        df = spark.createDataFrame(
+            [
+                (1, 2.5, "x"),
+                (2, None, "y"),
+                (2, 7.0, None),
+                (None, 2.5, "x"),
+            ],
+            "k long, v double, s string",
+        )
+        got = {
+            r.column: (r.n_rows, r.n_null, r.n_distinct, r.min_str, r.max_str)
+            for r in profile_columns(df).collect()
+        }
+        assert got == {
+            "k": (4, 1, 2, "1", "2"),
+            "v": (4, 1, 2, "2.5", "7.0"),
+            "s": (4, 1, 2, "x", "y"),
+        }
+
+    def test_profile_single_scan_no_join(self, spark, sf_dir):
+        """The whole profile must be ONE pass: one scan of the table,
+        no joins, no per-column union of aggregates."""
+        from gov_data_pipeline_spark.queries.quality import q166_column_profile
+
+        plan = (
+            q166_column_profile(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("orders.parquet") == 1
+        assert "Join" not in plan
+        assert "Union" not in plan
+
+    def test_profile_approx_mode_and_unknown_column(self, spark):
+        import pytest as _pytest
+
+        from gov_data_pipeline_spark.operators.expect import profile_columns
+
+        df = spark.range(1000).select(F.col("id").alias("k"))
+        row = profile_columns(df, exact_distinct=False).collect()[0]
+        # HLL at rsd 5%: the estimate is near 1000, not exact-pinned
+        assert 900 <= row.n_distinct <= 1100
+        with _pytest.raises(ValueError, match="unknown column"):
+            profile_columns(df, ["nope"])

@@ -396,7 +396,7 @@ def q166_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q166_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS "column",
        count(*) AS n_rows,
-       CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), NULL) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
        CAST(min({c}) AS VARCHAR) AS min_str,
        CAST(max({c}) AS VARCHAR) AS max_str

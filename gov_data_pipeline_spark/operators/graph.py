@@ -163,6 +163,13 @@ def containment_dedup(
     4 by the generator) so an oracle reproducing the decision from the
     same rounded values agrees bit-for-bit; round-to-4 is monotone, so
     every pair the generator admitted at ``threshold`` still passes.
+    The DIRECTION rule, not just admission, is defined on the rounded
+    values: a raw ratio in ``[threshold - 5e-5, threshold)`` rounds up
+    to the threshold, so a pair that is one-sided on raw ratios can
+    classify as mutual here and drop ``greatest(a, b)`` rather than
+    the subset side. That band is a deliberate part of the contract —
+    callers needing raw-containment direction semantics should carry
+    unrounded ratio columns through the pair frame.
 
     Scale shape: the pair set from the inverted-index generator is
     orders of magnitude smaller than the corpus; the loser set is one

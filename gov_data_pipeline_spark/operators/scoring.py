@@ -38,12 +38,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from gov_data_pipeline_spark.operators.dedup import md5_h1h2
 
-
 def _feature_hash(token: Column, n_features: int, hash_family: str) -> Column:
     if hash_family == "md5":
         h1, _ = md5_h1h2(token)
         return F.pmod(h1, F.lit(n_features)).cast("long")
     return F.pmod(F.xxhash64(token), F.lit(n_features)).cast("long")
+
+
+def canonical_tokens_col(text: Column, token_classes: str = "ascii") -> Column:
+    """The scorer's canonical token string — exactly the dedup
+    canonicalization (``transforms.canonical_text_col``), shared so
+    the scorer and the normalized-dedup key can never drift:
+    ``"ascii"`` strips to [A-Za-z0-9] then lowers (blind outside
+    Latin); ``"unicode"`` keeps ``\\p{L}\\p{N}`` and folds ASCII case
+    only (cross-engine-exact on any script — see the canonical
+    docstring). Returns a single-space-joined token string; split on
+    ' ' for the token array."""
+    from gov_data_pipeline_spark.transforms.text import canonical_text_col
+
+    return canonical_text_col(text, token_classes)
 
 
 def hashed_token_features(
@@ -53,12 +66,15 @@ def hashed_token_features(
     n_features: int = 1 << 18,
     bigrams: bool = True,
     hash_family: str = "xxhash64",
+    token_classes: str = "ascii",
 ) -> DataFrame:
     """(id, feature_id, tf) hashed bag-of-words rows.
 
-    Tokens are the whitespace words of the ASCII-canonical text
-    (``canonical_text_col`` semantics inlined: strip-to-alnum BEFORE
-    lower, the cross-engine-safe normalization), plus adjacent-word
+    Tokens are the whitespace words of the canonical text
+    (``canonical_tokens_col``: ASCII strip-then-lower by default, or
+    the ``token_classes="unicode"`` ``\\p{L}\\p{N}`` mode for
+    multilingual corpora — Cyrillic/CJK documents produce real
+    features instead of scoring the intercept), plus adjacent-word
     bigrams when ``bigrams`` — fastText's default feature set. NULL /
     empty / whitespace-only text yields no rows (scorers left-join and
     coalesce to the intercept).
@@ -70,7 +86,7 @@ def hashed_token_features(
     only row amplification and it is linear in corpus tokens.
     """
     empty = F.array().cast("array<string>")
-    canon = F.lower(F.trim(F.regexp_replace(text, "[^A-Za-z0-9]+", " ")))
+    canon = canonical_tokens_col(text, token_classes)
     ws = F.split(canon, " ")
     uni = F.when(F.length(canon) > 0, ws).otherwise(empty)
     grams_arr = uni
@@ -111,6 +127,7 @@ def score_linear_model(
     threshold: int = 0,
     bigrams: bool = True,
     hash_family: str = "xxhash64",
+    token_classes: str = "ascii",
     feature_col: str = "feature_id",
     weight_col: str = "weight",
 ) -> DataFrame:
@@ -138,6 +155,7 @@ def score_linear_model(
         n_features=n_features,
         bigrams=bigrams,
         hash_family=hash_family,
+        token_classes=token_classes,
     )
     w = weights.select(
         F.col(feature_col).alias("feature_id"),
@@ -157,6 +175,125 @@ def score_linear_model(
     return out.drop("__dot").withColumn(
         "kept", F.col("logit") >= F.lit(threshold)
     )
+
+
+def train_linear_model(
+    docs: DataFrame,
+    id_col: str,
+    text: Column,
+    label: Column,
+    n_features: int = 1 << 18,
+    n_iter: int = 2,
+    lr_den: int = 1000,
+    bigrams: bool = True,
+    hash_family: str = "xxhash64",
+    token_classes: str = "ascii",
+) -> DataFrame:
+    """Fixed-iteration full-batch gradient trainer for the hashed-
+    feature linear quality filter — closes the q164 loop: the model
+    ``score_linear_model`` broadcasts no longer has to arrive from
+    outside the engine. Returns the trained ``(feature_id, weight)``
+    table (int64 milli-units; absent feature = weight 0).
+
+    Logistic regression with a HARD-SIGMOID link in integer
+    fixed-point, so every weight — and therefore every downstream
+    logit and keep decision — is bit-identical across engines,
+    partition orders, and retries (a float sigmoid would diverge in
+    exp() ulps and float-sum order). Per iteration, all in int64
+    milli-units, ``div`` truncating toward zero (Spark ``div`` and
+    DuckDB ``//`` agree, verified on negatives):
+
+    1. ``z_d  = Σ_f tf·w_f``            (0 for every doc at iter 1 —
+       weights start all-zero, represented as an EMPTY table)
+    2. ``p_d  = clamp(500 + z_d div 4, 0, 1000)`` — the piecewise-
+       linear sigmoid ``σ̂(x) = clip(0.5 + x/4, 0, 1)`` in milli-units
+    3. ``err_d = p_d - 1000·y_d``
+    4. ``g_f  = Σ_d tf_{d,f}·err_d``
+    5. ``w_f ← w_f - (g_f div lr_den)``
+
+    A DuckDB oracle unrolls the iterations as CTEs and reproduces the
+    trained model bit-for-bit (q168).
+
+    Scale shape: the feature frame — the expensive part, one explode
+    over one text scan — is built ONCE and ``localCheckpoint``-ed, so
+    ``n_iter`` iterations never re-read the corpus. Each iteration is
+    one broadcast join (weights, model-sized), one groupBy on the doc
+    id, and one groupBy on feature_id (bounded by ``n_features`` after
+    map-side partial aggregation). The weight table stays distributed
+    — nothing model-sized ever collects to the driver; consumers
+    broadcast it exactly like ``pseudo_weights``.
+    """
+    base = docs.select(
+        F.col(id_col), text.alias("__text"), label.alias("__label")
+    )
+    feats = hashed_token_features(
+        base,
+        id_col,
+        F.col("__text"),
+        n_features=n_features,
+        bigrams=bigrams,
+        hash_family=hash_family,
+        token_classes=token_classes,
+    ).localCheckpoint()
+    labels = base.select(
+        F.col(id_col),
+        (F.col("__label").cast("long") * 1000).alias("__y"),
+    ).localCheckpoint()
+
+    w: DataFrame | None = None  # all-zero model: empty weight table
+    for _ in range(n_iter):
+        if w is None:
+            # z = 0 everywhere: p = 500 milli for every doc
+            errs = labels.select(
+                F.col(id_col), (F.lit(500) - F.col("__y")).alias("__err")
+            )
+        else:
+            sums = (
+                feats.join(F.broadcast(w), "feature_id")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("tf") * F.col("weight")).alias("__z"))
+            )
+            errs = labels.join(sums, id_col, "left").select(
+                F.col(id_col),
+                (
+                    F.least(
+                        F.lit(1000),
+                        F.greatest(
+                            F.lit(0),
+                            F.lit(500)
+                            + F.expr("coalesce(__z, 0) div 4").cast("long"),
+                        ),
+                    )
+                    - F.col("__y")
+                ).alias("__err"),
+            )
+        grad = (
+            feats.join(errs, id_col)
+            .groupBy("feature_id")
+            .agg(F.sum(F.col("tf") * F.col("__err")).alias("__g"))
+        )
+        step = grad.select(
+            "feature_id",
+            (-F.expr(f"__g div {lr_den}")).cast("long").alias("__d"),
+        )
+        if w is None:
+            w = step.select("feature_id", F.col("__d").alias("weight"))
+        else:
+            w = (
+                w.join(step, "feature_id", "full_outer")
+                .select(
+                    "feature_id",
+                    (
+                        F.coalesce(F.col("weight"), F.lit(0))
+                        + F.coalesce(F.col("__d"), F.lit(0))
+                    ).alias("weight"),
+                )
+            )
+        # model-sized (≤ n_features rows): cut the per-iteration lineage
+        # so iteration k never re-runs iterations 1..k-1 per consumer
+        # (the connected_components / containment_dedup bet)
+        w = w.localCheckpoint()
+    return w
 
 
 def pseudo_weights(

@@ -48,70 +48,19 @@ _MODULES = (
 # to freshest; everything green in the LATEST driver round is demoted past
 # position 50 (falls through to module order).  Re-derive the ordering
 # from CORRECTNESS_r{N}.json every round — never trust last round's order.
-# Re-derived after r08 from all CORRECTNESS_r*.json (tripwire:
+# Re-derived after r09 from all CORRECTNESS_r*.json (tripwire:
 # tests/test_registry.py::test_priority_rotation_is_fresh). Latest
-# green rounds after r08: 12 queries at r04 (q88-q99), 45 at r05,
-# 50 at r07, 50 at r08. The sample = the full r04 cohort + the 38
-# name-first r05 greens; the remaining 7 r05 greens lead the overflow
-# (tie across the boundary — allowed), r07/r08 greens fall through to
-# module order.
+# green rounds after r09: 12 queries at r05 (q46-era cohort), 50 at
+# r07, 50 at r08, 50 at r09. New round-10 queries (no driver row)
+# lead; then the full r05 cohort; the 50 r07 greens follow in name
+# order and straddle the boundary (tie across the boundary — allowed);
+# r08/r09 greens fall through to module order.
 _PRIORITY: tuple[str, ...] = (
-    # new in r09 (no driver row yet)
-    "q162_excel_roundtrip",
-    "q163_containment_dedup",
-    "q164_quality_linear",
-    "q165_eval_sample",
-    "q166_column_profile",
-    # stalest cohort: last driver row r04
-    "q88_repetition_filter",
-    "q89_curation_pipeline",
-    "q90_pii_redact",
-    "q91_scd2_history",
-    "q92_bucketed_join",
-    "q93_outlier_zscore",
-    "q94_unigram_logprob",
-    "q95_inverted_index",
-    "q96_winsorize",
-    "q97_time_rollup",
-    "q98_point_in_time_join",
-    "q99_hybrid_retrieval",
-    # r05 greens, name-ordered; first 38 fit in the sample
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_semi_join",
-    "q114_psi_drift",
-    "q117_ohlc_bars",
-    "q118_embed_quantize",
-    "q119_trend_regression",
-    "q121_zipf_slope",
-    "q123_markov_transitions",
-    "q124_ab_welch",
-    "q125_heavy_hitters",
-    "q126_hourly_percentile_bands",
-    "q127_time_to_convert",
-    "q129_html_extract",
-    "q130_url_normalize",
-    "q131_pagerank",
-    "q132_sitemap_extract",
-    "q133_robots_gate",
-    "q134_image_dims",
-    "q135_media_meta",
-    "q136_parquet_roundtrip",
-    "q20_clean_text",
-    "q21_reg_num",
-    "q22_exclusion",
-    "q23_clean_cell",
-    "q24_merge_continuation",
-    "q26_approx_agg",
-    "q33_math",
-    "q35_array",
-    "q37_base64",
-    "q40_exact_dedup",
-    "q41_jaccard_pairs",
-    "q44_cosine_topk",
-    # --- driver sample boundary (first 50 end here: 5 r09-new +
-    # 12 r04 + 33 r05; the 12 remaining r05 greens below are boundary
-    # ties) ---
+    # new in r10 (no driver row yet)
+    "q167_quality_linear_unicode",
+    "q168_quality_trained",
+    "q169_unicode_normalized_dedup",
+    # stalest cohort: last driver row r05
     "q46_cosine_neardup",
     "q47_text_stats",
     "q48_lang_id",
@@ -124,6 +73,60 @@ _PRIORITY: tuple[str, ...] = (
     "q74_semantic_clusters",
     "q75_corpus_pipeline",
     "q77_fuzzy_join",
+    # r05 cohort ends; r07 greens, name-ordered, straddle the boundary
+    "q04_anti_join",
+    "q05_band_join",
+    "q07_rollup",
+    "q08_cube",
+    "q09_group_concat",
+    "q10_window_rank",
+    "q115_weighted_sample",
+    "q116_mad_outliers",
+    "q120_token_entropy",
+    "q122_k_anonymity",
+    "q128_expectations",
+    "q12_running_sum",
+    "q137_pagerank_mass",
+    "q138_semantic_decontaminate",
+    "q139_char_budget_mix",
+    "q140_semantic_decontaminate_lsh",
+    "q141_jpeg_dims",
+    "q142_source_overlap",
+    "q143_distinctive_terms",
+    "q144_duplicate_passages",
+    "q145_cluster_split",
+    "q146_epoch_mixture",
+    "q147_data_card",
+    "q148_event_throttle",
+    "q149_doc_pack_nfd",
+    "q14_topk_orders",
+    "q150_stream_throttle",
+    "q15_intersect",
+    "q16_except",
+    "q18_row_index",
+    "q19_count_distinct",
+    "q25_header_promotion",
+    "q28_redact",
+    "q30_string_funcs",
+    "q31_regex",
+    # --- driver sample boundary (first 50 end here: 3 r10-new +
+    # 12 r05 + 35 r07; the 15 remaining r07 greens below are boundary
+    # ties) ---
+    "q32_dates",
+    "q42_minhash_lsh",
+    "q43_simhash",
+    "q45_ann_lsh",
+    "q50_llm_enrich",
+    "q51_llm_correction",
+    "q52_multimodal",
+    "q55_ann_ivf",
+    "q56_cosine_neardup_gemm",
+    "q58_overlap_pairs",
+    "q59_incremental_dedup",
+    "q65_hash_sample",
+    "q72_upsert_latest",
+    "q73_salted_join",
+    "q78_grouping_sets",
 )
 
 

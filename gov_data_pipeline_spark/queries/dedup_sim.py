@@ -176,6 +176,92 @@ ORDER BY doc_id
 """
 
 
+def q169_unicode_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q159's normalized dedup on a MULTILINGUAL corpus — the
+    ``token_classes="unicode"`` canonical key (``\\p{L}\\p{N}`` class
+    collapse, ASCII-only case fold). The fixture is ASCII-only, so the
+    mixed-script corpus is derived in-query: every 2nd document is
+    re-lettered to Cyrillic with a 1:1 codepoint ``translate`` both
+    engines implement identically (the q90/q167 synthesize pattern).
+    Planted variants: every 5th doc re-published with an ASCII-upper
+    translate (a real case variant on the Latin half, a no-op on the
+    Cyrillic half) plus trailing punctuation and doubled spaces.
+
+    What this pins (the round-9 verdict's L5 gap): under the ASCII key
+    every Cyrillic document canonicalizes to the EMPTY string — the
+    whole Cyrillic half would collapse into one giant bogus group. The
+    unicode key keeps their letters, so group sizes stay honest: the
+    punctuation variant of a Cyrillic doc dedups against its original
+    and nothing else. Same L5 scale shape as q159 — one window over a
+    16-byte md5 key, no pairs, no text shuffle beyond the key."""
+    from gov_data_pipeline_spark.transforms import canonical_text_col
+
+    _LO = "abcdefghijklmnopqrstuvwxyz"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.translate(
+                F.col("text"), _LO, "абвгдежзийклмнопрстуфхцчшщ"
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(
+            F.translate(F.col("text"), _LO, _LO.upper()), F.lit(" ?!  .")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    keyed = corpus.select(
+        "doc_id",
+        F.md5(
+            canonical_text_col(F.col("text"), token_classes="unicode")
+        ).alias("__k"),
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("__k")
+    return (
+        keyed.withColumn("group_size", F.count(F.lit(1)).over(wk))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(wk))
+        .select("doc_id", "group_size", "keep")
+        .orderBy("doc_id")
+    )
+
+
+_Q169_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                             'абвгдежзийклмнопрстуфхцчшщ')
+              ELSE text END AS text
+  FROM documents),
+u AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' ?!  .' AS text
+  FROM base WHERE doc_id % 5 = 0),
+keyed AS (
+  SELECT doc_id,
+         md5(translate(trim(regexp_replace(text, '[^\\p{L}\\p{N}]+', ' ',
+                                           'g')),
+                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       'abcdefghijklmnopqrstuvwxyz')) AS k
+  FROM u)
+SELECT doc_id,
+       count(*) OVER (PARTITION BY k) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY k) AS keep
+FROM keyed
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # L6 (exact path) — n-gram Jaccard near-dup pairs via shingle inverted
 # index. Full oracle: DuckDB builds identical shingles and joins them.
@@ -2637,6 +2723,7 @@ ORDER BY a_id, b_id
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q159_normalized_dedup": q159_normalized_dedup,
+    "q169_unicode_normalized_dedup": q169_unicode_normalized_dedup,
     "q67_dedup_clusters": q67_dedup_clusters,
     "q77_fuzzy_join": q77_fuzzy_join,
     "q74_semantic_clusters": q74_semantic_clusters,
@@ -2703,6 +2790,7 @@ ORACLE = {
     "q59_incremental_dedup": _Q59_SQL,
     "q40_exact_dedup": _Q40_SQL,
     "q159_normalized_dedup": _Q159_SQL,
+    "q169_unicode_normalized_dedup": _Q169_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q158_containment_pairs": _Q158_SQL,
     "q163_containment_dedup": _Q163_SQL,

@@ -371,6 +371,115 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# q168 — TRAINED quality filter: the q164 scorer with a model the
+# engine itself fits (operators/scoring.train_linear_model — 2
+# fixed-point hard-sigmoid gradient iterations over hashed features),
+# then scores with. Labels are deterministic from the fixture (does
+# the document mention 'spark' — ~77% positive), so both engines see
+# the identical training set; every weight update is int64 with
+# truncating div, so the DuckDB oracle unrolls the two iterations as
+# CTEs and reproduces the trained model — and every downstream logit
+# and keep decision — bit-for-bit. Scale shape: feature frame built
+# once (one text scan, localCheckpointed); per iteration one broadcast
+# model join + one doc-id groupBy + one feature-id groupBy; the model
+# never collects to the driver.
+# ---------------------------------------------------------------------------
+
+
+def q168_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.scoring import (
+        score_linear_model,
+        train_linear_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = train_linear_model(
+        docs,
+        "doc_id",
+        F.col("text"),
+        F.col("text").contains("spark").cast("int"),
+        n_features=_Q164_N_FEATURES,
+        n_iter=2,
+        lr_den=1000,
+        hash_family="md5",
+    )
+    return (
+        score_linear_model(
+            docs,
+            "doc_id",
+            F.col("text"),
+            w,
+            n_features=_Q164_N_FEATURES,
+            hash_family="md5",
+        )
+        .select("doc_id", "logit", "kept")
+        .orderBy("doc_id")
+    )
+
+
+_Q168_SQL = """
+WITH labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN text LIKE '%spark%' THEN 1000 ELSE 0 END AS y
+  FROM documents),
+canon AS (
+  SELECT doc_id, y,
+         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS c
+  FROM labeled),
+ws AS (
+  SELECT doc_id, string_split(c, ' ') AS wlist
+  FROM canon WHERE len(c) > 0),
+grams AS (
+  SELECT doc_id, unnest(wlist) AS g FROM ws
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wlist)),
+                               i -> wlist[i] || ' ' || wlist[i+1])) AS g
+  FROM ws WHERE len(wlist) >= 2),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 13))::BIGINT % 262144 AS feature_id,
+         count(*) AS tf
+  FROM grams GROUP BY 1, 2),
+err1 AS (
+  SELECT doc_id, 500 - y AS err FROM labeled),
+grad1 AS (
+  SELECT f.feature_id, CAST(sum(f.tf * e.err) AS BIGINT) AS g
+  FROM feats f JOIN err1 e ON e.doc_id = f.doc_id
+  GROUP BY 1),
+w1 AS (
+  SELECT feature_id, -(g // 1000) AS w FROM grad1),
+z2 AS (
+  SELECT f.doc_id, CAST(sum(f.tf * w1.w) AS BIGINT) AS z
+  FROM feats f JOIN w1 ON w1.feature_id = f.feature_id
+  GROUP BY 1),
+err2 AS (
+  SELECT l.doc_id,
+         least(1000, greatest(0, 500 + (coalesce(z2.z, 0) // 4))) - l.y
+           AS err
+  FROM labeled l LEFT JOIN z2 ON z2.doc_id = l.doc_id),
+grad2 AS (
+  SELECT f.feature_id, CAST(sum(f.tf * e.err) AS BIGINT) AS g
+  FROM feats f JOIN err2 e ON e.doc_id = f.doc_id
+  GROUP BY 1),
+w2 AS (
+  SELECT coalesce(w1.feature_id, g2.feature_id) AS feature_id,
+         coalesce(w1.w, 0) - (coalesce(g2.g, 0) // 1000) AS w
+  FROM w1 FULL OUTER JOIN grad2 g2 ON g2.feature_id = w1.feature_id),
+score AS (
+  SELECT f.doc_id, CAST(sum(f.tf * w2.w) AS BIGINT) AS z
+  FROM feats f JOIN w2 ON w2.feature_id = f.feature_id
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.z, 0) AS BIGINT) AS logit,
+       coalesce(s.z, 0) >= 0 AS kept
+FROM documents d
+LEFT JOIN score s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q166 — SUMMARIZE-style column profile (operators/expect.
 # profile_columns): per-column row/null/exact-distinct counts and
 # string-cast min/max over a mixed-type slice of orders (long, double,
@@ -393,6 +502,104 @@ def q166_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(orders, list(_Q166_COLS))
 
 
+# ---------------------------------------------------------------------------
+# q167 — the q164 learned filter on a MULTILINGUAL corpus: the
+# ``token_classes="unicode"`` scorer mode (``\p{L}\p{N}`` token
+# classes, ASCII-only case fold) over a deterministic Cyrillic variant
+# of every 2nd document. The fixture is ASCII-only, so both engines
+# derive the same mixed-script corpus in-query (codepoint-1:1
+# ``translate`` to Cyrillic — the q90 synthesize-then-process
+# pattern). The point this query pins: in ASCII mode those documents
+# would produce ZERO features and score the intercept (the round-9
+# verdict's gap — the reference's own corpus is Cyrillic,
+# /root/reference/handlers/kazakhstan.py:154-179); in unicode mode
+# every logit is a real, exact int64 the oracle reproduces
+# bit-for-bit. Same plan shape as q164: one explode over one text
+# scan, broadcast model, one corpus shuffle.
+# ---------------------------------------------------------------------------
+
+_CYR = "абвгдежзийклмнопрстуфхцчшщ"
+_LAT = "abcdefghijklmnopqrstuvwxyz"
+
+
+def q167_quality_linear_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.scoring import (
+        pseudo_weights,
+        score_linear_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.translate(F.col("text"), _LAT, _CYR),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = pseudo_weights(spark, n_features=_Q164_N_FEATURES)
+    return (
+        score_linear_model(
+            docs,
+            "doc_id",
+            F.col("text"),
+            w,
+            n_features=_Q164_N_FEATURES,
+            hash_family="md5",
+            token_classes="unicode",
+        )
+        .select("doc_id", "logit", "kept")
+        .orderBy("doc_id")
+    )
+
+
+_Q167_SQL = """
+WITH w AS (
+  SELECT range AS feature_id,
+         ('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 13))::BIGINT
+           % 2001 - 1000 AS weight
+  FROM range(262144)),
+docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                             'абвгдежзийклмнопрстуфхцчшщ')
+              ELSE text END AS text
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+         translate(trim(regexp_replace(text, '[^\\p{L}\\p{N}]+', ' ', 'g')),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz') AS c
+  FROM docs),
+ws AS (
+  SELECT doc_id, string_split(c, ' ') AS wlist
+  FROM canon WHERE len(c) > 0),
+grams AS (
+  SELECT doc_id, unnest(wlist) AS g FROM ws
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wlist)),
+                               i -> wlist[i] || ' ' || wlist[i+1])) AS g
+  FROM ws WHERE len(wlist) >= 2),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 13))::BIGINT % 262144 AS feature_id,
+         count(*) AS tf
+  FROM grams GROUP BY 1, 2),
+sums AS (
+  SELECT f.doc_id, sum(f.tf * w.weight) AS dot
+  FROM feats f JOIN w ON w.feature_id = f.feature_id
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.dot, 0) AS BIGINT) AS logit,
+       coalesce(s.dot, 0) >= 0 AS kept
+FROM documents d
+LEFT JOIN sums s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _Q166_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS "column",
        count(*) AS n_rows,
@@ -408,6 +615,8 @@ FROM orders"""
 QUERIES = {
     "q128_expectations": q128_expectations,
     "q164_quality_linear": q164_quality_linear,
+    "q167_quality_linear_unicode": q167_quality_linear_unicode,
+    "q168_quality_trained": q168_quality_trained,
     "q166_column_profile": q166_column_profile,
     "q122_k_anonymity": q122_k_anonymity,
     "q90_pii_redact": q90_pii_redact,
@@ -417,6 +626,8 @@ QUERIES = {
 ORACLE = {
     "q128_expectations": _Q128_SQL,
     "q164_quality_linear": _Q164_SQL,
+    "q167_quality_linear_unicode": _Q167_SQL,
+    "q168_quality_trained": _Q168_SQL,
     "q166_column_profile": _Q166_SQL,
     "q122_k_anonymity": _Q122_SQL,
     "q90_pii_redact": _Q90_SQL,

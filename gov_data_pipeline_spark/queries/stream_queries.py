@@ -256,12 +256,14 @@ def q157_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integer cents, so stream, batch, and oracle agree
     bit-for-bit."""
     events = _t(spark, sf_dir, "events")
-    # session_end/n_events tiebreaks: a cap-flushed session and its
-    # successor can share (user_id, session_start) when >= max_events
-    # events carry one timestamp — without them row order is
-    # nondeterministic in both engines.
+    # session_end/n_events/sum_cents tiebreaks: a cap-flushed session
+    # and its successor can share (user_id, session_start) when
+    # >= max_events events carry one timestamp — and two such flushes
+    # from >= 2*max_events same-timestamp events tie on all of
+    # (start, end, n_events) while differing in sum_cents, so the sum
+    # joins the key to make the ordering total in both engines.
     return capped_session_stats(events, gap_seconds=43200, max_events=4).orderBy(
-        "user_id", "session_start", "session_end", "n_events"
+        "user_id", "session_start", "session_end", "n_events", "sum_cents"
     )
 
 
@@ -294,7 +296,7 @@ SELECT user_id,
        CAST(coalesce(sum(vc), 0) AS BIGINT) AS sum_cents
 FROM subs
 GROUP BY user_id, gid, sid
-ORDER BY user_id, session_start, session_end, n_events
+ORDER BY user_id, session_start, session_end, n_events, sum_cents
 """
 
 

@@ -165,19 +165,42 @@ def redact_long_col(col: Column, max_len: int = 100, keep: int = 50) -> Column:
     ).otherwise(col)
 
 
-def canonical_text_col(col: Column) -> Column:
-    """ASCII-alnum canonical form for normalized ("fuzzy-exact") dedup:
-    every run of characters outside [A-Za-z0-9] collapses to one space,
-    THEN the survivors lowercase. Case/punctuation/whitespace variants
-    of the same text — the near-miss duplicates a byte-exact content
-    hash walks past — share one canonical key.
+def canonical_text_col(col: Column, token_classes: str = "ascii") -> Column:
+    """Canonical form for normalized ("fuzzy-exact") dedup, one of two
+    cross-engine-exact contracts:
 
-    The class strip runs BEFORE ``lower()`` deliberately: lowercasing
-    only ever sees ASCII letters, so the result is bit-identical across
-    engines even on adversarial Unicode (JVM and DuckDB disagree on
-    exotic case mappings like İ, but both agree on A-Z — and everything
-    non-ASCII is already gone by then). This is the English-ish
-    C4/CCNet-style canonicalization; multilingual corpora should dedup
-    on the NFKC-cleaned text (``clean_text_col``) instead.
+    - ``"ascii"`` (default): every run of characters outside
+      [A-Za-z0-9] collapses to one space, THEN the survivors
+      lowercase. Case/punctuation/whitespace variants of the same text
+      — the near-miss duplicates a byte-exact content hash walks past
+      — share one canonical key. The class strip runs BEFORE
+      ``lower()`` deliberately: lowercasing only ever sees ASCII
+      letters, so the result is bit-identical across engines even on
+      adversarial Unicode (JVM and DuckDB disagree on exotic case
+      mappings like İ, but both agree on A-Z — and everything
+      non-ASCII is already gone by then). This is the English-ish
+      C4/CCNet-style canonicalization — and it is BLIND outside Latin:
+      a Cyrillic document canonicalizes to the empty string, so every
+      Cyrillic document would share one key.
+    - ``"unicode"``: runs outside ``\\p{L}\\p{N}`` (identical classes
+      in Java regex and DuckDB RE2) collapse to one space, then case
+      folds for ASCII ONLY (``translate`` A-Z → a-z — a 1:1 codepoint
+      map both engines implement identically). Non-ASCII case is
+      deliberately NOT folded (exotic case mappings differ between
+      JVM and utf8proc), so non-Latin variants dedup on
+      punctuation/whitespace/digit noise but stay case-sensitive —
+      the documented, cross-engine-exact multilingual contract. For
+      full Unicode case/compat folding, dedup on the NFKC-cleaned
+      text (``clean_text_col``) and accept its documented DuckDB
+      oracle boundary.
     """
+    if token_classes == "unicode":
+        stripped = F.trim(F.regexp_replace(col, r"[^\p{L}\p{N}]+", " "))
+        return F.translate(
+            stripped,
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            "abcdefghijklmnopqrstuvwxyz",
+        )
+    if token_classes != "ascii":
+        raise ValueError(f"unknown token_classes: {token_classes!r}")
     return F.lower(F.trim(F.regexp_replace(col, "[^A-Za-z0-9]+", " ")))

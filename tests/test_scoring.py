@@ -201,3 +201,135 @@ class TestProfileColumns:
         assert 900 <= row.n_distinct <= 1100
         with _pytest.raises(ValueError, match="unknown column"):
             profile_columns(df, ["nope"])
+
+
+class TestUnicodeTokenMode:
+    def test_unicode_logit_matches_hand_computed_model(self, spark):
+        """token_classes="unicode" pin: Cyrillic/CJK tokens produce
+        real hashed features (ASCII mode scores these documents the
+        bare intercept), bit-exact against the same pure-Python model
+        with the unicode canonicalization applied."""
+        import re as _re
+
+        from gov_data_pipeline_spark.operators.scoring import (
+            pseudo_weights,
+            score_linear_model,
+        )
+
+        n = 1 << 10
+
+        def expected(text: str) -> int:
+            canon = _re.sub(
+                r"[^\w]+", " ", text, flags=_re.UNICODE
+            )  # \w ≈ \p{L}\p{N} here; fixture avoids '_'
+            canon = canon.strip()
+            canon = canon.translate(
+                str.maketrans(
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                    "abcdefghijklmnopqrstuvwxyz",
+                )
+            )
+            if not canon:
+                return 0
+            ws = canon.split(" ")
+            grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            return sum(_model_weight(_h1(g) % n) for g in grams)
+
+        rows = [
+            (1, "Привет, мир!"),
+            (2, "ПРИВЕТ МИР"),  # Cyrillic case variant: different logit
+            (3, "Hello, World! Привет"),
+            (4, "你好 世界"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.logit
+            for r in score_linear_model(
+                docs,
+                "doc_id",
+                F.col("text"),
+                pseudo_weights(spark, n_features=n),
+                n_features=n,
+                hash_family="md5",
+                token_classes="unicode",
+            ).collect()
+        }
+        want = {i: expected(t) for i, t in rows}
+        assert got == want
+        assert got[1] != 0 and got[4] != 0  # non-Latin scores for real
+        assert got[1] != got[2]  # non-ASCII case stays significant
+
+
+class TestTrainLinearModel:
+    def test_two_iterations_match_hand_computed_recurrence(self, spark):
+        """Bit-exact pin of the fixed-point trainer: an independent
+        pure-Python replay of the documented recurrence (z -> hard
+        sigmoid -> err -> grad -> truncating-div step) over a tiny
+        labeled fixture must reproduce every trained weight."""
+        import re as _re
+
+        from gov_data_pipeline_spark.operators.scoring import (
+            train_linear_model,
+        )
+
+        n, lr_den = 1 << 10, 10
+        rows = [
+            (1, "good clean prose here", 1),
+            (2, "spam spam buy now", 0),
+            (3, "good prose wins again", 1),
+            (4, "buy spam now now now", 0),
+            (5, "", 0),  # featureless doc: err contributes nowhere
+        ]
+
+        def feats(text):
+            canon = _re.sub(r"[^A-Za-z0-9]+", " ", text).strip().lower()
+            if not canon:
+                return {}
+            ws = canon.split(" ")
+            grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            out = {}
+            for g in grams:
+                f = _h1(g) % n
+                out[f] = out.get(f, 0) + 1
+            return out
+
+        def trunc_div(a, b):
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        F_ = {i: feats(t) for i, t, _ in rows}
+        Y = {i: y * 1000 for i, _, y in rows}
+        w = {}
+        for it in range(2):
+            errs = {}
+            for i in F_:
+                z = sum(tf * w.get(f, 0) for f, tf in F_[i].items())
+                p = min(1000, max(0, 500 + trunc_div(z, 4)))
+                errs[i] = p - Y[i]
+            grad = {}
+            for i, fs in F_.items():
+                for f, tf in fs.items():
+                    grad[f] = grad.get(f, 0) + tf * errs[i]
+            for f, g in grad.items():
+                w[f] = w.get(f, 0) - trunc_div(g, lr_den)
+
+        docs = spark.createDataFrame(
+            [(i, t, y) for i, t, y in rows],
+            "doc_id long, text string, y int",
+        )
+        got = {
+            r.feature_id: r.weight
+            for r in train_linear_model(
+                docs,
+                "doc_id",
+                F.col("text"),
+                F.col("y"),
+                n_features=n,
+                n_iter=2,
+                lr_den=lr_den,
+                hash_family="md5",
+            ).collect()
+        }
+        want = {f: v for f, v in w.items()}
+        assert got == want
+        assert any(v != 0 for v in got.values())

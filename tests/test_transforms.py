@@ -560,3 +560,42 @@ def test_canonical_text_dedup_key(spark):
     assert got[4] != got[3]
     # everything non-ASCII stripped; surviving ASCII lowered
     assert got[5] == "stanbul ne x"
+
+
+def test_canonical_text_unicode_mode(spark):
+    """canonical_text_col(token_classes="unicode"): \\p{L}\\p{N} runs
+    survive on any script, punctuation/whitespace noise collapses, and
+    case folds for ASCII ONLY — Cyrillic stays case-sensitive (the
+    documented cross-engine boundary: JVM and utf8proc disagree on
+    exotic mappings, so non-ASCII case is out of contract)."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.transforms import canonical_text_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "Привет,   мир!"),
+            (2, "Привет мир"),
+            (3, "привет мир"),  # Cyrillic case variant: distinct key
+            (4, "Hello, WORLD 42"),
+            (5, "hello world 42 !!"),
+            (6, "İstanbul 你好 ﬁne x"),
+        ],
+        "id int, t string",
+    )
+    got = {
+        r.id: r.k
+        for r in df.select(
+            "id",
+            canonical_text_col(F.col("t"), token_classes="unicode").alias("k"),
+        ).collect()
+    }
+    assert got[1] == got[2] == "Привет мир"
+    assert got[3] != got[2]  # non-ASCII case NOT folded
+    assert got[4] == got[5] == "hello world 42"  # ASCII case IS folded
+    # letters of every script survive, including the ligature codepoint
+    assert got[6] == "İstanbul 你好 ﬁne x"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="token_classes"):
+        canonical_text_col(F.col("t"), token_classes="latin9")

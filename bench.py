@@ -102,31 +102,70 @@ def main() -> None:
     # without a re-run (round 8 recorded 32.12 s that re-measured at
     # 13.81 s on the idle box). Three fields provide that context:
     # loadavg before/after, every raw run (not just the best), and the
-    # per-query spread (max-min of the three timed runs).
-    load_before = _loadavg()
-    timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    errors: dict[str, str] = {}
-    for name in names:
-        # Fail-soft per query: one broken query must never cost the
-        # round its entire bench record (round 3's bench died on the
-        # first query's read error and left no wall-clock at all).
-        try:
-            registry[name](spark, sf_dir).collect()  # codegen/JIT warm-up
-            # best-of-3: the harness VM shows one-sided wall-clock noise
-            # (host throttling waves invisible to guest steal accounting);
-            # the minimum of three full executions is the robust estimate
-            # of what the plan actually costs.
-            samples: list[float] = []
-            for _ in range(3):
-                spark.catalog.clearCache()  # data caches must not carry over
-                t0 = time.perf_counter()
-                registry[name](spark, sf_dir).collect()
-                samples.append(round(time.perf_counter() - t0, 3))
-            timings[name] = min(samples)
-            runs[name] = samples
-        except Exception as e:  # noqa: BLE001 - record and keep measuring
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
+    # per-query spread (max-min of the three timed runs). On top of
+    # that, an IDLE GATE: if the 1-minute loadavg at measurement start
+    # exceeds SPARK_GRAFT_LOAD_GATE (co-tenant load — this process has
+    # not started measuring yet), sleep and re-measure ONCE, keep the
+    # lower-total attempt as the headline, and record the discarded
+    # attempt in full under "retry" so both readings stay on the record.
+    def _measure() -> tuple[
+        list[float], dict[str, float], dict[str, list[float]], dict[str, str]
+    ]:
+        load_before = _loadavg()
+        timings: dict[str, float] = {}
+        runs: dict[str, list[float]] = {}
+        errors: dict[str, str] = {}
+        for name in names:
+            # Fail-soft per query: one broken query must never cost the
+            # round its entire bench record (round 3's bench died on the
+            # first query's read error and left no wall-clock at all).
+            try:
+                registry[name](spark, sf_dir).collect()  # codegen/JIT warm-up
+                # best-of-3: the harness VM shows one-sided wall-clock
+                # noise (host throttling waves invisible to guest steal
+                # accounting); the minimum of three full executions is
+                # the robust estimate of what the plan actually costs.
+                samples: list[float] = []
+                for _ in range(3):
+                    spark.catalog.clearCache()  # caches must not carry over
+                    t0 = time.perf_counter()
+                    registry[name](spark, sf_dir).collect()
+                    samples.append(round(time.perf_counter() - t0, 3))
+                timings[name] = min(samples)
+                runs[name] = samples
+            except Exception as e:  # noqa: BLE001 - record, keep measuring
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+        return load_before, timings, runs, errors
+
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "6.0"))
+    load_before, timings, runs, errors = _measure()
+    retry_info = None
+    if load_before and load_before[0] > gate:
+        sleep_s = int(os.environ.get("SPARK_GRAFT_LOAD_GATE_SLEEP", "120"))
+        time.sleep(sleep_s)
+        load2, timings2, runs2, errors2 = _measure()
+        first = {
+            "loadavg_before": load_before,
+            "value": round(sum(timings.values()), 3),
+            "queries": timings,
+            "query_runs": runs,
+        }
+        second = {
+            "loadavg_before": load2,
+            "value": round(sum(timings2.values()), 3),
+            "queries": timings2,
+            "query_runs": runs2,
+        }
+        # headline = the lower total — the same noise model as the
+        # per-query best-of-3 (contention only ever adds time), with
+        # the discarded attempt kept on the record for the reader
+        if second["value"] < first["value"] and timings2:
+            load_before, timings, runs, errors = load2, timings2, runs2, errors2
+            retry_info = {"kept": "second", "slept_sec": sleep_s,
+                          "discarded": first}
+        else:
+            retry_info = {"kept": "first", "slept_sec": sleep_s,
+                          "discarded": second}
 
     sink_timings, sink_errors = bench_streaming_sinks(spark, sf_dir)
     errors.update(sink_errors)
@@ -150,6 +189,8 @@ def main() -> None:
         "streaming_sinks": sink_timings,
         "sf": sf,
     }
+    if retry_info is not None:
+        out["retry"] = retry_info
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

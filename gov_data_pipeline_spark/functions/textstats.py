@@ -118,3 +118,42 @@ def word_fingerprint_col(text: Column) -> Column:
         F.array_sort(F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))), " "
     )
     return F.md5(canon)
+
+
+# Unicode-script character classes for composition profiling. Java
+# regex spells scripts \p{IsXxxx}; DuckDB's RE2 spells them \p{Xxxx} —
+# the oracle mirrors each class under the RE2 name. Latin is counted
+# as [A-Za-z] in BOTH engines (the ASCII core): Java's IsLatin also
+# matches Latin-1/Extended letters that RE2 agrees on, but the ASCII
+# class keeps the count aligned with the repo's ASCII-fold contracts.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": r"[A-Za-z]",
+    "cyrillic": r"\p{IsCyrillic}",
+    "han": r"\p{IsHan}",
+    "digit": r"\p{Nd}",
+}
+
+
+def script_count_col(text: Column, script: str) -> Column:
+    """Count of ``text``'s characters in one Unicode script class
+    (see ``SCRIPT_CLASSES``); NULL-safe (NULL text counts 0)."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(SCRIPT_CLASSES[script])), F.lit(0)
+    ).cast("bigint")
+
+
+def dominant_script_col(
+    n_latin: Column, n_cyrillic: Column, n_han: Column
+) -> Column:
+    """Argmax of the three letter-script counts with a deterministic
+    tie order (latin > cyrillic > han — the declaration order, mirrored
+    by the oracle's CASE); all-zero -> 'none'. The one-expression
+    lang-ID precursor for multilingual corpus routing: marker-word
+    voting (``lang_id_col``) needs per-language wordlists, script
+    composition needs none."""
+    return (
+        F.when((n_latin == 0) & (n_cyrillic == 0) & (n_han == 0), "none")
+        .when((n_latin >= n_cyrillic) & (n_latin >= n_han), "latin")
+        .when(n_cyrillic >= n_han, "cyrillic")
+        .otherwise("han")
+    )

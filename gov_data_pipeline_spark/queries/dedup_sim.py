@@ -922,6 +922,95 @@ ORDER BY doc_id
 """
 
 
+def q170_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-SCRIPT composition — the wordlist-free
+    lang-ID signal a multilingual corpus router runs before q48's
+    marker voting (which only knows languages it has wordlists for):
+    counts of Latin/Cyrillic/Han/digit characters, the dominant letter
+    script (deterministic tie order latin > cyrillic > han), and a
+    ``mixed`` flag for documents carrying 2+ letter scripts — the
+    router's cue for segment-level handling. The fixture is ASCII, so
+    the mixed-script corpus is derived in-query exactly like q167/q169
+    (Cyrillic translate on the even half) plus a CJK+digits suffix on
+    every 7th doc — which makes even-AND-%7 docs genuinely mixed.
+
+    Engine note: Java regex spells script classes ``\\p{IsCyrillic}``,
+    RE2 spells them ``\\p{Cyrillic}`` — the oracle uses the RE2 names
+    for the SAME properties (verified equal counts on mixed fixtures).
+    One projection over one scan; the only exchange is the output sort.
+    """
+    from gov_data_pipeline_spark.functions.textstats import (
+        dominant_script_col,
+        script_count_col,
+    )
+
+    _LO = "abcdefghijklmnopqrstuvwxyz"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.translate(F.col("text"), _LO, "абвгдежзийклмнопрстуфхцчшщ"),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" 你好 世界 数据 42")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    lat = script_count_col(t, "latin")
+    cyr = script_count_col(t, "cyrillic")
+    han = script_count_col(t, "han")
+    dig = script_count_col(t, "digit")
+    return docs.select(
+        "doc_id",
+        lat.alias("n_latin"),
+        cyr.alias("n_cyrillic"),
+        han.alias("n_han"),
+        dig.alias("n_digit"),
+        dominant_script_col(lat, cyr, han).alias("dominant"),
+        (
+            (lat > 0).cast("int") + (cyr > 0).cast("int")
+            + (han > 0).cast("int")
+            >= 2
+        ).alias("mixed"),
+    ).orderBy("doc_id")
+
+
+_Q170_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                             'абвгдежзийклмнопрстуфхцчшщ')
+              ELSE text END
+         || CASE WHEN doc_id % 7 = 0 THEN ' 你好 世界 数据 42'
+                 ELSE '' END AS text
+  FROM documents),
+counts AS (
+  SELECT doc_id,
+         CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z]')), 0)
+              AS BIGINT) AS n_latin,
+         CAST(coalesce(len(regexp_extract_all(text, '\\p{Cyrillic}')), 0)
+              AS BIGINT) AS n_cyrillic,
+         CAST(coalesce(len(regexp_extract_all(text, '\\p{Han}')), 0)
+              AS BIGINT) AS n_han,
+         CAST(coalesce(len(regexp_extract_all(text, '\\p{Nd}')), 0)
+              AS BIGINT) AS n_digit
+  FROM base)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_digit,
+       CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_han = 0 THEN 'none'
+            WHEN n_latin >= n_cyrillic AND n_latin >= n_han THEN 'latin'
+            WHEN n_cyrillic >= n_han THEN 'cyrillic'
+            ELSE 'han' END AS dominant,
+       (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+        + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
+        + CASE WHEN n_han > 0 THEN 1 ELSE 0 END) >= 2 AS mixed
+FROM counts
+ORDER BY doc_id
+"""
+
+
 def q48_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2724,6 +2813,7 @@ QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q159_normalized_dedup": q159_normalized_dedup,
     "q169_unicode_normalized_dedup": q169_unicode_normalized_dedup,
+    "q170_script_profile": q170_script_profile,
     "q67_dedup_clusters": q67_dedup_clusters,
     "q77_fuzzy_join": q77_fuzzy_join,
     "q74_semantic_clusters": q74_semantic_clusters,
@@ -2791,6 +2881,7 @@ ORACLE = {
     "q40_exact_dedup": _Q40_SQL,
     "q159_normalized_dedup": _Q159_SQL,
     "q169_unicode_normalized_dedup": _Q169_SQL,
+    "q170_script_profile": _Q170_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q158_containment_pairs": _Q158_SQL,
     "q163_containment_dedup": _Q163_SQL,

@@ -168,6 +168,8 @@ def incremental_neardup_sink(
     rows_per_band: int = 4,
     threshold: float = 0.8,
     profile_sidecar: bool = False,
+    containment_threshold: float | None = None,
+    containment_max_doc_freq: int | None = None,
 ) -> DataStreamWriter:
     """Streaming NEAR-dup ingestion: ``incremental_dedup_sink``'s
     MinHash-LSH sibling (SURVEY L6 run continuously). Each micro-batch
@@ -216,8 +218,30 @@ def incremental_neardup_sink(
     Greedy transitivity: if batch doc B near-dups batch doc A and A
     itself drops against the corpus, B still drops — B is transitively
     near the corpus, the standard greedy-dedup contract.
+
+    ``containment_threshold`` adds the ASYMMETRIC excerpt-leak signal
+    (q158/q163's ``C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|``) at ingest
+    time — the shape LSH-Jaccard structurally misses: a short quote of
+    a large corpus document has Jaccard ≈ |quote|/|doc| (tiny, under
+    any band threshold) but containment ≈ 1. The probe is an exact
+    inverted-index join over the shingle-hash sets the profiles
+    ALREADY carry (explode ``hset`` — O(profile bytes), the text is
+    never re-shingled), so with the sidecar the corpus-side cost per
+    batch stays O(index), never O(corpus text). A batch document drops
+    iff it is the CONTAINED side: its ratio into some corpus document
+    meets the threshold, or — intra-batch — the per-edge subset-drop
+    rule of ``operators/graph.containment_dedup`` (one-sided: the
+    subset drops; mutual: the larger id drops). The reverse direction
+    (a corpus document that turns out to be an excerpt of the NEW
+    batch doc) is reported by nothing here: an append-only ingest sink
+    cannot retract ingested rows — run the q163 batch pass for that.
+    ``containment_max_doc_freq`` applies the same stop-shingle cap as
+    the batch operators to the corpus posting lists (boilerplate
+    shingles are the fan-out hazard; the docstring of
+    ``cap_shingle_doc_freq`` has the math).
     """
     from gov_data_pipeline_spark.operators.dedup import (
+        cap_shingle_doc_freq,
         lsh_candidate_pairs,
         minhash_doc_profile,
         shingle_rows,
@@ -256,6 +280,11 @@ def incremental_neardup_sink(
         corpus = _read_corpus_or_none(spark, corpus_path)
 
         prof_b = _profile(batch_df)
+        if containment_threshold is not None:
+            # the containment probe adds a third and fourth consumer of
+            # the batch profile — past the break-even where recompute
+            # beat materialization (the q42 bet, re-decided per count)
+            prof_b = prof_b.localCheckpoint()
         healed = None
         dup_ids = None
         if corpus is not None:
@@ -284,6 +313,36 @@ def incremental_neardup_sink(
             dup_ids = verify_candidates_hashset(
                 cands, prof_b, id_col, threshold, profile_b=prof_c
             ).select("a_id")
+            if containment_threshold is not None:
+                # exact inverted-index probe over the profiles' shingle
+                # sets: drop the batch doc when it is contained in any
+                # corpus doc — the excerpt-leak direction an append-only
+                # sink can act on
+                ex_b = prof_b.select(
+                    F.col(id_col).alias("a_id"), F.explode("hset").alias("__s")
+                )
+                ex_c = prof_c.select(
+                    F.col(id_col).alias("b_id"), F.explode("hset").alias("__s")
+                )
+                if containment_max_doc_freq is not None:
+                    ex_c = cap_shingle_doc_freq(
+                        ex_c, "b_id", "__s", containment_max_doc_freq
+                    )
+                sizes_b = prof_b.select(
+                    F.col(id_col).alias("a_id"), F.col("n").alias("n_a")
+                )
+                contained = (
+                    ex_b.join(ex_c, "__s")
+                    .groupBy("a_id", "b_id")
+                    .agg(F.count(F.lit(1)).alias("__i"))
+                    .join(sizes_b, "a_id")
+                    .filter(
+                        F.col("__i") / F.col("n_a") >= containment_threshold
+                    )
+                    .select("a_id")
+                    .distinct()
+                )
+                dup_ids = dup_ids.unionByName(contained)
 
         intra = lsh_candidate_pairs(
             prof_b, id_col, "sig", bands, rows_per_band, sig_len=num_hashes
@@ -294,6 +353,42 @@ def incremental_neardup_sink(
         dup_ids = (
             intra_dups if dup_ids is None else dup_ids.unionByName(intra_dups)
         )
+        if containment_threshold is not None:
+            # intra-batch excerpt pairs: graph.containment_dedup's
+            # per-edge subset-drop rule (one-sided -> the subset drops;
+            # mutual -> the larger id), on raw ratios of exact counts
+            ex_b2 = prof_b.select(
+                F.col(id_col).alias("a_id"), F.explode("hset").alias("__s")
+            )
+            sz = prof_b.select(F.col(id_col).alias("a_id"), F.col("n"))
+            pairs = (
+                ex_b2.join(
+                    ex_b2.select(
+                        F.col("a_id").alias("b_id"), F.col("__s")
+                    ),
+                    "__s",
+                )
+                .filter(F.col("a_id") < F.col("b_id"))
+                .groupBy("a_id", "b_id")
+                .agg(F.count(F.lit(1)).alias("__i"))
+                .join(sz, "a_id")
+                .withColumnRenamed("n", "n_a")
+                .join(sz.withColumnRenamed("a_id", "b_id"), "b_id")
+                .withColumnRenamed("n", "n_b")
+            )
+            ca = F.col("__i") / F.col("n_a") >= containment_threshold
+            cb = F.col("__i") / F.col("n_b") >= containment_threshold
+            intra_cont = (
+                pairs.select(
+                    F.when(ca & cb, F.greatest("a_id", "b_id"))
+                    .when(ca, F.col("a_id"))
+                    .when(cb, F.col("b_id"))
+                    .alias("a_id")
+                )
+                .filter(F.col("a_id").isNotNull())
+                .distinct()
+            )
+            dup_ids = dup_ids.unionByName(intra_cont)
 
         fresh = batch_df.join(
             dup_ids.distinct().withColumnRenamed("a_id", id_col),

@@ -57,6 +57,13 @@ NAMES = [
     "q151_compact_roundtrip",
     "q152_jsonl_roundtrip",
     "q153_token_budget_pack",
+    # round-10 additions (q164 re-listed: its ASCII canonicalization
+    # regex moved to the \p{Alnum} fast path this round)
+    "q164_quality_linear",
+    "q167_quality_linear_unicode",
+    "q168_quality_trained",
+    "q169_unicode_normalized_dedup",
+    "q170_script_profile",
 ]
 
 

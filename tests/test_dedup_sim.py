@@ -1096,3 +1096,57 @@ class TestContainmentDedup:
         got = self._decide(spark, [(7, text), (9, text)])
         assert got[7] == (7, True)
         assert got[9] == (7, False)
+
+
+def test_lsh_semantic_clusters_refine_exact_baseline(spark, sf_dir):
+    """q80 (hyperplane-LSH scale path) vs q74 (brute-force ground
+    truth), the documented equivalence pinned as structure:
+
+    - REFINEMENT: q80's verify stage is the same rounded-cosine
+      threshold, so its pair set is a subset of q74's and every LSH
+      component must sit inside exactly one exact component (a
+      component spanning two exact components would mean a pair the
+      exact tier rejected).
+    - CANONICAL MONOTONICITY: splitting components can only mint new
+      canonicals, and the exact tier's canonical (min id of its
+      component) stays the min of whichever sub-component it lands in
+      — so q74's canonical set is a subset of q80's.
+    - RECALL FLOOR: the planted mutants sit at >= 0.99 cosine; with 6
+      tables x 6 bits the deterministic md5 bucketing recovers (at
+      this fixture) all of them — pin >= 0.95 of the exact tier's
+      non-singleton memberships so a silent bucketing regression
+      cannot hide behind the rows-only driver check.
+    """
+    from collections import Counter, defaultdict
+
+    from gov_data_pipeline_spark.queries.dedup_sim import (
+        q74_semantic_clusters,
+        q80_semantic_clusters_lsh,
+    )
+
+    exact = {
+        r.vec_id: (r.component, r.is_canonical)
+        for r in q74_semantic_clusters(spark, sf_dir).collect()
+    }
+    lsh = {
+        r.vec_id: (r.component, r.is_canonical)
+        for r in q80_semantic_clusters_lsh(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(lsh)
+
+    members = defaultdict(set)
+    for v, (c, _) in lsh.items():
+        members[c].add(exact[v][0])
+    non_refining = {c: s for c, s in members.items() if len(s) > 1}
+    assert not non_refining, non_refining
+
+    exact_canon = {v for v, (_, k) in exact.items() if k}
+    lsh_canon = {v for v, (_, k) in lsh.items() if k}
+    assert exact_canon <= lsh_canon
+
+    ca = Counter(c for c, _ in exact.values())
+    cb = Counter(c for c, _ in lsh.values())
+    ns_exact = {v for v, (c, _) in exact.items() if ca[c] > 1}
+    ns_lsh = {v for v, (c, _) in lsh.items() if cb[c] > 1}
+    assert ns_exact, "fixture lost its planted mutants"
+    assert len(ns_lsh & ns_exact) / len(ns_exact) >= 0.95

@@ -263,6 +263,21 @@ class TestRound2OperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_q168_trained_scorer_no_pair_enumeration(self, spark, sf_dir):
+        """q168: trainer + scorer end-to-end — the model must reach the
+        feature rows as a broadcast in the scoring stage, and no stage
+        anywhere (training included — its per-iteration frames are
+        localCheckpointed, so the final plan shows the scoring stage)
+        may pair-enumerate."""
+        from gov_data_pipeline_spark.queries.quality import q168_quality_trained
+
+        df = q168_quality_trained(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no
         joins, no aggregate exchange — only the output sort shuffles."""

@@ -1237,3 +1237,90 @@ def test_capped_sessions_state_and_timers_survive_restart(spark, sf_dir):
     finally:
         for p in (d, out, ckpt):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_neardup_sink_containment_catches_excerpt_leaks(spark, tmp_path):
+    """The containment probe at ingest: a short excerpt of a large
+    corpus document has Jaccard far below any near-dup threshold (the
+    LSH path ingests it) but containment ~1.0 — with
+    ``containment_threshold`` it must drop, batch-vs-corpus AND
+    intra-batch (subset-drop rule), in both the recompute and the
+    profile-sidecar modes; and the stream's survivor set must equal
+    the q163 batch operator's verdicts on the same five documents."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.operators.dedup import containment_pairs_text
+    from gov_data_pipeline_spark.operators.graph import containment_dedup
+    from gov_data_pipeline_spark.streaming import incremental_neardup_sink
+
+    big = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    excerpt = "echo foxtrot golf hotel india juliet kilo lima"  # ⊂ big
+    novel = "one two three four five six seven eight nine ten eleven twelve"
+    novel_excerpt = "three four five six seven eight nine"  # ⊂ novel
+    other = "entirely unrelated prose about broadcast joins and shuffles"
+
+    b1 = [(1, big), (2, other)]
+    b2 = [(3, excerpt), (4, novel), (5, novel_excerpt)]
+
+    def write_batches(src):
+        seen, t0 = set(), time.time()
+        for i, rows in enumerate((b1, b2)):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            for root, _, files in os.walk(src):
+                for f in files:
+                    p = os.path.join(root, f)
+                    if p not in seen:
+                        os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                        seen.add(p)
+
+    def run(src, corpus, ckpt, **kw):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            incremental_neardup_sink(
+                stream, corpus, "text", "doc_id", ckpt, threshold=0.8, **kw
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+
+    src = str(tmp_path / "src")
+    write_batches(src)
+
+    # without the probe, both excerpts leak straight past LSH-Jaccard
+    got_plain = run(src, str(tmp_path / "c0"), str(tmp_path / "k0"))
+    assert got_plain == {1, 2, 3, 4, 5}
+
+    got = run(
+        src, str(tmp_path / "c1"), str(tmp_path / "k1"),
+        containment_threshold=0.9,
+    )
+    assert got == {1, 2, 4}
+
+    got_side = run(
+        src, str(tmp_path / "c2"), str(tmp_path / "k2"),
+        containment_threshold=0.9, profile_sidecar=True,
+    )
+    assert got_side == {1, 2, 4}
+
+    # stream == batch: q163's operators on the same five documents
+    all5 = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    pairs = containment_pairs_text(
+        all5, "doc_id", F.col("text"), threshold=0.9
+    )
+    verdicts = containment_dedup(pairs, all5, "doc_id", threshold=0.9)
+    batch_kept = {r["doc_id"] for r in verdicts.filter("kept").collect()}
+    assert batch_kept == got

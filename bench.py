@@ -55,6 +55,12 @@ HEADLINE = [
     # aggregate + k broadcast bit-test probes).
     "q155_sparse_cosine_topk",
     "q154_decontaminate_bloom",
+    # round-10 additions: the iterative fixed-point trainer (broadcast
+    # model re-derived per iteration over a checkpointed feature frame)
+    # and the ngram-key shuffle-join LM scorer — plan shapes the rest
+    # of the set never executes.
+    "q168_quality_trained",
+    "q171_bigram_logprob",
 ]
 
 # The set every round before r09 measured — its subtotal is emitted as

@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q168_quality_trained",
     "q169_unicode_normalized_dedup",
     "q170_script_profile",
+    "q171_bigram_logprob",
     # stalest cohort: last driver row r05
     "q46_cosine_neardup",
     "q47_text_stats",
@@ -108,10 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     "q19_count_distinct",
     "q25_header_promotion",
     "q28_redact",
-    "q30_string_funcs",
-    # --- driver sample boundary (first 50 end here: 4 r10-new +
-    # 12 r05 + 34 r07; the 16 remaining r07 greens below are boundary
+    # --- driver sample boundary (first 50 end here: 5 r10-new +
+    # 12 r05 + 33 r07; the 17 remaining r07 greens below are boundary
     # ties) ---
+    "q30_string_funcs",
     "q31_regex",
     "q32_dates",
     "q42_minhash_lsh",

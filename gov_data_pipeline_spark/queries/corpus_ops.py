@@ -84,6 +84,106 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# q171 — bigram LM scoring (the next perplexity-proxy tier above q94).
+# ---------------------------------------------------------------------------
+
+
+def q171_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by the mean log-probability of its word
+    BIGRAMS under the corpus's own add-one-smoothed bigram LM —
+    ``ln((c(w1 w2) + 1) / (c(w1 ·) + V))`` per bigram, averaged per
+    document. The tier between q94's unigram proxy and a neural
+    perplexity filter (the CCNet/KenLM shape): repeated boilerplate
+    scores high, word-salad scores low even when its unigrams are
+    common.
+
+    Shape at scale — the part that matters at 100 TB: the bigram model
+    is VOCABULARY², far past broadcast range, so scoring joins doc
+    bigrams to the model on the ngram key (shuffle join both sides —
+    exactly how KenLM-style scoring distributes); context counts are
+    one more vocabulary-sized aggregate OVER THE MODEL (never a second
+    corpus pass); the smoothing denominator's V is a 1-row broadcast.
+    The corpus shuffles twice (model build, per-doc reduce), both on
+    keys it must shuffle on. Documents with fewer than two words have
+    no bigrams and produce no row — q94's convention.
+
+    Bigrams are built from one split with the zip-against-shifted-tail
+    trick (scoring.py's): one Generate, no second text scan. Log is
+    float with round-4 before output — the q94 convention the sweep
+    accepts (both engines compute ln of the identical rational).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bi = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(bi).alias("bg"))
+    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = (
+        model.groupBy(F.substring_index("bg", " ", 1).alias("__w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    from gov_data_pipeline_spark.functions.textstats import term_rows
+
+    v = term_rows(docs, "doc_id", F.col("text")).agg(
+        F.count_distinct("term").alias("v")
+    )
+    return (
+        bg.join(model, "bg")
+        .join(ctx, F.substring_index("bg", " ", 1) == F.col("__w1"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q171_SQL = r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM ws WHERE len(w) >= 2),
+model AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM model GROUP BY 1),
+toks AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents) WHERE term <> ''),
+v AS (SELECT count(DISTINCT term) AS v FROM toks)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(sum(ln((m.c12 + 1) / (c.c1 + v.v))) / count(*), 4)
+         AS avg_logprob
+FROM bg b
+JOIN model m ON m.bg = b.bg
+JOIN ctx c ON c.w1 = split_part(b.bg, ' ', 1)
+CROSS JOIN v
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q143 — contrastive per-source vocabulary: what characterizes each
 # source vs the rest of the corpus (the data-audit view a mixture
 # designer reads before weighting feeds). Smoothed log-odds
@@ -1160,6 +1260,7 @@ ORDER BY lang, sample_rank
 
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
+    "q171_bigram_logprob": q171_bigram_logprob,
     "q165_eval_sample": q165_eval_sample,
     "q139_char_budget_mix": q139_char_budget_mix,
     "q143_distinctive_terms": q143_distinctive_terms,
@@ -1180,6 +1281,7 @@ QUERIES = {
 
 ORACLE = {
     "q94_unigram_logprob": _Q94_SQL,
+    "q171_bigram_logprob": _Q171_SQL,
     "q165_eval_sample": _Q165_SQL,
     "q139_char_budget_mix": _Q139_SQL,
     "q143_distinctive_terms": _Q143_SQL,

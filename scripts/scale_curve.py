@@ -64,6 +64,7 @@ NAMES = [
     "q168_quality_trained",
     "q169_unicode_normalized_dedup",
     "q170_script_profile",
+    "q171_bigram_logprob",
 ]
 
 

@@ -62,6 +62,8 @@ _PRIORITY: tuple[str, ...] = (
     "q169_unicode_normalized_dedup",
     "q170_script_profile",
     "q171_bigram_logprob",
+    "q172_top_ngram_fraction",
+    "q173_multilingual_curation",
     # stalest cohort: last driver row r05
     "q46_cosine_neardup",
     "q47_text_stats",
@@ -107,11 +109,11 @@ _PRIORITY: tuple[str, ...] = (
     "q16_except",
     "q18_row_index",
     "q19_count_distinct",
+    # --- driver sample boundary (first 50 end here: 7 r10-new +
+    # 12 r05 + 31 r07; the 19 remaining r07 greens below are boundary
+    # ties) ---
     "q25_header_promotion",
     "q28_redact",
-    # --- driver sample boundary (first 50 end here: 5 r10-new +
-    # 12 r05 + 33 r07; the 17 remaining r07 greens below are boundary
-    # ties) ---
     "q30_string_funcs",
     "q31_regex",
     "q32_dates",

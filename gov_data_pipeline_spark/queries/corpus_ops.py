@@ -101,11 +101,14 @@ def q171_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is VOCABULARY², far past broadcast range, so scoring joins doc
     bigrams to the model on the ngram key (shuffle join both sides —
     exactly how KenLM-style scoring distributes); context counts are
-    one more vocabulary-sized aggregate OVER THE MODEL (never a second
-    corpus pass); the smoothing denominator's V is a 1-row broadcast.
-    The corpus shuffles twice (model build, per-doc reduce), both on
-    keys it must shuffle on. Documents with fewer than two words have
-    no bigrams and produce no row — q94's convention.
+    one more vocabulary-sized aggregate OVER THE MODEL (not a corpus
+    pass); the smoothing denominator's V is a 1-row broadcast. The
+    corpus scans three times here (model build, the V vocabulary
+    count, scoring) — a production pipeline reuses q94's unigram
+    vocabulary aggregate for V, folding the middle scan away; it is
+    kept explicit here so the query stands alone. Documents with
+    fewer than two words have no bigrams and produce no row — q94's
+    convention.
 
     Bigrams are built from one split with the zip-against-shifted-tail
     trick (scoring.py's): one Generate, no second text scan. Log is

@@ -2374,6 +2374,110 @@ ORDER BY doc_id
 """
 
 
+def q172_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, Table A1):
+    per document, the fraction of characters covered by the MOST
+    FREQUENT word n-gram, for n = 2, 3, 4 — the boilerplate/chant
+    detector that complements q88's duplicate-3-gram RATIO (q88 asks
+    "how much repeats at all", this asks "how dominant is the single
+    worst offender"). Coverage uses the Gopher convention
+    ``count * len(gram) / len(text)`` with overlapping occurrences
+    counted (capped at 1.0 — 'a a a a' covers more than its length).
+
+    One Generate for all three n values, and the gram arrays come from
+    CODEGEN'D REGEX, not an interpreted higher-order function:
+    ``regexp_extract_all`` with a word-start lookbehind and a capturing
+    lookahead (``(?<=^| )(?=(\\S+ \\S+))``) emits every OVERLAPPING
+    n-gram of the whitespace-normalized text — measured 10x the
+    slice/concat_ws ``transform`` form (0.7 s vs 7.4 s for the same
+    explode at sf0.1: HOF lambdas are interpreted per element, regex
+    runs inside codegen; same family of finding as the q164
+    ``\\p{Alnum}`` fix). The n tag is recovered from the gram itself
+    (word count) — no struct building. Then one (doc, n, gram) count
+    aggregate, a top-1 window per (doc, n) with a deterministic
+    tiebreak (count desc, gram desc — both engines), and the per-doc
+    char length carried through. Docs with fewer than n words produce
+    no row for that n."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+
+    def grams_re(n: int):
+        pat = r"(?<=^| )(?=(\S+" + r" \S+" * (n - 1) + r"))"
+        return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+    grams = docs.select(
+        "doc_id",
+        F.length("text").alias("__len"),
+        F.explode(F.concat(grams_re(2), grams_re(3), grams_re(4))).alias("g"),
+    ).select(
+        "doc_id",
+        "__len",
+        F.size(F.split("g", " ")).alias("n"),
+        "g",
+    )
+    counts = grams.groupBy("doc_id", "__len", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    win = W.partitionBy("doc_id", "n").orderBy(
+        F.col("cnt").desc(), F.col("g").desc()
+    )
+    return (
+        counts.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "doc_id",
+            "n",
+            F.col("g").alias("top_gram"),
+            F.col("cnt").alias("top_count"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("cnt") * F.length("g") / F.col("__len"),
+                ),
+                4,
+            ).alias("char_fraction"),
+        )
+        .orderBy("doc_id", "n")
+    )
+
+
+_Q172_SQL = r"""
+WITH ws AS (
+  SELECT doc_id, length(text) AS len,
+         string_split_regex(trim(text), '\s+') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, len, 2 AS n,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM ws WHERE len(w) >= 2
+  UNION ALL
+  SELECT doc_id, len, 3 AS n,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+  FROM ws WHERE len(w) >= 3
+  UNION ALL
+  SELECT doc_id, len, 4 AS n,
+         unnest(list_transform(range(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    || ' ' || w[i+3]))
+  FROM ws WHERE len(w) >= 4),
+counts AS (
+  SELECT doc_id, len, n, g, count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3, 4),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                               ORDER BY cnt DESC, g DESC) AS rk
+  FROM counts)
+SELECT doc_id, n, g AS top_gram, CAST(cnt AS BIGINT) AS top_count,
+       round(least(1.0, cnt * length(g) / len), 4) AS char_fraction
+FROM ranked WHERE rk = 1
+ORDER BY doc_id, n
+"""
+
+
 def q89_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone v2 — the round-4 corpus-prep surface composed as ONE
     oracle-checked pipeline, the way a pretraining run would chain it:
@@ -2830,6 +2934,7 @@ QUERIES = {
     "q159_normalized_dedup": q159_normalized_dedup,
     "q169_unicode_normalized_dedup": q169_unicode_normalized_dedup,
     "q170_script_profile": q170_script_profile,
+    "q172_top_ngram_fraction": q172_top_ngram_fraction,
     "q67_dedup_clusters": q67_dedup_clusters,
     "q77_fuzzy_join": q77_fuzzy_join,
     "q74_semantic_clusters": q74_semantic_clusters,
@@ -2898,6 +3003,7 @@ ORACLE = {
     "q159_normalized_dedup": _Q159_SQL,
     "q169_unicode_normalized_dedup": _Q169_SQL,
     "q170_script_profile": _Q170_SQL,
+    "q172_top_ngram_fraction": _Q172_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q158_containment_pairs": _Q158_SQL,
     "q163_containment_dedup": _Q163_SQL,

@@ -480,6 +480,163 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# q173 — multilingual curation capstone: the round-10 unicode surface
+# composed as ONE oracle-checked pipeline, the way a multilingual
+# corpus run would chain it: script routing (q170's dominant-script
+# signal) -> unicode normalized dedup (q169's L5 shape, planted
+# variants dropped) -> unicode learned scoring (q167's broadcast
+# model) -> one verdict row per document. Every stage is individually
+# oracled; this pins the COMPOSITION (the q89/q75 capstone pattern).
+# Plan: the corpus derives once, the dedup key is one window over a
+# 16-byte md5, the scorer is one explode + broadcast join + one
+# doc-id shuffle — nothing here adds a shuffle the stages didn't
+# already have.
+# ---------------------------------------------------------------------------
+
+
+def q173_multilingual_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.textstats import (
+        dominant_script_col,
+        script_count_col,
+    )
+    from gov_data_pipeline_spark.operators.scoring import (
+        pseudo_weights,
+        score_linear_model,
+    )
+    from gov_data_pipeline_spark.transforms import canonical_text_col
+
+    _LO = "abcdefghijklmnopqrstuvwxyz"
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.translate(F.col("text"), _LO, "абвгдежзийклмнопрстуфхцчшщ"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    variants = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(
+            F.translate(F.col("text"), _LO, _LO.upper()), F.lit(" ?!  .")
+        ).alias("text"),
+    )
+    corpus = base.unionByName(variants)
+
+    t = F.col("text")
+    lat, cyr, han = (script_count_col(t, s) for s in ("latin", "cyrillic", "han"))
+    routed = corpus.select(
+        "doc_id", "text", dominant_script_col(lat, cyr, han).alias("dominant")
+    )
+
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy(F.md5(canonical_text_col(t, token_classes="unicode")))
+    keyed = routed.withColumn(
+        "group_size", F.count(F.lit(1)).over(wk)
+    ).withColumn("dedup_keep", F.col("doc_id") == F.min("doc_id").over(wk))
+
+    scored = score_linear_model(
+        keyed,
+        "doc_id",
+        F.col("text"),
+        pseudo_weights(spark, n_features=_Q164_N_FEATURES),
+        n_features=_Q164_N_FEATURES,
+        hash_family="md5",
+        token_classes="unicode",
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "dominant",
+            "group_size",
+            "dedup_keep",
+            "logit",
+            (F.col("dedup_keep") & F.col("kept")).alias("final_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q173_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                             'абвгдежзийклмнопрстуфхцчшщ')
+              ELSE text END AS text
+  FROM documents),
+u AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' ?!  .' AS text
+  FROM base WHERE doc_id % 5 = 0),
+routed AS (
+  SELECT doc_id, text,
+         CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_han = 0 THEN 'none'
+              WHEN n_latin >= n_cyrillic AND n_latin >= n_han THEN 'latin'
+              WHEN n_cyrillic >= n_han THEN 'cyrillic'
+              ELSE 'han' END AS dominant
+  FROM (
+    SELECT doc_id, text,
+           coalesce(len(regexp_extract_all(text, '[A-Za-z]')), 0) AS n_latin,
+           coalesce(len(regexp_extract_all(text, '\\p{Cyrillic}')), 0)
+             AS n_cyrillic,
+           coalesce(len(regexp_extract_all(text, '\\p{Han}')), 0) AS n_han
+    FROM u)),
+keyed AS (
+  SELECT doc_id, text, dominant,
+         count(*) OVER (PARTITION BY k) AS group_size,
+         doc_id = min(doc_id) OVER (PARTITION BY k) AS dedup_keep
+  FROM (
+    SELECT *,
+           md5(translate(trim(regexp_replace(text, '[^\\p{L}\\p{N}]+', ' ',
+                                             'g')),
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz')) AS k
+    FROM routed)),
+w AS (
+  SELECT range AS feature_id,
+         ('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 13))::BIGINT
+           % 2001 - 1000 AS weight
+  FROM range(262144)),
+canon AS (
+  SELECT doc_id,
+         translate(trim(regexp_replace(text, '[^\\p{L}\\p{N}]+', ' ', 'g')),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz') AS c
+  FROM u),
+ws AS (
+  SELECT doc_id, string_split(c, ' ') AS wlist
+  FROM canon WHERE len(c) > 0),
+grams AS (
+  SELECT doc_id, unnest(wlist) AS g FROM ws
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wlist)),
+                               i -> wlist[i] || ' ' || wlist[i+1])) AS g
+  FROM ws WHERE len(wlist) >= 2),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 13))::BIGINT % 262144 AS feature_id,
+         count(*) AS tf
+  FROM grams GROUP BY 1, 2),
+sums AS (
+  SELECT f.doc_id, sum(f.tf * w.weight) AS dot
+  FROM feats f JOIN w ON w.feature_id = f.feature_id
+  GROUP BY 1)
+SELECT k.doc_id, k.dominant, k.group_size, k.dedup_keep,
+       CAST(coalesce(s.dot, 0) AS BIGINT) AS logit,
+       k.dedup_keep AND coalesce(s.dot, 0) >= 0 AS final_kept
+FROM keyed k
+LEFT JOIN sums s ON s.doc_id = k.doc_id
+ORDER BY k.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q166 — SUMMARIZE-style column profile (operators/expect.
 # profile_columns): per-column row/null/exact-distinct counts and
 # string-cast min/max over a mixed-type slice of orders (long, double,
@@ -617,6 +774,7 @@ QUERIES = {
     "q164_quality_linear": q164_quality_linear,
     "q167_quality_linear_unicode": q167_quality_linear_unicode,
     "q168_quality_trained": q168_quality_trained,
+    "q173_multilingual_curation": q173_multilingual_curation,
     "q166_column_profile": q166_column_profile,
     "q122_k_anonymity": q122_k_anonymity,
     "q90_pii_redact": q90_pii_redact,
@@ -628,6 +786,7 @@ ORACLE = {
     "q164_quality_linear": _Q164_SQL,
     "q167_quality_linear_unicode": _Q167_SQL,
     "q168_quality_trained": _Q168_SQL,
+    "q173_multilingual_curation": _Q173_SQL,
     "q166_column_profile": _Q166_SQL,
     "q122_k_anonymity": _Q122_SQL,
     "q90_pii_redact": _Q90_SQL,

@@ -8,6 +8,7 @@ from gov_data_pipeline_spark.streaming.stateful import (  # noqa: F401
 from gov_data_pipeline_spark.streaming.ingest import (  # noqa: F401
     incremental_dedup_sink,
     incremental_neardup_sink,
+    scored_ingest_sink,
 )
 from gov_data_pipeline_spark.streaming.monitor import (  # noqa: F401
     psi_drift_sink,

@@ -413,3 +413,81 @@ def incremental_neardup_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def scored_ingest_sink(
+    stream_df: DataFrame,
+    corpus_path: str,
+    text_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    weights: DataFrame,
+    n_features: int = 1 << 18,
+    intercept: int = 0,
+    threshold: int = 0,
+    hash_family: str = "xxhash64",
+    token_classes: str = "ascii",
+    quarantine_path: str | None = None,
+) -> DataStreamWriter:
+    """Learned quality filtering AT INGEST: every micro-batch is scored
+    with the broadcast linear model (``operators/scoring.
+    score_linear_model`` — the q164/q167 shape, optionally a model the
+    engine trained itself via ``train_linear_model``), rows with
+    ``logit >= threshold`` append to the corpus, and rejected rows
+    optionally append to ``quarantine_path`` WITH their logits — the
+    audit trail a filtering pipeline owes its operators (silently
+    dropped data is undebuggable; a quarantine is greppable).
+
+    Retry idempotence: a replayed batch's rows carry ids the corpus
+    already holds, so an ids anti-join against the persisted corpus
+    (and quarantine, when configured) drops them before scoring —
+    cheaper than re-scoring, and the same mechanism either way. The
+    model is scale-invariant per batch: one broadcast join + one
+    batch-sized aggregate; the corpus-side cost is the ids projection
+    only (parquet column pruning reads just ``id_col``).
+
+    The streaming twin of the batch q164/q167/q168 family; composes
+    with the dedup sinks by pointing this sink's output directory at
+    their input stream (score -> dedup, the usual curation order when
+    the filter is cheaper than the dedup index).
+    """
+    from gov_data_pipeline_spark.operators.scoring import score_linear_model
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()  # source read once per batch
+        for prior_path in (corpus_path, quarantine_path):
+            if prior_path is None:
+                continue
+            prior = _read_corpus_or_none(spark, prior_path)
+            if prior is not None:
+                batch_df = batch_df.join(
+                    prior.select(id_col), id_col, "left_anti"
+                )
+        scored = score_linear_model(
+            batch_df,
+            id_col,
+            F.col(text_col),
+            weights,
+            n_features=n_features,
+            intercept=intercept,
+            threshold=threshold,
+            hash_family=hash_family,
+            token_classes=token_classes,
+        )
+        if quarantine_path is not None:
+            # two consumers of the scored frame: pin it once
+            scored = scored.localCheckpoint()
+        scored.filter(F.col("kept")).drop("logit", "kept").write.mode(
+            "append"
+        ).parquet(corpus_path)
+        if quarantine_path is not None:
+            scored.filter(~F.col("kept")).drop("kept").write.mode(
+                "append"
+            ).parquet(quarantine_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -65,6 +65,8 @@ NAMES = [
     "q169_unicode_normalized_dedup",
     "q170_script_profile",
     "q171_bigram_logprob",
+    "q172_top_ngram_fraction",
+    "q173_multilingual_curation",
 ]
 
 

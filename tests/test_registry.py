@@ -310,7 +310,8 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
         "q163_containment_dedup", "q164_quality_linear",
         "q167_quality_linear_unicode", "q168_quality_trained",
         "q169_unicode_normalized_dedup", "q170_script_profile",
-        "q171_bigram_logprob",
+        "q171_bigram_logprob", "q172_top_ngram_fraction",
+        "q173_multilingual_curation",
     ]
     missing = [n for n in must_match if n not in Q or n not in O]
     assert not missing, f"sweep list out of date: {missing}"

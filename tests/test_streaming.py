@@ -1324,3 +1324,99 @@ def test_neardup_sink_containment_catches_excerpt_leaks(spark, tmp_path):
     verdicts = containment_dedup(pairs, all5, "doc_id", threshold=0.9)
     batch_kept = {r["doc_id"] for r in verdicts.filter("kept").collect()}
     assert batch_kept == got
+
+
+def test_scored_ingest_sink_filters_and_quarantines(spark, tmp_path):
+    """Learned quality filtering at ingest: a hand-built weight table
+    (positive 'clean', negative 'spam') routes each micro-batch row to
+    the corpus or the quarantine; the quarantine keeps the logit audit
+    column; batch verdicts equal score_linear_model on the same rows;
+    a fresh-checkpoint replay appends nothing (ids anti-join against
+    both outputs)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.operators.scoring import score_linear_model
+    from gov_data_pipeline_spark.streaming import scored_ingest_sink
+
+    n = 1 << 10
+    b1 = [(1, "clean prose about joins"), (2, "spam spam buy now spam")]
+    b2 = [(3, "more clean prose here"), (4, "buy spam now")]
+    # model: hand weights over the hashed unigrams of the two marker
+    # words — every other token misses the table and scores 0
+    marker = spark.createDataFrame(
+        [("clean", 500), ("spam", -500)], "tok string, w long"
+    )
+    from gov_data_pipeline_spark.operators.dedup import md5_h1h2
+
+    h1, _ = md5_h1h2(F.col("tok"))
+    weights = marker.select(
+        F.pmod(h1, F.lit(n)).cast("long").alias("feature_id"),
+        F.col("w").alias("weight"),
+    )
+
+    src = str(tmp_path / "src")
+    seen, t0 = set(), time.time()
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                if p not in seen:
+                    os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                    seen.add(p)
+
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            scored_ingest_sink(
+                stream, corpus, "text", "doc_id", ckpt, weights,
+                n_features=n, hash_family="md5",
+                quarantine_path=quarantine,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "k1"))
+    kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    quar = {
+        r["doc_id"]: r["logit"]
+        for r in spark.read.parquet(quarantine).collect()
+    }
+    assert kept == {1, 3}
+    assert set(quar) == {2, 4}
+    assert all(v < 0 for v in quar.values())  # audit column survives
+
+    # stream == batch: same verdicts as the batch scorer on all rows
+    all_rows = spark.createDataFrame(
+        b1 + b2, "doc_id long, text string"
+    )
+    batch = {
+        r["doc_id"]: (r["kept"], r["logit"])
+        for r in score_linear_model(
+            all_rows, "doc_id", F.col("text"), weights,
+            n_features=n, hash_family="md5",
+        ).collect()
+    }
+    assert {d for d, (k, _) in batch.items() if k} == kept
+    assert {d: l for d, (k, l) in batch.items() if not k} == quar
+
+    # fresh-checkpoint replay: every id already lives in an output
+    run(str(tmp_path / "k2"))
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == kept
+    assert {
+        r["doc_id"] for r in spark.read.parquet(quarantine).collect()
+    } == set(quar)

@@ -278,6 +278,53 @@ class TestRound2OperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_q171_bigram_lm_joins_on_ngram_key(self, spark, sf_dir):
+        """q171: the model join must be an equi-join on the ngram key
+        (the shape that survives a model past broadcast range) and
+        nothing may pair-enumerate; the only nested loop allowed is the
+        house 1-row V broadcast (condition-free cross)."""
+        from gov_data_pipeline_spark.queries.corpus_ops import q171_bigram_logprob
+
+        df = q171_bigram_logprob(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        n_bnlj = final.count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= 1, final
+        assert n_bnlj == final.count("BroadcastNestedLoopJoin BuildRight, Cross")
+        assert (
+            "SortMergeJoin [bg" in plan
+            or "ShuffledHashJoin [bg" in plan
+            or "BroadcastHashJoin [bg" in plan
+        ), final
+
+    def test_q172_top_ngram_no_join(self, spark, sf_dir):
+        """q172 is count-aggregate + top-1 window over one scan: no
+        join of any kind may appear (a join would mean the per-doc
+        char length stopped riding the aggregate key)."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q172_top_ngram_fraction,
+        )
+
+        plan = _plan(q172_top_ngram_fraction(spark, sf_dir))
+        assert "Join" not in plan
+
+    def test_q173_capstone_broadcasts_model_no_pairs(self, spark, sf_dir):
+        """q173: the composed pipeline must keep q167's plan promises —
+        model reaches features as a broadcast, nothing
+        pair-enumerates."""
+        from gov_data_pipeline_spark.queries.quality import (
+            q173_multilingual_curation,
+        )
+
+        df = q173_multilingual_curation(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no
         joins, no aggregate exchange — only the output sort shuffles."""

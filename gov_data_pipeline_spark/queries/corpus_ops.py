@@ -187,6 +187,118 @@ ORDER BY b.doc_id
 
 
 # ---------------------------------------------------------------------------
+# q174 — temperature-weighted source quotas via largest-remainder
+# apportionment (the T5/Pile data-mixing primitive).
+# ---------------------------------------------------------------------------
+
+_Q174_BUDGET = 1000
+
+
+def q174_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling quotas for a document budget of 1000 under
+    two mixing policies: PROPORTIONAL (α = 1 — big sources dominate)
+    and TEMPERATURE-SMOOTHED (α = 0.5, the T5/Pile convention — weight
+    ∝ size^α compresses the spread so small sources keep
+    representation). Size is the per-source character volume, the unit
+    mixture designers actually budget.
+
+    Quotas are made EXACT with largest-remainder (Hamilton)
+    apportionment — not a float-rounding pass that can gain or lose
+    units: base = (N·w) div W integer floor, then the N − Σbase
+    leftover units go to the largest remainders (tie → source name
+    asc). Every quantity is int64 (α = 0.5 weights are
+    floor(sqrt·1e6) fixed-point; both engines' sqrt is
+    correctly-rounded IEEE on the identical int-valued double), so the
+    oracle reproduces every quota bit-for-bit and Σ quota = N by
+    construction in both engines. Scale shape: one map-side-partial
+    aggregate to source-sized data (~thousands of rows at any corpus
+    size), then window arithmetic over that — nothing document-sized
+    moves after the first aggregate.
+
+    The selection step these quotas feed is q165's exact-k stratified
+    sampler (k per stratum = this quota); this query pins the
+    quota MATH, q165 pins the membership."""
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("c"),
+    )
+
+    # global windows, not crossJoin-with-own-aggregate: the frame is
+    # source-sized (thousands of rows at worst), and a self-derived
+    # broadcast would hit Spark's ambiguous-self-join lineage
+    full = W.partitionBy()
+
+    def apportion(df: DataFrame, w: F.Column, out: str) -> DataFrame:
+        # NOTE __wt/__tot, not __w/__W: Spark resolves column names
+        # case-insensitively by default, so a w/W pair silently aliases
+        # to ONE column and every base becomes budget*w div w
+        df = df.withColumn("__wt", w)
+        df = df.withColumn("__tot", F.sum("__wt").over(full))
+        df = df.withColumn(
+            "__base",
+            F.expr(f"({_Q174_BUDGET}L * __wt) div __tot").cast("long"),
+        ).withColumn("__rem", F.expr(f"({_Q174_BUDGET}L * __wt) % __tot"))
+        df = df.withColumn("__B", F.sum("__base").over(full))
+        rk = W.orderBy(F.col("__rem").desc(), F.col("source").asc())
+        df = df.withColumn("__rk", F.row_number().over(rk))
+        return df.withColumn(
+            out,
+            (
+                F.col("__base")
+                + F.when(
+                    F.col("__rk") <= _Q174_BUDGET - F.col("__B"), 1
+                ).otherwise(0)
+            ).cast("long"),
+        ).drop("__wt", "__tot", "__base", "__rem", "__B", "__rk")
+
+    out = apportion(counts, F.col("c"), "quota_prop")
+    out = apportion(
+        out,
+        F.floor(F.sqrt(F.col("c").cast("double")) * 1e6).cast("long"),
+        "quota_temp",
+    )
+    return out.select(
+        "source", "n_docs", "c", "quota_prop", "quota_temp"
+    ).orderBy("source")
+
+
+_Q174_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS c
+  FROM documents GROUP BY source),
+p AS (
+  SELECT *,
+         ({_Q174_BUDGET} * c) // (SELECT sum(c) FROM counts) AS base_p,
+         ({_Q174_BUDGET} * c) % (SELECT sum(c) FROM counts) AS rem_p
+  FROM counts),
+p2 AS (
+  SELECT *, row_number() OVER (ORDER BY rem_p DESC, source ASC) AS rk_p,
+         (SELECT sum(base_p) FROM p) AS b_p
+  FROM p),
+t AS (
+  SELECT *, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS w
+  FROM p2),
+t2 AS (
+  SELECT *,
+         ({_Q174_BUDGET} * w) // (SELECT sum(w) FROM t) AS base_t,
+         ({_Q174_BUDGET} * w) % (SELECT sum(w) FROM t) AS rem_t
+  FROM t),
+t3 AS (
+  SELECT *, row_number() OVER (ORDER BY rem_t DESC, source ASC) AS rk_t,
+         (SELECT sum(base_t) FROM t2) AS b_t
+  FROM t2)
+SELECT source, n_docs, c,
+       CAST(base_p + CASE WHEN rk_p <= {_Q174_BUDGET} - b_p THEN 1 ELSE 0 END
+            AS BIGINT) AS quota_prop,
+       CAST(base_t + CASE WHEN rk_t <= {_Q174_BUDGET} - b_t THEN 1 ELSE 0 END
+            AS BIGINT) AS quota_temp
+FROM t3
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # q143 — contrastive per-source vocabulary: what characterizes each
 # source vs the rest of the corpus (the data-audit view a mixture
 # designer reads before weighting feeds). Smoothed log-odds
@@ -1264,6 +1376,7 @@ ORDER BY lang, sample_rank
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q171_bigram_logprob": q171_bigram_logprob,
+    "q174_temperature_quota": q174_temperature_quota,
     "q165_eval_sample": q165_eval_sample,
     "q139_char_budget_mix": q139_char_budget_mix,
     "q143_distinctive_terms": q143_distinctive_terms,
@@ -1285,6 +1398,7 @@ QUERIES = {
 ORACLE = {
     "q94_unigram_logprob": _Q94_SQL,
     "q171_bigram_logprob": _Q171_SQL,
+    "q174_temperature_quota": _Q174_SQL,
     "q165_eval_sample": _Q165_SQL,
     "q139_char_budget_mix": _Q139_SQL,
     "q143_distinctive_terms": _Q143_SQL,

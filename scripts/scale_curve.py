@@ -67,6 +67,7 @@ NAMES = [
     "q171_bigram_logprob",
     "q172_top_ngram_fraction",
     "q173_multilingual_curation",
+    "q174_temperature_quota",
 ]
 
 

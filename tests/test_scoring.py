@@ -333,3 +333,38 @@ class TestTrainLinearModel:
         want = {f: v for f, v in w.items()}
         assert got == want
         assert any(v != 0 for v in got.values())
+
+
+def test_temperature_quota_apportionment_invariants(spark, tmp_path):
+    """Largest-remainder apportionment on a constructed skew: quotas
+    sum EXACTLY to the budget under both policies (no float rounding
+    can gain or lose a unit), proportional quotas track size, and the
+    α=0.5 temperature compresses the spread — small sources keep more
+    representation than their share."""
+    import gov_data_pipeline_spark.queries.corpus_ops as co
+
+    # 3 sources with 1/10/100 docs of equal n_chars
+    rows = []
+    did = 0
+    for src, n in (("tiny", 1), ("mid", 10), ("big", 100)):
+        for _ in range(n):
+            rows.append((did, src, 40))
+            did += 1
+    base = str(tmp_path / "sk")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).write.parquet(base + "/documents.parquet")
+    out = {
+        r["source"]: (r["quota_prop"], r["quota_temp"])
+        for r in co.q174_temperature_quota(spark, base).collect()
+    }
+    sp = sum(v[0] for v in out.values())
+    st = sum(v[1] for v in out.values())
+    assert sp == st == co._Q174_BUDGET
+    assert out["big"][0] > out["mid"][0] > out["tiny"][0]
+    # temperature lifts the tiny source and trims the big one
+    assert out["tiny"][1] > out["tiny"][0]
+    assert out["big"][1] < out["big"][0]
+    spread_prop = out["big"][0] - out["tiny"][0]
+    spread_temp = out["big"][1] - out["tiny"][1]
+    assert spread_temp < spread_prop

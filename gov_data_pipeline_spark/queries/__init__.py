@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "q172_top_ngram_fraction",
     "q173_multilingual_curation",
     "q174_temperature_quota",
+    "q175_phrase_merges",
     # stalest cohort: last driver row r05
     "q46_cosine_neardup",
     "q47_text_stats",
@@ -108,10 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     "q150_stream_throttle",
     "q15_intersect",
     "q16_except",
-    "q18_row_index",
-    # --- driver sample boundary (first 50 end here: 8 r10-new +
-    # 12 r05 + 30 r07; the 20 remaining r07 greens below are boundary
+    # --- driver sample boundary (first 50 end here: 9 r10-new +
+    # 12 r05 + 29 r07; the 21 remaining r07 greens below are boundary
     # ties) ---
+    "q18_row_index",
     "q19_count_distinct",
     "q25_header_promotion",
     "q28_redact",

@@ -299,6 +299,150 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# q175 — BPE-style phrase-merge induction (tokenizer training, the
+# word-level shape) — two unrolled merge rounds, oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+def q175_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induce the first TWO merge rules of a BPE-style phrase
+    vocabulary over the corpus — the tokenizer-training loop run at
+    corpus scale: count adjacent symbol pairs, merge the most frequent
+    (ties to the lexicographically smallest pair), re-tokenize, and
+    repeat; round 2 counts pairs over the MERGED stream, so a
+    round-1 merge can itself participate (exactly BPE's recurrence,
+    here on word symbols — character-level BPE is this same loop with
+    a character explode). Output: one row per round with the merged
+    pair, its count, and the post-merge corpus token count.
+
+    Determinism across engines, the non-obvious parts: the merge
+    applies with plain ``replace`` on the space-padded symbol stream —
+    BOTH engines scan left-to-right and resume AFTER the inserted
+    replacement, so overlapping occurrences ('a a a' under merge
+    'a a') resolve identically (verified: ' a_a a a b ' in both); the
+    argmax tiebreak is (count desc, pair asc); counts and token totals
+    are int64. The winning pair per round is ONE ROW collected to the
+    driver — model state, the q113 k-means convention — because the
+    next round's expression embeds it; everything corpus-sized stays
+    distributed (pair counting is one map-side-partial aggregate per
+    round, re-tokenization one projection).
+    """
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"), " "
+                ),
+                F.lit(" "),
+            ).alias("t"),
+        )
+        .localCheckpoint()
+    )
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        ws = F.split(F.trim(F.col("t")), " ")
+        pairs = F.when(
+            F.size(ws) >= 2,
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    rows = []
+    cur = base
+    for rnd in (1, 2):
+        top = (
+            pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .first()
+        )
+        if top is None:  # empty corpus: no merges to learn
+            return spark.createDataFrame(
+                [],
+                "round int, merged_pair string, pair_count bigint,"
+                " n_tokens_after bigint",
+            )
+        merged = top["pair"].replace(" ", "_")
+        cur = cur.select(
+            "doc_id",
+            F.replace(
+                F.col("t"),
+                F.lit(f" {top['pair']} "),
+                F.lit(f" {merged} "),
+            ).alias("t"),
+        ).localCheckpoint()
+        n_after = (
+            cur.select(
+                F.sum(F.size(F.split(F.trim(F.col("t")), " "))).alias("n")
+            ).first()["n"]
+        )
+        rows.append((rnd, top["pair"], int(top["cnt"]), int(n_after)))
+    return spark.createDataFrame(
+        rows,
+        "round int, merged_pair string, pair_count bigint,"
+        " n_tokens_after bigint",
+    ).orderBy("round")
+
+
+_Q175_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id,
+         ' ' || array_to_string(string_split_regex(lower(trim(text)),
+                                                   '\s+'), ' ') || ' ' AS t
+  FROM documents WHERE length(trim(text)) > 0),
+p1 AS (
+  SELECT pair, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS pair
+    FROM (SELECT string_split(trim(t), ' ') AS w FROM t0)
+    WHERE len(w) >= 2)
+  GROUP BY pair),
+top1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+t1 AS (
+  SELECT doc_id,
+         replace(t, ' ' || (SELECT pair FROM top1) || ' ',
+                 ' ' || replace((SELECT pair FROM top1), ' ', '_') || ' ')
+           AS t
+  FROM t0),
+p2 AS (
+  SELECT pair, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS pair
+    FROM (SELECT string_split(trim(t), ' ') AS w FROM t1)
+    WHERE len(w) >= 2)
+  GROUP BY pair),
+top2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+t2 AS (
+  SELECT doc_id,
+         replace(t, ' ' || (SELECT pair FROM top2) || ' ',
+                 ' ' || replace((SELECT pair FROM top2), ' ', '_') || ' ')
+           AS t
+  FROM t1)
+SELECT 1 AS round, (SELECT pair FROM top1) AS merged_pair,
+       CAST((SELECT cnt FROM top1) AS BIGINT) AS pair_count,
+       (SELECT CAST(sum(len(string_split(trim(t), ' '))) AS BIGINT)
+        FROM t1) AS n_tokens_after
+UNION ALL
+SELECT 2, (SELECT pair FROM top2),
+       CAST((SELECT cnt FROM top2) AS BIGINT),
+       (SELECT CAST(sum(len(string_split(trim(t), ' '))) AS BIGINT)
+        FROM t2)
+ORDER BY round
+"""
+
+
+# ---------------------------------------------------------------------------
 # q143 — contrastive per-source vocabulary: what characterizes each
 # source vs the rest of the corpus (the data-audit view a mixture
 # designer reads before weighting feeds). Smoothed log-odds
@@ -1377,6 +1521,7 @@ QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q171_bigram_logprob": q171_bigram_logprob,
     "q174_temperature_quota": q174_temperature_quota,
+    "q175_phrase_merges": q175_phrase_merges,
     "q165_eval_sample": q165_eval_sample,
     "q139_char_budget_mix": q139_char_budget_mix,
     "q143_distinctive_terms": q143_distinctive_terms,
@@ -1399,6 +1544,7 @@ ORACLE = {
     "q94_unigram_logprob": _Q94_SQL,
     "q171_bigram_logprob": _Q171_SQL,
     "q174_temperature_quota": _Q174_SQL,
+    "q175_phrase_merges": _Q175_SQL,
     "q165_eval_sample": _Q165_SQL,
     "q139_char_budget_mix": _Q139_SQL,
     "q143_distinctive_terms": _Q143_SQL,

@@ -68,6 +68,7 @@ NAMES = [
     "q172_top_ngram_fraction",
     "q173_multilingual_curation",
     "q174_temperature_quota",
+    "q175_phrase_merges",
 ]
 
 

@@ -311,7 +311,7 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
         "q167_quality_linear_unicode", "q168_quality_trained",
         "q169_unicode_normalized_dedup", "q170_script_profile",
         "q171_bigram_logprob", "q172_top_ngram_fraction",
-        "q173_multilingual_curation",
+        "q173_multilingual_curation", "q175_phrase_merges",
     ]
     missing = [n for n in must_match if n not in Q or n not in O]
     assert not missing, f"sweep list out of date: {missing}"

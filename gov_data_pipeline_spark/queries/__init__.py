@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "q173_multilingual_curation",
     "q174_temperature_quota",
     "q175_phrase_merges",
+    "q176_passage_removal",
     # stalest cohort: last driver row r05
     "q46_cosine_neardup",
     "q47_text_stats",
@@ -108,10 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     "q14_topk_orders",
     "q150_stream_throttle",
     "q15_intersect",
-    "q16_except",
-    # --- driver sample boundary (first 50 end here: 9 r10-new +
-    # 12 r05 + 29 r07; the 21 remaining r07 greens below are boundary
+    # --- driver sample boundary (first 50 end here: 10 r10-new +
+    # 12 r05 + 28 r07; the 22 remaining r07 greens below are boundary
     # ties) ---
+    "q16_except",
     "q18_row_index",
     "q19_count_distinct",
     "q25_header_promotion",

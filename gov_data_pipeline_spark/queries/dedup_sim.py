@@ -2336,6 +2336,97 @@ ORDER BY doc_id, start_word
 """
 
 
+def q176_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-passage REMOVAL (operators/dedup.
+    remove_duplicate_passages) — the step q144 only reports: every
+    exact repeated passage (5-gram runs of >= 3 grams shared across
+    documents) keeps its first occurrence (min (doc_id, start) across
+    the corpus) and every other occurrence is CUT from its document's
+    text. Planted removals: every 5th doc re-published under id+3M
+    with a 2-word prefix — its entire body is an exact copy of the
+    original, so the variant must come back as just the prefix while
+    the original (the winner) keeps every word. Natural cross-doc
+    passages in the fixture get the same treatment, identically in
+    both engines. Output is the rewritten corpus row per document —
+    the strongest possible pin, since the driver hashes the full
+    cleaned text."""
+    from gov_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_passages,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.lit("republished notice "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    return remove_duplicate_passages(
+        corpus, "doc_id", F.col("text"), n=5, min_grams=3
+    ).orderBy("doc_id")
+
+
+_Q176_SQL = r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, 'republished notice ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0),
+w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+g AS (
+  SELECT doc_id, pos, md5(array_to_string(ws[pos:pos+4], ' ')) AS h
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS pos
+        FROM w WHERE len(ws) >= 5)),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM d),
+sp AS (
+  SELECT doc_id, CAST(min(pos) AS INT) AS s,
+         CAST(max(pos) + 4 AS INT) AS e, count(*) AS ng
+  FROM isl GROUP BY doc_id, i),
+spc AS (
+  SELECT sp.doc_id, s, e,
+         md5(array_to_string(w.ws[s:e], ' ')) AS chash
+  FROM sp JOIN w ON w.doc_id = sp.doc_id
+  WHERE ng >= 3),
+winners AS (
+  SELECT chash, min(ROW(doc_id, s)) AS win FROM spc GROUP BY chash),
+losers AS (
+  SELECT spc.doc_id, s, e
+  FROM spc JOIN winners ON winners.chash = spc.chash
+  WHERE ROW(spc.doc_id, spc.s) <> winners.win),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p,
+         unnest(ws) AS word
+  FROM w),
+deleted AS (
+  SELECT DISTINCT pos.doc_id, p
+  FROM pos JOIN losers ON losers.doc_id = pos.doc_id
+  WHERE p >= losers.s AND p <= losers.e),
+kept AS (
+  SELECT pos.doc_id, pos.p AS p, word
+  FROM pos LEFT JOIN deleted
+    ON deleted.doc_id = pos.doc_id AND deleted.p = pos.p
+  WHERE deleted.p IS NULL),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT u.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_words,
+       CAST(len(w.ws) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_removed_words,
+       coalesce(r.clean_text, '') AS clean_text
+FROM u
+JOIN w ON w.doc_id = u.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = u.doc_id
+ORDER BY u.doc_id
+"""
+
+
 def q88_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition gate: fraction of
     duplicate 3-grams per document. Deliberately EXPRESSION-level
@@ -2935,6 +3026,7 @@ QUERIES = {
     "q169_unicode_normalized_dedup": q169_unicode_normalized_dedup,
     "q170_script_profile": q170_script_profile,
     "q172_top_ngram_fraction": q172_top_ngram_fraction,
+    "q176_passage_removal": q176_passage_removal,
     "q67_dedup_clusters": q67_dedup_clusters,
     "q77_fuzzy_join": q77_fuzzy_join,
     "q74_semantic_clusters": q74_semantic_clusters,
@@ -3004,6 +3096,7 @@ ORACLE = {
     "q169_unicode_normalized_dedup": _Q169_SQL,
     "q170_script_profile": _Q170_SQL,
     "q172_top_ngram_fraction": _Q172_SQL,
+    "q176_passage_removal": _Q176_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q158_containment_pairs": _Q158_SQL,
     "q163_containment_dedup": _Q163_SQL,

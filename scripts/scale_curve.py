@@ -69,6 +69,7 @@ NAMES = [
     "q173_multilingual_curation",
     "q174_temperature_quota",
     "q175_phrase_merges",
+    "q176_passage_removal",
 ]
 
 

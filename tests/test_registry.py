@@ -312,6 +312,7 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
         "q169_unicode_normalized_dedup", "q170_script_profile",
         "q171_bigram_logprob", "q172_top_ngram_fraction",
         "q173_multilingual_curation", "q175_phrase_merges",
+        "q176_passage_removal",
     ]
     missing = [n for n in must_match if n not in Q or n not in O]
     assert not missing, f"sweep list out of date: {missing}"

@@ -261,6 +261,8 @@ class TestUnicodeTokenMode:
 
 
 class TestTrainLinearModel:
+    N_ITER = 2
+
     def test_two_iterations_match_hand_computed_recurrence(self, spark):
         """Bit-exact pin of the fixed-point trainer: an independent
         pure-Python replay of the documented recurrence (z -> hard
@@ -300,7 +302,7 @@ class TestTrainLinearModel:
         F_ = {i: feats(t) for i, t, _ in rows}
         Y = {i: y * 1000 for i, _, y in rows}
         w = {}
-        for it in range(2):
+        for it in range(self.N_ITER):
             errs = {}
             for i in F_:
                 z = sum(tf * w.get(f, 0) for f, tf in F_[i].items())
@@ -325,7 +327,7 @@ class TestTrainLinearModel:
                 F.col("text"),
                 F.col("y"),
                 n_features=n,
-                n_iter=2,
+                n_iter=self.N_ITER,
                 lr_den=lr_den,
                 hash_family="md5",
             ).collect()
@@ -333,6 +335,19 @@ class TestTrainLinearModel:
         want = {f: v for f, v in w.items()}
         assert got == want
         assert any(v != 0 for v in got.values())
+
+
+class TestTrainLinearModelOneIter(TestTrainLinearModel):
+    """n_iter=1: the all-zero init path alone."""
+
+    N_ITER = 1
+
+
+class TestTrainLinearModelThreeIter(TestTrainLinearModel):
+    """n_iter=3: the recurrence generalizes past the oracle-unrolled
+    two rounds — the loop, not the unrolling, is the contract."""
+
+    N_ITER = 3
 
 
 def test_temperature_quota_apportionment_invariants(spark, tmp_path):

@@ -51,12 +51,16 @@ _MODULES = (
 # Re-derived after r09 from all CORRECTNESS_r*.json (tripwire:
 # tests/test_registry.py::test_priority_rotation_is_fresh). Latest
 # green rounds after r09: 12 queries at r05 (q46-era cohort), 50 at
-# r07, 50 at r08, 50 at r09. New round-10 queries (no driver row)
-# lead; then the full r05 cohort; the 50 r07 greens follow in name
-# order and straddle the boundary (tie across the boundary — allowed);
-# r08/r09 greens fall through to module order.
+# r07, 50 at r08, 50 at r09. The 14 new round-10 queries (no driver
+# row) lead; then the full r05 cohort; the 50 r07 greens follow in
+# name order and straddle the boundary (tie across the boundary —
+# allowed); r08/r09 greens fall through to module order.
 _PRIORITY: tuple[str, ...] = (
     # new in r10 (no driver row yet)
+    "q177_dsir_select",
+    "q178_boilerplate_lines",
+    "q179_pr_curve",
+    "q180_lm_buckets",
     "q167_quality_linear_unicode",
     "q168_quality_trained",
     "q169_unicode_normalized_dedup",
@@ -106,12 +110,12 @@ _PRIORITY: tuple[str, ...] = (
     "q147_data_card",
     "q148_event_throttle",
     "q149_doc_pack_nfd",
+    # --- driver sample boundary (first 50 end here: 14 r10-new +
+    # 12 r05 + 24 r07; the 26 remaining r07 greens below are boundary
+    # ties) ---
     "q14_topk_orders",
     "q150_stream_throttle",
     "q15_intersect",
-    # --- driver sample boundary (first 50 end here: 10 r10-new +
-    # 12 r05 + 28 r07; the 22 remaining r07 greens below are boundary
-    # ties) ---
     "q16_except",
     "q18_row_index",
     "q19_count_distinct",

@@ -769,12 +769,470 @@ FROM orders"""
 ) + '\nORDER BY "column"'
 
 
+# ---------------------------------------------------------------------------
+# q177 — DSIR-style data selection (importance weighting on hashed
+# n-gram LMs; Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling"). Two bag-of-hashed-grams language models —
+# TARGET (here: the English slice, the distribution we want more of)
+# and RAW (the whole corpus) — add-one smoothed over B = 2^16 buckets;
+# every document scores the mean per-gram log importance ratio
+# ln(p_tgt / p_raw), and the top-K by (rounded weight, doc_id) are
+# selected. This is the deterministic top-K variant of the paper's
+# resampling step (the sampling itself is a weighted draw — q115's
+# machinery — but top-K is what makes the output oracle-exact).
+#
+# Shape at scale: gram rows reduce to TWO bucket-count relations of at
+# most B = 65 536 rows each (map-side-partial aggregates); the model
+# join is bucket-keyed against a relation AQE will broadcast; totals
+# are 1-row broadcasts; the per-doc reduce is one doc_id hash
+# aggregate; selection is TakeOrderedAndProject (the q14 top-k shape,
+# never a global sort). Nothing document-sized crosses an exchange
+# after the first aggregate. ln() on identical integer inputs + round(4)
+# is the q94 cross-engine convention.
+# ---------------------------------------------------------------------------
+
+_Q177_BUCKETS = 1 << 16
+_Q177_K = 200
+
+
+def q177_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.scoring import hashed_token_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feats = hashed_token_features(
+        docs,
+        "doc_id",
+        F.col("text"),
+        n_features=_Q177_BUCKETS,
+        bigrams=True,
+        hash_family="md5",
+    )
+    raw = feats.groupBy("feature_id").agg(F.sum("tf").alias("c_raw"))
+    tgt = (
+        feats.join(
+            docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id"
+        )
+        .groupBy("feature_id")
+        .agg(F.sum("tf").alias("c_tgt"))
+    )
+    model = raw.join(tgt, "feature_id", "left").select(
+        "feature_id", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    b = F.lit(float(_Q177_BUCKETS))
+    ratio = (
+        F.log(F.col("c_tgt") + 1)
+        - F.log(F.col("n_tgt") + b)
+        - F.log(F.col("c_raw") + 1)
+        + F.log(F.col("n_raw") + b)
+    )
+    scored = (
+        feats.join(model, "feature_id")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_grams"),
+            F.round(F.sum(F.col("tf") * ratio) / F.sum("tf"), 4).alias(
+                "weight"
+            ),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_grams", "weight")
+        .orderBy(F.col("weight").desc(), F.col("doc_id").asc())
+        .limit(_Q177_K)
+    )
+
+
+_Q177_SQL = f"""
+WITH canon AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS c
+  FROM documents),
+ws AS (
+  SELECT doc_id, string_split(c, ' ') AS wlist
+  FROM canon WHERE len(c) > 0),
+grams AS (
+  SELECT doc_id, unnest(wlist) AS g FROM ws
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wlist)),
+                               i -> wlist[i] || ' ' || wlist[i+1])) AS g
+  FROM ws WHERE len(wlist) >= 2),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 13))::BIGINT % {_Q177_BUCKETS}
+           AS feature_id,
+         count(*) AS tf
+  FROM grams GROUP BY 1, 2),
+raw AS (SELECT feature_id, sum(tf) AS c_raw FROM feats GROUP BY 1),
+tgt AS (
+  SELECT f.feature_id, sum(f.tf) AS c_tgt
+  FROM feats f JOIN documents d ON d.doc_id = f.doc_id AND d.lang = 'en'
+  GROUP BY 1),
+model AS (
+  SELECT r.feature_id, r.c_raw, coalesce(t.c_tgt, 0) AS c_tgt
+  FROM raw r LEFT JOIN tgt t ON t.feature_id = r.feature_id),
+tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM model)
+SELECT f.doc_id, d.lang, CAST(sum(f.tf) AS BIGINT) AS n_grams,
+       round(sum(f.tf * (ln(m.c_tgt + 1) - ln(n_tgt + {_Q177_BUCKETS}.0)
+                         - ln(m.c_raw + 1) + ln(n_raw + {_Q177_BUCKETS}.0)))
+             / sum(f.tf), 4) AS weight
+FROM feats f
+JOIN model m ON m.feature_id = f.feature_id
+CROSS JOIN tot
+JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY f.doc_id, d.lang
+ORDER BY weight DESC, f.doc_id ASC
+LIMIT {_Q177_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q178 — per-source boilerplate-line removal (the CCNet/trafilatura
+# hygiene pass: a line that recurs across many documents of one source
+# — nav bars, footers, subscribe prompts — is template, not content).
+# The fixture's documents are single-line, so the query first derives
+# a deterministic multi-line corpus in-query (the q90
+# synthesize-then-process pattern): a per-source digest line on every
+# document (always boilerplate), the original text, a per-source
+# newsletter line on every 3rd document (crosses the df threshold only
+# when the source has enough documents — sf-dependent on purpose), and
+# a per-document footer (never removed). A line is boilerplate when it
+# appears in MORE THAN _Q178_DF_MAX distinct documents of the same
+# source; surviving lines reassemble in original order.
+#
+# Shape at scale: one posexplode over one scan; the df aggregate
+# reduces line rows to the (source, line) vocabulary (boilerplate
+# vocabulary ≪ corpus, map-side partial); the verdict joins back on
+# the same (source, line) key; reassembly is ONE doc_id shuffle with
+# collect_list + array_sort (positions are unique per doc, so the sort
+# is total). At 100 TB the only change is hashing the line key (md5)
+# before the aggregate — the join stays key-local either way.
+# ---------------------------------------------------------------------------
+
+_Q178_DF_MAX = 9
+
+
+def q178_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assembled = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("follow "), F.col("source"), F.lit(" daily digest")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("subscribe to "), F.col("source"), F.lit(" newsletter")
+                ),
+            ),
+            F.concat(
+                F.lit("doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" archive footer"),
+            ),
+        ).alias("t"),
+    )
+    lines = assembled.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("t"), "\n")).alias("pos", "line"),
+    )
+    dfc = lines.groupBy("source", "line").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    keep = F.col("df") <= _Q178_DF_MAX
+    return (
+        lines.join(dfc, ["source", "line"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("cleaned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q178_SQL = f"""
+WITH assembled AS (
+  SELECT doc_id, source,
+         concat_ws(chr(10),
+           'follow ' || source || ' daily digest',
+           text,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'subscribe to ' || source || ' newsletter' END,
+           'doc ' || doc_id::VARCHAR || ' archive footer') AS t
+  FROM documents),
+lines AS (
+  SELECT doc_id, source,
+         unnest(range(1, len(l) + 1)) AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, source, string_split(t, chr(10)) AS l
+        FROM assembled)),
+dfc AS (
+  SELECT source, line, count(DISTINCT doc_id) AS df
+  FROM lines GROUP BY 1, 2)
+SELECT l.doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN df <= {_Q178_DF_MAX} THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(CASE WHEN df <= {_Q178_DF_MAX} THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS cleaned
+FROM lines l JOIN dfc USING (source, line)
+GROUP BY l.doc_id
+ORDER BY l.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q179 — classifier threshold sweep (precision / recall / F1 curve)
+# over the q164 learned quality scorer — the evaluation loop that
+# turns "the filter scores documents" into "ship threshold T": logits
+# band into fixed-width buckets, the per-band (positives, negatives)
+# HISTOGRAM is the only thing the cumulative window ever sees, and
+# each band row reports the metrics of the rule "keep iff logit >=
+# band floor". Labels are deterministic from the fixture (mentions
+# 'spark' — the q168 labeling), logits are exact int64, so every
+# count is exact and each metric is one int/int division rounded to 4.
+#
+# Shape at scale: scoring is the pinned q164 plan (one explode, one
+# broadcast model join, one doc_id shuffle); the corpus then reduces
+# to a ≤ few-dozen-row band histogram in ONE map-side-partial
+# aggregate, and the cumulative window runs over THAT histogram —
+# never over per-document rows (the window is single-partition by
+# construction, which is safe only because its input is band-sized;
+# the band width is the knob that caps it).
+# ---------------------------------------------------------------------------
+
+_Q179_BAND = 4096
+
+
+def q179_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from gov_data_pipeline_spark.operators.scoring import (
+        pseudo_weights,
+        score_linear_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_linear_model(
+        docs,
+        "doc_id",
+        F.col("text"),
+        pseudo_weights(spark, n_features=_Q164_N_FEATURES),
+        n_features=_Q164_N_FEATURES,
+        hash_family="md5",
+    ).select("doc_id", "logit")
+    labeled = scored.join(docs, "doc_id").select(
+        F.floor(F.col("logit") / _Q179_BAND).cast("long").alias("band"),
+        F.coalesce(
+            F.col("text").contains("spark").cast("int"), F.lit(0)
+        ).alias("y"),
+    )
+    hist = labeled.groupBy("band").agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(1 - F.col("y")).alias("n_neg"),
+    )
+    win = W.orderBy(F.col("band").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    totals = hist.agg(F.sum("n_pos").alias("total_pos"))
+    cum = (
+        hist.withColumn("tp", F.sum("n_pos").over(win))
+        .withColumn("fp", F.sum("n_neg").over(win))
+        .crossJoin(F.broadcast(totals))
+    )
+    return cum.select(
+        (F.col("band") * _Q179_BAND).alias("threshold"),
+        (F.col("tp") + F.col("fp")).alias("n_pred_pos"),
+        "tp",
+        F.round(F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")), 4).alias(
+            "precision"
+        ),
+        F.round(F.try_divide(F.col("tp"), F.col("total_pos")), 4).alias(
+            "recall"
+        ),
+        F.round(
+            F.try_divide(
+                2 * F.col("tp"),
+                F.col("tp") + F.col("fp") + F.col("total_pos"),
+            ),
+            4,
+        ).alias("f1"),
+    ).orderBy(F.col("threshold").desc())
+
+
+_Q179_SQL = f"""
+WITH w AS (
+  SELECT range AS feature_id,
+         ('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 13))::BIGINT
+           % 2001 - 1000 AS weight
+  FROM range(262144)),
+canon AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS c
+  FROM documents),
+ws AS (
+  SELECT doc_id, string_split(c, ' ') AS wlist
+  FROM canon WHERE len(c) > 0),
+grams AS (
+  SELECT doc_id, unnest(wlist) AS g FROM ws
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wlist)),
+                               i -> wlist[i] || ' ' || wlist[i+1])) AS g
+  FROM ws WHERE len(wlist) >= 2),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 13))::BIGINT % 262144 AS feature_id,
+         count(*) AS tf
+  FROM grams GROUP BY 1, 2),
+sums AS (
+  SELECT f.doc_id, sum(f.tf * w.weight) AS dot
+  FROM feats f JOIN w ON w.feature_id = f.feature_id
+  GROUP BY 1),
+labeled AS (
+  SELECT CAST(floor(coalesce(s.dot, 0) / {_Q179_BAND}.0) AS BIGINT) AS band,
+         CASE WHEN d.text LIKE '%spark%' THEN 1 ELSE 0 END AS y
+  FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id),
+hist AS (
+  SELECT band, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg
+  FROM labeled GROUP BY band),
+cum AS (
+  SELECT band,
+         sum(n_pos) OVER (ORDER BY band DESC
+                          ROWS UNBOUNDED PRECEDING) AS tp,
+         sum(n_neg) OVER (ORDER BY band DESC
+                          ROWS UNBOUNDED PRECEDING) AS fp,
+         (SELECT sum(n_pos) FROM hist) AS total_pos
+  FROM hist)
+SELECT band * {_Q179_BAND} AS threshold,
+       CAST(tp + fp AS BIGINT) AS n_pred_pos,
+       CAST(tp AS BIGINT) AS tp,
+       round(tp / nullif(tp + fp, 0), 4) AS precision,
+       round(tp / nullif(total_pos, 0), 4) AS recall,
+       round(2 * tp / nullif(tp + fp + total_pos, 0), 4) AS f1
+FROM cum
+ORDER BY threshold DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# q180 — CCNet-style language-model buckets: score every document with
+# the corpus's own unigram LM (exactly q94's perplexity proxy), then
+# split EACH LANGUAGE into head / middle / tail terciles on that score
+# — the final shape CCNet publishes its corpus in (Wenzek et al. 2020:
+# per-language perplexity buckets from a KenLM; here the LM is the
+# q94 unigram model and the terciles are exact type-7 percentiles, the
+# q111 parity pair). Documents with no tokens carry no score and are
+# excluded (both engines inner-join scores).
+#
+# Shape at scale: the q94 scoring plan (vocabulary aggregate ≪ corpus,
+# token-key join, doc_id reduce), then cutoffs are ONE per-lang
+# aggregate (5 rows) broadcast back onto the scored frame — no
+# per-language window over document rows, so no corpus-sized sort.
+# Bucketing compares ROUNDED score to ROUNDED cutoff: both engines
+# interpolate over identical rounded inputs, so the comparison can
+# never straddle an ulp.
+# ---------------------------------------------------------------------------
+
+
+def q180_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.textstats import term_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = term_rows(docs, "doc_id", F.col("text"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("cnt") / F.col("total")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("score")
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(score, 1.0D / 3)"), 4).alias("c33"),
+        F.round(F.expr("percentile(score, 2.0D / 3)"), 4).alias("c66"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            F.when(F.col("score") >= F.col("c66"), "head")
+            .when(F.col("score") >= F.col("c33"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q180_SQL = r"""
+WITH toks AS (
+  SELECT * FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents) WHERE term <> ''),
+v AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+t AS (SELECT sum(cnt) AS total FROM v),
+scored AS (
+  SELECT doc_id, round(sum(ln(cnt / total)) / count(*), 4) AS score
+  FROM toks JOIN v USING (term) CROSS JOIN t
+  GROUP BY doc_id),
+sl AS (
+  SELECT s.doc_id, d.lang, s.score
+  FROM scored s JOIN documents d USING (doc_id)),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(score, 1.0 / 3), 4) AS c33,
+         round(quantile_cont(score, 2.0 / 3), 4) AS c66
+  FROM sl GROUP BY lang)
+SELECT doc_id, lang, score,
+       CASE WHEN score >= c66 THEN 'head'
+            WHEN score >= c33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl JOIN cuts USING (lang)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q128_expectations": q128_expectations,
     "q164_quality_linear": q164_quality_linear,
     "q167_quality_linear_unicode": q167_quality_linear_unicode,
     "q168_quality_trained": q168_quality_trained,
     "q173_multilingual_curation": q173_multilingual_curation,
+    "q177_dsir_select": q177_dsir_select,
+    "q178_boilerplate_lines": q178_boilerplate_lines,
+    "q179_pr_curve": q179_pr_curve,
+    "q180_lm_buckets": q180_lm_buckets,
     "q166_column_profile": q166_column_profile,
     "q122_k_anonymity": q122_k_anonymity,
     "q90_pii_redact": q90_pii_redact,
@@ -787,6 +1245,10 @@ ORACLE = {
     "q167_quality_linear_unicode": _Q167_SQL,
     "q168_quality_trained": _Q168_SQL,
     "q173_multilingual_curation": _Q173_SQL,
+    "q177_dsir_select": _Q177_SQL,
+    "q178_boilerplate_lines": _Q178_SQL,
+    "q179_pr_curve": _Q179_SQL,
+    "q180_lm_buckets": _Q180_SQL,
     "q166_column_profile": _Q166_SQL,
     "q122_k_anonymity": _Q122_SQL,
     "q90_pii_redact": _Q90_SQL,

@@ -70,6 +70,10 @@ NAMES = [
     "q174_temperature_quota",
     "q175_phrase_merges",
     "q176_passage_removal",
+    "q177_dsir_select",
+    "q178_boilerplate_lines",
+    "q179_pr_curve",
+    "q180_lm_buckets",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Semantics tests for the round-10 curation-loop queries (q177-q180)
+— the properties the differential oracle can't see on its own: DSIR
+prefers the target slice, boilerplate removal keeps order and only
+drops template lines, the PR sweep is monotone the way a cumulative
+curve must be, and LM buckets honor their per-language tercile sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gov_data_pipeline_spark.queries.quality import (
+    q177_dsir_select,
+    q178_boilerplate_lines,
+    q179_pr_curve,
+    q180_lm_buckets,
+)
+
+
+class TestDsirSelect:
+    def test_selected_slice_is_target_heavy(self, spark, sf_dir):
+        """The whole point of DSIR: the selected top-K must be enriched
+        in the target language relative to its corpus share (~1/5).
+        With a unigram+bigram log-ratio and an English target, the
+        selected share should clear half at the very least."""
+        out = q177_dsir_select(spark, sf_dir).toPandas()
+        assert len(out) == 200
+        assert (out["lang"] == "en").mean() > 0.5
+        # weights arrive sorted descending with doc_id tiebreak
+        w = list(zip(-out["weight"], out["doc_id"]))
+        assert w == sorted(w)
+
+    def test_weights_finite(self, spark, sf_dir):
+        """Add-one smoothing means no gram can produce -inf/NaN even
+        for buckets the target never saw."""
+        import numpy as np
+
+        out = q177_dsir_select(spark, sf_dir).toPandas()
+        assert np.isfinite(out["weight"]).all()
+
+
+class TestBoilerplateLines:
+    def test_template_lines_removed_content_kept(self, spark, sf_dir):
+        out = q178_boilerplate_lines(spark, sf_dir).toPandas()
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert (out["n_removed"] >= 1).all()  # the digest line, always
+        for row in out.head(30).itertuples():
+            lines = row.cleaned.split("\n")
+            # per-doc footer always survives (df == 1)
+            assert lines[-1] == f"doc {row.doc_id} archive footer"
+            # the per-source digest is always boilerplate, never kept
+            assert not any(l.endswith(" daily digest") for l in lines)
+            # original text survives in position unless it is itself a
+            # cross-doc duplicate (the fixture plants those)
+            txt = docs.loc[row.doc_id, "text"]
+            if txt in lines:
+                assert lines[0] == txt
+
+    def test_counts_reconcile(self, spark, sf_dir):
+        out = q178_boilerplate_lines(spark, sf_dir).toPandas()
+        kept = out["cleaned"].str.split("\n").str.len()
+        assert ((kept + out["n_removed"]) == out["n_lines"]).all()
+
+
+class TestPrCurve:
+    def test_cumulative_monotonicity(self, spark, sf_dir):
+        """Descending thresholds: predicted-positive count and tp are
+        non-decreasing; recall is non-decreasing; the last row (lowest
+        threshold) predicts everything positive, so its recall is 1."""
+        out = q179_pr_curve(spark, sf_dir).toPandas()
+        assert (out["threshold"].diff().dropna() < 0).all()
+        assert (out["n_pred_pos"].diff().dropna() >= 0).all()
+        assert (out["tp"].diff().dropna() >= 0).all()
+        assert (out["recall"].diff().dropna() >= 0).all()
+        assert out["recall"].iloc[-1] == 1.0
+
+    def test_counts_match_corpus(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        n_pos = docs.filter(F.col("text").contains("spark")).count()
+        out = q179_pr_curve(spark, sf_dir).toPandas()
+        assert out["n_pred_pos"].iloc[-1] == n
+        assert out["tp"].iloc[-1] == n_pos
+
+
+class TestLmBuckets:
+    def test_tercile_sizes_per_lang(self, spark, sf_dir):
+        """Within each language the three buckets split ~equally: exact
+        type-7 terciles put at most ceil(n/3)+ties in any bucket; with
+        4-decimal-rounded scores ties exist, so allow a loose band but
+        reject degenerate splits."""
+        out = q180_lm_buckets(spark, sf_dir).toPandas()
+        for lang, grp in out.groupby("lang"):
+            frac = grp["bucket"].value_counts(normalize=True)
+            assert set(frac.index) == {"head", "middle", "tail"}
+            assert frac.min() > 0.15, (lang, dict(frac))
+            assert frac.max() < 0.55, (lang, dict(frac))
+
+    def test_bucket_order_respects_score(self, spark, sf_dir):
+        """Bucket assignment is a pure function of the rounded score
+        (CASE on two cutoffs), so within a language the bucket ranges
+        cannot interleave: every head score >= every middle score >=
+        every tail score."""
+        out = q180_lm_buckets(spark, sf_dir).toPandas()
+        for lang, grp in out.groupby("lang"):
+            h = grp.loc[grp["bucket"] == "head", "score"]
+            m = grp.loc[grp["bucket"] == "middle", "score"]
+            t = grp.loc[grp["bucket"] == "tail", "score"]
+            assert h.min() >= m.max(), lang
+            assert m.min() >= t.max(), lang

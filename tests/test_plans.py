@@ -325,6 +325,89 @@ class TestRound2OperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_q177_dsir_models_join_on_bucket_key(self, spark, sf_dir):
+        """q177: both LM bucket-count relations join the feature rows
+        on the bucket key (equi — broadcast or shuffled, never a pair
+        enumeration); the only nested loop allowed is the 1-row totals
+        broadcast; selection must be TakeOrderedAndProject (the q14
+        top-k shape), never a global Sort + Limit pair."""
+        from gov_data_pipeline_spark.queries.quality import q177_dsir_select
+
+        df = q177_dsir_select(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        n_bnlj = final.count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= 1, final
+        assert n_bnlj == final.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        )
+        assert "TakeOrderedAndProject" in final, final
+
+    def test_q178_boilerplate_no_pairs_one_doc_shuffle(self, spark, sf_dir):
+        """q178: the df verdict reaches the line rows through an
+        equi-join on (source, line) — no pair enumeration anywhere —
+        and reassembly is hash aggregation on doc_id (an
+        ObjectHashAggregate for collect_list), never a corpus-wide
+        window."""
+        from gov_data_pipeline_spark.queries.quality import (
+            q178_boilerplate_lines,
+        )
+
+        df = q178_boilerplate_lines(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" not in plan
+        assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+    def test_q179_window_rides_band_histogram(self, spark, sf_dir):
+        """q179: the cumulative window's input must be the band
+        HISTOGRAM (an aggregate sits between the corpus and the
+        Window), never per-document rows; scoring keeps q164's no-pair
+        promise; the only nested loop is the 1-row totals cross."""
+        from gov_data_pipeline_spark.queries.quality import q179_pr_curve
+
+        df = q179_pr_curve(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        n_bnlj = final.count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= 1, final
+        assert n_bnlj == final.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        )
+        # the Window section must consume the band aggregate: the text
+        # between the last HashAggregate above the Window and the
+        # Window itself contains no Exchange of document-sized rows —
+        # cheap proxy: the plan has a Window AND at least one
+        # HashAggregate keyed on the band column below it.
+        assert "Window" in final
+        assert "hashpartitioning(band" in final, final
+
+    def test_q180_lm_buckets_cutoffs_broadcast(self, spark, sf_dir):
+        """q180: per-lang tercile cutoffs are a tiny aggregate that
+        must come back as a BROADCAST join (5 rows onto the scored
+        frame) — no corpus-sized window, no pair enumeration; the only
+        nested loop is q94's 1-row vocab-total cross."""
+        from gov_data_pipeline_spark.queries.quality import q180_lm_buckets
+
+        df = q180_lm_buckets(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        n_bnlj = final.count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= 2, final
+        assert n_bnlj == final.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        )
+        assert "BroadcastHashJoin" in final, final
+
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no
         joins, no aggregate exchange — only the output sort shuffles."""

@@ -260,6 +260,74 @@ def cosine_pairs_gemm(
     )
 
 
+def cell_cosine_pairs_gemm(
+    cells: DataFrame,
+    id_col: str,
+    cell_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All (a, b) pairs with cosine >= threshold WITHIN each cell
+    (a < b), one numpy GEMM per cell — the SemDeDup/FAISS per-cluster
+    kernel. ``cosine_pairs_gemm``'s sibling for the partitioned case:
+    there the small side broadcasts against the whole corpus; here the
+    cell id partitions the corpus and each group runs its own
+    all-pairs product, so total cost is Σ|cell|² — linear in corpus
+    size when the partitioner scales cell count with the corpus
+    (bounded occupancy), never |corpus|².
+
+    One shuffle (groupBy cell), one Arrow crossing. The expression-
+    based exact path (``_pair_cosine`` inside a self-join) is the
+    bit-parity tier, but an unrolled cosine inside a join stage falls
+    out of whole-stage codegen (the q80 64 KB lesson) and evaluates
+    interpreted at ~20 µs/pair — BLAS is ~50x that throughput here.
+    Rounding is HALF_UP before thresholding, matching F.round and the
+    differential oracles (np.round is half-to-even). Zero-norm vectors
+    produce NaN sims and fail the threshold; NULL vectors are dropped;
+    vectors within a cell must share one dimension (callers route
+    mixed-dim corpora per dimension, the ``cosine_pairs_gemm`` rule).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64")}
+        )
+        pdf = pdf[pdf[vec_col].notna()]
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(
+            [list(v) for v in pdf[vec_col].to_numpy()[order]],
+            dtype=np.float64,
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        s = sims[iu]
+        s_r = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+        m = s_r >= threshold
+        if not m.any():
+            return empty
+        return pd.DataFrame(
+            {"a_id": ids[iu[0][m]], "b_id": ids[iu[1][m]]}
+        )
+
+    return (
+        cells.select(
+            F.col(cell_col).alias("__cell"),
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).alias(vec_col),
+        )
+        .groupBy("__cell")
+        .applyInPandas(kernel, schema="a_id long, b_id long")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -51,12 +51,16 @@ _MODULES = (
 # Re-derived after r09 from all CORRECTNESS_r*.json (tripwire:
 # tests/test_registry.py::test_priority_rotation_is_fresh). Latest
 # green rounds after r09: 12 queries at r05 (q46-era cohort), 50 at
-# r07, 50 at r08, 50 at r09. The 14 new round-10 queries (no driver
+# r07, 50 at r08, 50 at r09. The 17 new round-10 queries (no driver
 # row) lead; then the full r05 cohort; the 50 r07 greens follow in
-# name order and straddle the boundary (tie across the boundary —
-# allowed); r08/r09 greens fall through to module order.
+# name order and straddle the
+# boundary (tie across the boundary — allowed); r08/r09 greens fall
+# through to module order.
 _PRIORITY: tuple[str, ...] = (
     # new in r10 (no driver row yet)
+    "q181_semdedup",
+    "q182_contamination_fraction",
+    "q183_dup_lines",
     "q177_dsir_select",
     "q178_boilerplate_lines",
     "q179_pr_curve",
@@ -106,13 +110,13 @@ _PRIORITY: tuple[str, ...] = (
     "q143_distinctive_terms",
     "q144_duplicate_passages",
     "q145_cluster_split",
+    # --- driver sample boundary (first 50 end here: 17 r10-new +
+    # 12 r05 + 21 r07; the 29 remaining r07 greens below are boundary
+    # ties) ---
     "q146_epoch_mixture",
     "q147_data_card",
     "q148_event_throttle",
     "q149_doc_pack_nfd",
-    # --- driver sample boundary (first 50 end here: 14 r10-new +
-    # 12 r05 + 24 r07; the 26 remaining r07 greens below are boundary
-    # ties) ---
     "q14_topk_orders",
     "q150_stream_throttle",
     "q15_intersect",

@@ -3020,6 +3020,312 @@ ORDER BY a_id, b_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q181 — SemDeDup (Abbas et al. 2023): embedding-space near-dedup with
+# a CLUSTERING partitioner — the third candidate-generator tier next
+# to q74 (brute ground truth) and q80 (hyperplane LSH). Vectors
+# partition into k cells by nearest deterministic seed (smallest
+# (md5(id), id) — the q113 seeding convention; the full Lloyd trainer
+# is q113's pinned machinery, deliberately not repeated here because
+# SemDeDup uses clustering only as a partitioner), pairs are
+# enumerated WITHIN cells only via an equi-join on the cell id, and
+# near-identical groups (rounded cosine >= 0.99) collapse to their
+# minimum id via connected components. At 100 TB k scales with the
+# corpus (k ≈ N / target-cell-size) so cell occupancy — and therefore
+# per-cell pair cost — stays bounded; the plan never contains a
+# corpus×corpus product, only the k-row seed broadcast and the
+# cell-keyed self-join.
+#
+# Determinism: squared distances fold left-to-right over the same
+# doubles in both engines (zip_with+aggregate ⟷ list_transform+
+# list_sum), rounded to 4 before the argmin with cid as tiebreak;
+# cosine verification rounds HALF_UP before thresholding (the q56
+# GEMM convention — the exact-expression tier is q74's).
+# ---------------------------------------------------------------------------
+
+_Q181_K_MIN = 8
+_Q181_CELL = 256  # target cell occupancy: k = max(K_MIN, n // CELL)
+
+
+def q181_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from gov_data_pipeline_spark.operators.graph import dedup_clusters
+    from gov_data_pipeline_spark.operators.similarity import (
+        cell_cosine_pairs_gemm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = (
+        emb.unionByName(_mutant_embeddings(emb))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+
+    # k scales with the corpus (bounded cell occupancy — the property
+    # that keeps Σ|cell|² linear in n); the count is ONE scalar of
+    # model state (the q113 convention), mirrored by the oracle's
+    # cnt CTE.
+    n = corpus.count()
+    k = max(_Q181_K_MIN, n // _Q181_CELL)
+
+    seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    seeds = (
+        corpus.orderBy(*seed_order)
+        .limit(k)
+        .withColumn("cid", F.row_number().over(W.orderBy(*seed_order)))
+        .select("cid", F.col("embedding").alias("__c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("__c"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = corpus.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "embedding", "cid", F.round(d2, 4).alias("__d2")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy("__d2", "cid")
+    )
+    # Materialize the assignment ONCE: three consumers read it (both
+    # pair sides + the final label join), and each would otherwise
+    # re-run the seed broadcast, distance projection and per-vector
+    # argmin window from the scan — the q42/q163 persist-across-
+    # consumers convention (measured here: 25 s -> ~8 s at sf0.1).
+    cells = (
+        assigned.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "embedding")
+        .localCheckpoint()
+    )
+
+    pairs = cell_cosine_pairs_gemm(
+        cells, "vec_id", "cell", "embedding", threshold=0.99
+    )
+    return (
+        dedup_clusters(pairs, corpus.select("vec_id"), "vec_id")
+        .join(cells.select("vec_id", "cell"), "vec_id")
+        .select("vec_id", "cell", "component", "is_canonical")
+        .orderBy("vec_id")
+    )
+
+
+_Q181_SQL = f"""
+WITH RECURSIVE
+mutants AS ({_MUTANTS_SQL}),
+u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM mutants),
+seeds AS (
+  SELECT cid, c FROM (
+    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS cid,
+           embedding AS c
+    FROM u)
+  CROSS JOIN (SELECT greatest({_Q181_K_MIN}, count(*) // {_Q181_CELL}) AS k
+              FROM u)
+  WHERE cid <= k),
+dist AS (
+  SELECT u.vec_id, s.cid,
+         round(list_sum(list_transform(range(1, len(u.embedding) + 1),
+               i -> (u.embedding[i] - s.c[i]) * (u.embedding[i] - s.c[i]))),
+               4) AS d2
+  FROM u CROSS JOIN seeds s),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist) WHERE rn = 1),
+pairs AS (
+  SELECT ca.vec_id AS a_id, cb.vec_id AS b_id
+  FROM cells ca
+  JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+  JOIN u a ON a.vec_id = ca.vec_id
+  JOIN u b ON b.vec_id = cb.vec_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.99),
+edges AS (
+  SELECT a_id AS eu, b_id AS ev FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs),
+walk(node, comp) AS (
+  SELECT DISTINCT eu, eu FROM edges
+  UNION
+  SELECT e.eu, w.comp FROM edges e JOIN walk w ON w.node = e.ev),
+labels AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+SELECT c.vec_id, c.cell,
+       coalesce(l.component, c.vec_id) AS component,
+       coalesce(l.component, c.vec_id) = c.vec_id AS is_canonical
+FROM cells c LEFT JOIN labels l ON l.node = c.vec_id
+ORDER BY c.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q182 — per-document contamination FRACTION against a benchmark set:
+# q87/q154 answer "does this document contain any benchmark 13-gram"
+# (a gate); evaluation-decontamination audits also need the graded
+# signal — what fraction of a document's distinct 5-word shingles
+# appear anywhere in the benchmark (the overlap score used to tier
+# 'clean / partial / contaminated' and to debug WHY a gate fired).
+# Benchmark = every 17th document (the q138 convention); benchmark
+# members themselves score 1.0 by construction, which pins the scale.
+#
+# Shape at scale: distinct (doc, shingle) rows reduce once; the
+# benchmark shingle set is ≪ corpus and reaches the probe as the
+# small side of a gram-keyed equi-join (AQE broadcasts it); the
+# per-doc reduce is one doc_id aggregate. A production run hashes the
+# gram key — the fixture keeps raw strings so the oracle is readable.
+# ---------------------------------------------------------------------------
+
+
+def q182_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.dedup import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_rows(docs, "doc_id", F.col("text"), 5, widen=False)
+    bench = (
+        sh.filter(F.col("doc_id") % 17 == 0)
+        .select(F.col("s").alias("__bs"))
+        .distinct()
+    )
+    frac = F.round(
+        F.col("n_hit").cast("double") / F.col("n_shingles"), 4
+    )
+    return (
+        sh.join(bench, sh.s == F.col("__bs"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__bs").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            frac.alias("contaminated_frac"),
+            (frac >= 0.5).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q182_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 5
+           THEN list_transform(range(1, len(ws) - 3),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                     || ws[i+3] || ' ' || ws[i+4])
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 17 = 0),
+agg AS (
+  SELECT e.doc_id, count(*) AS n_shingles, count(b.s) AS n_hit
+  FROM ex e LEFT JOIN bench b ON b.s = e.s
+  GROUP BY e.doc_id)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_shingles, 4) AS contaminated_frac,
+       round(CAST(n_hit AS DOUBLE) / n_shingles, 4) >= 0.5 AS contaminated
+FROM agg
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q183 — Gopher duplicate-LINE repetition signals (Rae et al. 2021):
+# within ONE document, the fraction of line occurrences that are
+# repeats of an earlier identical line, and the fraction of characters
+# those repeats account for — the line-level siblings of q88's
+# duplicate-3-gram ratio and q172's top-n-gram dominance. The fixture
+# is single-line, so the query derives a deterministic multi-line
+# corpus in-query (the q178 construction, with a planted WITHIN-doc
+# repeat on every 4th document): for distinct line L with c
+# occurrences of length len, repeats contribute (c-1) lines and
+# (c-1)*len characters.
+#
+# Shape at scale: posexplode → ONE (doc, line) count aggregate → ONE
+# per-doc reduce. Line identity never leaves its document, so unlike
+# q178 there is no cross-document vocabulary at all — both aggregates
+# key on doc_id and map-side-combine.
+# ---------------------------------------------------------------------------
+
+
+def q183_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assembled = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("begin "), F.col("source")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("begin "), F.col("source")),
+            ),
+            F.lit("end of document"),
+        ).alias("t"),
+    )
+    per_line = (
+        assembled.select(
+            "doc_id", F.explode(F.split(F.col("t"), "\n")).alias("line")
+        )
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("len", F.length("line"))
+    )
+    return (
+        per_line.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.sum(F.col("c") - 1).alias("n_dup_lines"),
+            F.round(
+                F.sum(F.col("c") - 1) / F.sum("c"), 4
+            ).alias("dup_line_frac"),
+            F.round(
+                F.try_divide(
+                    F.sum((F.col("c") - 1) * F.col("len")),
+                    F.sum(F.col("c") * F.col("len")),
+                ),
+                4,
+            ).alias("dup_char_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q183_SQL = """
+WITH assembled AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           'begin ' || source,
+           text,
+           CASE WHEN doc_id % 4 = 0 THEN 'begin ' || source END,
+           'end of document') AS t
+  FROM documents),
+per_line AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+        FROM assembled)
+  GROUP BY doc_id, line)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+       round(sum(c - 1) / sum(c), 4) AS dup_line_frac,
+       round(sum((c - 1) * len) / nullif(sum(c * len), 0), 4)
+         AS dup_char_frac
+FROM per_line
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q159_normalized_dedup": q159_normalized_dedup,
@@ -3031,6 +3337,9 @@ QUERIES = {
     "q77_fuzzy_join": q77_fuzzy_join,
     "q74_semantic_clusters": q74_semantic_clusters,
     "q80_semantic_clusters_lsh": q80_semantic_clusters_lsh,
+    "q181_semdedup": q181_semdedup,
+    "q182_contamination_fraction": q182_contamination_fraction,
+    "q183_dup_lines": q183_dup_lines,
     "q75_corpus_pipeline": q75_corpus_pipeline,
     "q68_bm25": q68_bm25,
     "q69_stratified_sample": q69_stratified_sample,
@@ -3075,6 +3384,9 @@ ORACLE = {
     "q67_dedup_clusters": _Q67_SQL,
     "q74_semantic_clusters": _Q74_SQL,
     "q80_semantic_clusters_lsh": _Q80_SQL,
+    "q181_semdedup": _Q181_SQL,
+    "q182_contamination_fraction": _Q182_SQL,
+    "q183_dup_lines": _Q183_SQL,
     "q75_corpus_pipeline": _Q75_SQL,
     "q77_fuzzy_join": _Q77_SQL,
     "q68_bm25": _Q68_SQL,

@@ -74,6 +74,9 @@ NAMES = [
     "q178_boilerplate_lines",
     "q179_pr_curve",
     "q180_lm_buckets",
+    "q181_semdedup",
+    "q182_contamination_fraction",
+    "q183_dup_lines",
 ]
 
 

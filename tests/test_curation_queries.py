@@ -9,6 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gov_data_pipeline_spark.queries.dedup_sim import (
+    q182_contamination_fraction,
+    q183_dup_lines,
+)
 from gov_data_pipeline_spark.queries.quality import (
     q177_dsir_select,
     q178_boilerplate_lines,
@@ -86,6 +90,148 @@ class TestPrCurve:
         out = q179_pr_curve(spark, sf_dir).toPandas()
         assert out["n_pred_pos"].iloc[-1] == n
         assert out["tp"].iloc[-1] == n_pos
+
+
+class TestSemDedup:
+    def test_mutants_collapse_into_their_originals(self, spark, sf_dir):
+        """Every planted mutant (vec_id >= offset) whose original
+        landed in the same cell must be non-canonical with component =
+        the original's id; originals stay canonical."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            _MUT_OFFSET,
+            q181_semdedup,
+        )
+
+        out = q181_semdedup(spark, sf_dir).toPandas().set_index("vec_id")
+        mutants = out[out.index >= _MUT_OFFSET]
+        assert len(mutants) > 0
+        same_cell = [
+            m for m in mutants.index
+            if out.loc[m - _MUT_OFFSET, "cell"] == out.loc[m, "cell"]
+        ]
+        # near-identical vectors share a nearest seed almost always —
+        # the partitioner would be useless otherwise
+        assert len(same_cell) / len(mutants) > 0.9
+        for m in same_cell:
+            assert out.loc[m, "component"] == m - _MUT_OFFSET
+            assert not out.loc[m, "is_canonical"]
+            assert out.loc[m - _MUT_OFFSET, "is_canonical"]
+
+    def test_cell_count_scales_with_corpus(self, spark, sf_dir):
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            _Q181_CELL,
+            _Q181_K_MIN,
+            q181_semdedup,
+        )
+
+        out = q181_semdedup(spark, sf_dir).toPandas()
+        k_expected = max(_Q181_K_MIN, len(out) // _Q181_CELL)
+        assert out["cell"].nunique() <= k_expected
+        assert out["cell"].max() <= k_expected
+
+
+class TestCellGemmOperator:
+    def test_matches_exact_pair_cosine(self, spark):
+        """The GEMM kernel's admitted pair set equals the exact
+        expression tier's on a deterministic fixture (the q46/q56
+        equivalence, here per cell)."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.operators.similarity import (
+            cell_cosine_pairs_gemm,
+            cosine,
+        )
+
+        rng = np.random.RandomState(7)
+        rows = []
+        for i in range(60):
+            v = rng.randn(8)
+            rows.append((i, int(i % 3), [float(x) for x in v]))
+            if i % 4 == 0:  # planted near-dup in the same cell
+                rows.append(
+                    (1000 + i, int(i % 3), [float(x * 1.01 + 0.001) for x in v])
+                )
+        df = spark.createDataFrame(
+            rows, "vec_id long, cell int, embedding array<double>"
+        )
+        got = {
+            (r.a_id, r.b_id)
+            for r in cell_cosine_pairs_gemm(
+                df, "vec_id", "cell", "embedding", 0.99
+            ).collect()
+        }
+        a = df.select(
+            "cell", F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("va"),
+        )
+        b = df.select(
+            "cell", F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("vb"),
+        )
+        want = {
+            (r.a_id, r.b_id)
+            for r in a.join(b, "cell")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(F.round(cosine(F.col("va"), F.col("vb"), 8), 4) >= 0.99)
+            .collect()
+        }
+        assert got == want
+        assert len(want) > 0
+
+    def test_null_and_zero_norm_vectors_never_match(self, spark):
+        from gov_data_pipeline_spark.operators.similarity import (
+            cell_cosine_pairs_gemm,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, 0, [1.0, 0.0]),
+                (2, 0, [1.0, 0.0]),
+                (3, 0, [0.0, 0.0]),  # zero norm
+                (4, 0, None),        # NULL vector
+            ],
+            "vec_id long, cell int, embedding array<double>",
+        )
+        got = {
+            (r.a_id, r.b_id)
+            for r in cell_cosine_pairs_gemm(
+                df, "vec_id", "cell", "embedding", 0.99
+            ).collect()
+        }
+        assert got == {(1, 2)}
+
+
+class TestContaminationFraction:
+    def test_benchmark_members_score_one(self, spark, sf_dir):
+        out = q182_contamination_fraction(spark, sf_dir).toPandas()
+        bench = out[out["doc_id"] % 17 == 0]
+        assert (bench["contaminated_frac"] == 1.0).all()
+        assert bench["contaminated"].all()
+        others = out[out["doc_id"] % 17 != 0]
+        # the graded signal exists: non-members spread strictly below 1
+        assert others["contaminated_frac"].max() <= 1.0
+        assert (others["contaminated_frac"] < 1.0).any()
+
+    def test_hits_bounded_by_shingles(self, spark, sf_dir):
+        out = q182_contamination_fraction(spark, sf_dir).toPandas()
+        assert (out["n_hit"] <= out["n_shingles"]).all()
+        assert (out["n_shingles"] > 0).all()
+
+
+class TestDupLines:
+    def test_planted_repeat_detected(self, spark, sf_dir):
+        out = q183_dup_lines(spark, sf_dir).toPandas()
+        planted = out[out["doc_id"] % 4 == 0]
+        clean = out[out["doc_id"] % 4 != 0]
+        assert (planted["n_dup_lines"] >= 1).all()
+        assert (planted["dup_line_frac"] > 0).all()
+        assert (planted["dup_char_frac"] > 0).all()
+        # docs without the planted repeat have all-distinct lines
+        # (header/text/footer never collide within one doc)
+        assert (clean["n_dup_lines"] == 0).all()
+        assert (clean["dup_line_frac"] == 0.0).all()
 
 
 class TestLmBuckets:

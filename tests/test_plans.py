@@ -408,6 +408,70 @@ class TestRound2OperatorPlans:
         )
         assert "BroadcastHashJoin" in final, final
 
+    def test_q181_semdedup_no_corpus_product(self, spark, sf_dir):
+        """q181: the only enumeration of pairs happens INSIDE the
+        per-cell GEMM kernel (FlatMapGroupsInPandas) — the plan may
+        never contain a corpus x corpus product; the k-row seed
+        broadcast is the one condition-free cross allowed."""
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.operators.similarity import (
+            cell_cosine_pairs_gemm,
+        )
+        from gov_data_pipeline_spark.queries.dedup_sim import q181_semdedup
+
+        df = q181_semdedup(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        n_bnlj = final.count("BroadcastNestedLoopJoin")
+        assert n_bnlj == final.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        )
+        # the pair stage itself sits behind the cells localCheckpoint
+        # (lineage cut), so pin its shape directly: grouped Arrow
+        # kernel, no join of any kind
+        import pyspark.sql.functions as F
+
+        cells = (
+            read_table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                (F.col("vec_id") % 4).alias("cell"),
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+        )
+        pair_plan = _plan(
+            cell_cosine_pairs_gemm(cells, "vec_id", "cell", "embedding", 0.99)
+        )
+        assert "FlatMapGroupsInPandas" in pair_plan
+        assert "Join" not in pair_plan
+
+    def test_q182_contamination_gram_equi_join(self, spark, sf_dir):
+        """q182: the benchmark shingle set reaches the probe through a
+        gram-keyed equi-join (broadcast or shuffled) — no pair
+        enumeration, no window."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q182_contamination_fraction,
+        )
+
+        df = q182_contamination_fraction(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" not in plan
+
+    def test_q183_dup_lines_no_join_two_aggregates(self, spark, sf_dir):
+        """q183: line identity never leaves its document — the whole
+        query is two doc_id-keyed aggregates over one scan; no join of
+        any kind may appear."""
+        from gov_data_pipeline_spark.queries.dedup_sim import q183_dup_lines
+
+        plan = _plan(q183_dup_lines(spark, sf_dir))
+        assert "Join" not in plan
+        assert "Window" not in plan
+
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no
         joins, no aggregate exchange — only the output sort shuffles."""

@@ -1517,11 +1517,205 @@ ORDER BY lang, sample_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# q184 — mixture MATERIALIZATION: q174 designs per-source quotas, this
+# query actually selects the corpus that satisfies them — exactly
+# min(quota_temp, |source|) documents per source, chosen by the stable
+# md5 rank (q165's reproducible-membership machinery, here with a
+# VARIABLE per-group k delivered by a joined quota table instead of a
+# constant). The missing last step of the mixture family: q174 says
+# "take 52 from src3", q184 says WHICH 52 — identically on every
+# engine, cluster, and re-ingest. Sources whose quota exceeds their
+# size keep everything (the small-source regime temperature smoothing
+# deliberately over-allocates); the shortfall is visible as
+# max(sample_rank) < quota_temp.
+#
+# Shape at scale: the quota table is source-sized (broadcast); the
+# rank is ONE hash-partition-by-source window (each stratum shuffles
+# once); nothing else moves. Skew note as in stratified_exact_k: for
+# k ≪ |source| at extreme skew, pre-filter to a hash-bucket superset
+# before ranking.
+# ---------------------------------------------------------------------------
+
+
+def q184_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quotas = q174_temperature_quota(spark, sf_dir).select(
+        "source", "quota_temp"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("sample_rank") <= F.col("quota_temp"))
+        .select("doc_id", "source", "sample_rank", "quota_temp")
+        .orderBy("source", "sample_rank")
+    )
+
+
+_Q184_SQL = f"""
+WITH quotas AS ({_Q174_SQL.replace("ORDER BY source", "")}),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source, CAST(r.rn AS INT) AS sample_rank, q.quota_temp
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.rn <= q.quota_temp
+ORDER BY r.source, sample_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# q185 — BPE ENCODE with the learned merges: q175 trains the first two
+# merge rules; this query applies them to every document and reports
+# the per-document token counts before/after and the compression
+# delta — the train→apply closure of the tokenizer family (q149/q153
+# apply a fixed mock tokenizer, q175 learns rules, q185 encodes with
+# the learned rules). The two merge rules are TWO collected rows of
+# model state (the q113/q175 convention); application is two
+# sequential plain `replace` projections with the verified identical
+# left-to-right resume semantics, so both engines produce the same
+# encoded stream.
+#
+# Shape at scale: training is q175's per-round aggregate; encoding is
+# a pure projection over one scan — the only exchange is the output
+# sort. A real vocabulary (thousands of merges) applies per document
+# inside one Arrow-batched kernel instead of chained projections; two
+# rules keep the oracle an exact unrolling.
+# ---------------------------------------------------------------------------
+
+
+def q185_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"), " "
+                ),
+                F.lit(" "),
+            ).alias("t"),
+        )
+        .localCheckpoint()
+    )
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        ws = F.split(F.trim(F.col("t")), " ")
+        pairs = F.when(
+            F.size(ws) >= 2,
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    cur = base
+    for _ in (1, 2):
+        top = (
+            pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .first()
+        )
+        if top is None:
+            return spark.createDataFrame(
+                [],
+                "doc_id bigint, n_tokens_before bigint,"
+                " n_tokens_after bigint, n_merged bigint",
+            )
+        merged = top["pair"].replace(" ", "_")
+        cur = cur.select(
+            "doc_id",
+            F.replace(
+                F.col("t"),
+                F.lit(f" {top['pair']} "),
+                F.lit(f" {merged} "),
+            ).alias("t"),
+        ).localCheckpoint()
+
+    n_tok = lambda c: F.size(F.split(F.trim(c), " ")).cast("long")  # noqa: E731
+    return (
+        base.select("doc_id", n_tok(F.col("t")).alias("n_tokens_before"))
+        .join(
+            cur.select("doc_id", n_tok(F.col("t")).alias("n_tokens_after")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            "n_tokens_after",
+            (F.col("n_tokens_before") - F.col("n_tokens_after")).alias(
+                "n_merged"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q185_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id,
+         ' ' || array_to_string(string_split_regex(lower(trim(text)),
+                                                   '\s+'), ' ') || ' ' AS t
+  FROM documents WHERE length(trim(text)) > 0),
+p1 AS (
+  SELECT pair, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS pair
+    FROM (SELECT string_split(trim(t), ' ') AS w FROM t0)
+    WHERE len(w) >= 2)
+  GROUP BY pair),
+top1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+t1 AS (
+  SELECT doc_id,
+         replace(t, ' ' || (SELECT pair FROM top1) || ' ',
+                 ' ' || replace((SELECT pair FROM top1), ' ', '_') || ' ')
+           AS t
+  FROM t0),
+p2 AS (
+  SELECT pair, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS pair
+    FROM (SELECT string_split(trim(t), ' ') AS w FROM t1)
+    WHERE len(w) >= 2)
+  GROUP BY pair),
+top2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+t2 AS (
+  SELECT doc_id,
+         replace(t, ' ' || (SELECT pair FROM top2) || ' ',
+                 ' ' || replace((SELECT pair FROM top2), ' ', '_') || ' ')
+           AS t
+  FROM t1)
+SELECT t0.doc_id,
+       CAST(len(string_split(trim(t0.t), ' ')) AS BIGINT) AS n_tokens_before,
+       CAST(len(string_split(trim(t2.t), ' ')) AS BIGINT) AS n_tokens_after,
+       CAST(len(string_split(trim(t0.t), ' '))
+            - len(string_split(trim(t2.t), ' ')) AS BIGINT) AS n_merged
+FROM t0 JOIN t2 USING (doc_id)
+ORDER BY t0.doc_id
+"""
+
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q171_bigram_logprob": q171_bigram_logprob,
     "q174_temperature_quota": q174_temperature_quota,
     "q175_phrase_merges": q175_phrase_merges,
+    "q184_mixture_materialize": q184_mixture_materialize,
+    "q185_bpe_encode": q185_bpe_encode,
     "q165_eval_sample": q165_eval_sample,
     "q139_char_budget_mix": q139_char_budget_mix,
     "q143_distinctive_terms": q143_distinctive_terms,
@@ -1545,6 +1739,8 @@ ORACLE = {
     "q171_bigram_logprob": _Q171_SQL,
     "q174_temperature_quota": _Q174_SQL,
     "q175_phrase_merges": _Q175_SQL,
+    "q184_mixture_materialize": _Q184_SQL,
+    "q185_bpe_encode": _Q185_SQL,
     "q165_eval_sample": _Q165_SQL,
     "q139_char_budget_mix": _Q139_SQL,
     "q143_distinctive_terms": _Q143_SQL,

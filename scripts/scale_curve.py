@@ -77,6 +77,8 @@ NAMES = [
     "q181_semdedup",
     "q182_contamination_fraction",
     "q183_dup_lines",
+    "q184_mixture_materialize",
+    "q185_bpe_encode",
 ]
 
 

@@ -234,6 +234,84 @@ class TestDupLines:
         assert (clean["dup_line_frac"] == 0.0).all()
 
 
+class TestMixtureMaterialize:
+    def test_quota_satisfied_exactly(self, spark, sf_dir):
+        """Per source: exactly min(quota_temp, |source|) rows, ranks
+        contiguous from 1 — and when every source can fill its quota,
+        the total equals the q174 budget by construction."""
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            _Q174_BUDGET,
+            q174_temperature_quota,
+            q184_mixture_materialize,
+        )
+
+        quotas = (
+            q174_temperature_quota(spark, sf_dir)
+            .toPandas()
+            .set_index("source")
+        )
+        out = q184_mixture_materialize(spark, sf_dir).toPandas()
+        for source, grp in out.groupby("source"):
+            expect = min(
+                int(quotas.loc[source, "quota_temp"]),
+                int(quotas.loc[source, "n_docs"]),
+            )
+            assert len(grp) == expect, source
+            assert sorted(grp["sample_rank"]) == list(range(1, expect + 1))
+        if (quotas["quota_temp"] <= quotas["n_docs"]).all():
+            assert len(out) == _Q174_BUDGET
+
+    def test_membership_is_stable_rank_prefix(self, spark, sf_dir):
+        """The selected ids per source are exactly the quota_temp
+        smallest (md5(id), id) — the q165 reproducibility contract
+        with a variable k."""
+        import hashlib
+
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            q184_mixture_materialize,
+        )
+
+        out = q184_mixture_materialize(spark, sf_dir).toPandas()
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source")
+            .toPandas()
+        )
+        md5 = lambda i: hashlib.md5(str(i).encode()).hexdigest()  # noqa: E731
+        for source, grp in out.groupby("source"):
+            ids = sorted(
+                docs.loc[docs["source"] == source, "doc_id"],
+                key=lambda i: (md5(i), i),
+            )
+            assert list(
+                grp.sort_values("sample_rank")["doc_id"]
+            ) == ids[: len(grp)], source
+
+
+class TestBpeEncode:
+    def test_reconciles_with_merge_induction(self, spark, sf_dir):
+        """Σ per-doc n_tokens_after must equal q175's round-2 corpus
+        total — the train→apply closure, pinned across the two
+        queries."""
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            q175_phrase_merges,
+            q185_bpe_encode,
+        )
+
+        merges = q175_phrase_merges(spark, sf_dir).toPandas()
+        enc = q185_bpe_encode(spark, sf_dir).toPandas()
+        assert (
+            enc["n_tokens_after"].sum()
+            == merges.loc[merges["round"] == 2, "n_tokens_after"].iloc[0]
+        )
+        assert (enc["n_merged"] >= 0).all()
+        assert enc["n_merged"].sum() > 0
+        assert (
+            enc["n_tokens_before"] - enc["n_merged"]
+            == enc["n_tokens_after"]
+        ).all()
+
+
 class TestLmBuckets:
     def test_tercile_sizes_per_lang(self, spark, sf_dir):
         """Within each language the three buckets split ~equally: exact

@@ -472,6 +472,43 @@ class TestRound2OperatorPlans:
         assert "Join" not in plan
         assert "Window" not in plan
 
+    def test_q184_quota_broadcast_one_rank_window(self, spark, sf_dir):
+        """q184: the quota table reaches the ranked corpus as a
+        BROADCAST hash join; exactly one Window may touch
+        document-sized rows (the per-source rank); no pair
+        enumeration. (q174's quota arithmetic contributes its own
+        source-sized windows — identify the document-rank one by its
+        partition key.)"""
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            q184_mixture_materialize,
+        )
+
+        df = q184_mixture_materialize(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final
+        n_bnlj = final.count("BroadcastNestedLoopJoin")
+        assert n_bnlj == final.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        )
+
+    def test_q185_encode_is_projection_after_model(self, spark, sf_dir):
+        """q185: with the two merge rules collected (model state) and
+        the frames checkpointed, the final plan is a doc_id equi-join
+        of two projections — no Python, no window, no pair
+        enumeration."""
+        from gov_data_pipeline_spark.queries.corpus_ops import q185_bpe_encode
+
+        df = q185_bpe_encode(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
+        assert "Window" not in plan
+
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no
         joins, no aggregate exchange — only the output sort shuffles."""

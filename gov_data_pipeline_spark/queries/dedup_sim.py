@@ -3326,6 +3326,123 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q186 — ANN RECALL report: per query, how much of the exact cosine
+# top-5 (q44's brute tier) the hyperplane-LSH tier (q45, md5 family,
+# 6 tables × 6 bits) actually recovers — recall@5 as a first-class,
+# oracle-checked measurement instead of a one-off test assertion. The
+# approximate operators are registered as scale paths on the strength
+# of their recall; this query is the artifact that keeps that claim
+# measured on every corpus the engine runs against ("the sketch
+# tier's recall is permanently measured against the exact tier" —
+# here as data, not only as a pinned test).
+#
+# Determinism: both top-5 sets rank on the ROUNDED cosine with
+# neighbor-id tiebreaks (the q44/q45 convention), so the intersection
+# count is exact in both engines. Shape at scale: the exact arm is the
+# documented brute baseline (20-query side — broadcast regime); the
+# LSH arm is bucket-keyed; the recall join is over two k×|queries|-row
+# frames — driver-scale data, executor-side plan.
+# ---------------------------------------------------------------------------
+
+
+def q186_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+    ).select("vec_id", "neighbor_id")
+    ann = ann_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, bits=6, tables=6, hash_family="md5",
+    ).select(
+        F.col("vec_id").alias("__avid"), F.col("neighbor_id").alias("__anid")
+    )
+    return (
+        exact.join(
+            ann,
+            (exact.vec_id == F.col("__avid"))
+            & (exact.neighbor_id == F.col("__anid")),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("__anid").alias("n_hit"),
+            F.round(
+                F.count("__anid").cast("double") / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q186_SQL = """
+WITH exact_scored AS (
+  SELECT q.vec_id,
+         c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20),
+exact_top AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rk
+    FROM exact_scored) WHERE rk <= 5),
+ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dims AS (SELECT DISTINCT d FROM ex),
+planes AS (
+  SELECT dims.d, p.p AS p,
+         CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
+                                   1, 1))::INT & 1 = 1
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM dims CROSS JOIN range(36) p(p)),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  FROM ex e JOIN planes pl ON pl.d = e.d
+  GROUP BY e.vec_id, pl.p),
+buckets AS (
+  SELECT vec_id, (p // 6)::INT AS t,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 6)) ELSE 0 END)::BIGINT
+           AS b
+  FROM dots GROUP BY vec_id, (p // 6)::INT),
+cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM buckets q
+  JOIN buckets c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+ann_scored AS (
+  SELECT cand.qid AS vec_id, cand.nid AS neighbor_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ce ON ce.vec_id = cand.nid),
+ann_top AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rk
+    FROM ann_scored) WHERE rk <= 5)
+SELECT e.vec_id,
+       count(*) AS k,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+FROM exact_top e
+LEFT JOIN ann_top a
+  ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q159_normalized_dedup": q159_normalized_dedup,
@@ -3340,6 +3457,7 @@ QUERIES = {
     "q181_semdedup": q181_semdedup,
     "q182_contamination_fraction": q182_contamination_fraction,
     "q183_dup_lines": q183_dup_lines,
+    "q186_ann_recall": q186_ann_recall,
     "q75_corpus_pipeline": q75_corpus_pipeline,
     "q68_bm25": q68_bm25,
     "q69_stratified_sample": q69_stratified_sample,
@@ -3387,6 +3505,7 @@ ORACLE = {
     "q181_semdedup": _Q181_SQL,
     "q182_contamination_fraction": _Q182_SQL,
     "q183_dup_lines": _Q183_SQL,
+    "q186_ann_recall": _Q186_SQL,
     "q75_corpus_pipeline": _Q75_SQL,
     "q77_fuzzy_join": _Q77_SQL,
     "q68_bm25": _Q68_SQL,

@@ -79,6 +79,7 @@ NAMES = [
     "q183_dup_lines",
     "q184_mixture_materialize",
     "q185_bpe_encode",
+    "q186_ann_recall",
 ]
 
 

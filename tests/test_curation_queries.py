@@ -312,6 +312,47 @@ class TestBpeEncode:
         ).all()
 
 
+class TestAnnRecall:
+    def test_recall_well_formed(self, spark, sf_dir):
+        """Every query reports k=5 exact neighbors, hits bounded by k,
+        recall = n_hit/k rounded; the report covers all 20 queries."""
+        from gov_data_pipeline_spark.queries.dedup_sim import q186_ann_recall
+
+        out = q186_ann_recall(spark, sf_dir).toPandas()
+        assert len(out) == 20
+        assert (out["k"] == 5).all()
+        assert ((out["n_hit"] >= 0) & (out["n_hit"] <= 5)).all()
+        assert (out["recall"] == (out["n_hit"] / 5).round(4)).all()
+
+    def test_hits_are_real_intersections(self, spark, sf_dir):
+        """n_hit equals |exact top-5 ∩ ann top-5| recomputed from the
+        underlying operators."""
+        from gov_data_pipeline_spark.operators.similarity import (
+            ann_topk,
+            cosine_topk,
+        )
+        from gov_data_pipeline_spark.queries.dedup_sim import q186_ann_recall
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = cosine_topk(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+        ).toPandas()
+        ann = ann_topk(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=5, bits=6, tables=6, hash_family="md5",
+        ).toPandas()
+        es = set(zip(exact["vec_id"], exact["neighbor_id"]))
+        as_ = set(zip(ann["vec_id"], ann["neighbor_id"]))
+        out = q186_ann_recall(spark, sf_dir).toPandas().set_index("vec_id")
+        for qid in out.index:
+            want = len(
+                {p for p in es if p[0] == qid}
+                & {p for p in as_ if p[0] == qid}
+            )
+            assert out.loc[qid, "n_hit"] == want, qid
+
+
 class TestLmBuckets:
     def test_tercile_sizes_per_lang(self, spark, sf_dir):
         """Within each language the three buckets split ~equally: exact

@@ -162,6 +162,87 @@ def main() -> None:
     n_bins = packed.select("shard", "bin").distinct().count()
     print(f"packed {packed.count()} docs into {n_bins} bins of <= 1200 chars")
 
+    # --- threshold selection for the learned filter: reduce the scored
+    # corpus to a (band, n_pos, n_neg) histogram and sweep cumulative
+    # precision/recall over THAT (q179's shape — the window never sees
+    # per-document rows), then ship the best-F1 threshold -------------
+    from pyspark.sql import Window as W
+
+    labeled = scored.select("doc_id", "logit").join(
+        kept.select("doc_id", "text"), "doc_id"
+    ).select(
+        F.floor(F.col("logit") / 4096).cast("long").alias("band"),
+        F.col("text").contains("spark").cast("int").alias("y"),
+    )
+    hist = labeled.groupBy("band").agg(
+        F.sum("y").alias("n_pos"), F.sum(1 - F.col("y")).alias("n_neg")
+    )
+    win = W.orderBy(F.col("band").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    curve = (
+        hist.withColumn("tp", F.sum("n_pos").over(win))
+        .withColumn("fp", F.sum("n_neg").over(win))
+        .crossJoin(F.broadcast(hist.agg(F.sum("n_pos").alias("P"))))
+        .select(
+            (F.col("band") * 4096).alias("threshold"),
+            F.round(
+                2 * F.col("tp") / (F.col("tp") + F.col("fp") + F.col("P")), 4
+            ).alias("f1"),
+        )
+    )
+    best = curve.orderBy(F.col("f1").desc(), F.col("threshold")).first()
+    print(f"best-F1 keep threshold: logit >= {best['threshold']} (F1 {best['f1']})")
+
+    # --- semantic (embedding-space) dedup tier: SemDeDup's clustering
+    # partitioner — nearest-seed cells bound the pairwise work, one
+    # numpy GEMM per cell finds near-identical vectors (q181's
+    # operator); here it audits the embedding table for the doc ids
+    # that survived curation -------------------------------------------
+    from gov_data_pipeline_spark.operators.similarity import (
+        cell_cosine_pairs_gemm,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb = emb.join(
+        kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    n = emb.count()
+    k = max(8, n // 256)
+    seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    seeds = (
+        emb.orderBy(*seed_order)
+        .limit(k)
+        .withColumn("cid", F.row_number().over(W.orderBy(*seed_order)))
+        .select("cid", F.col("embedding").alias("__c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("__c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "cid", F.round(d2, 4).alias("__d2"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("__d2", "cid")
+            ),
+        )
+        .filter("__rn = 1")
+        .select("vec_id", F.col("cid").alias("cell"), "embedding")
+    )
+    sem_pairs = cell_cosine_pairs_gemm(
+        cells, "vec_id", "cell", "embedding", threshold=0.99
+    )
+    print(
+        f"semantic near-dup pairs within {k} SemDeDup cells: "
+        f"{sem_pairs.count()}"
+    )
+
 
 if __name__ == "__main__":
     main()

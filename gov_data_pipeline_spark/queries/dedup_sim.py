@@ -3443,6 +3443,144 @@ ORDER BY e.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q187 — MinHash CALIBRATION report: q186's companion for the Jaccard
+# sketch tier. For every banded-LSH candidate pair (q42's generator,
+# md5 family), report the signature-agreement ESTIMATE (mean of 32
+# slot equalities — the textbook MinHash estimator), the exact Jaccard
+# from the shingle-hash sets, and their absolute error.
+#
+# What the report SHOWS on this signature family — and why it exists:
+# the one-pass `min(h1 + i·h2)` slots share two degrees of freedom
+# (h1, h2), so they are far from independent permutations, and the
+# agreement-rate estimator overshoots badly on low-overlap pairs
+# (measured mean abs error ≈0.6 at sf0.1, est ≈0.75 where true ≈0.01).
+# That measured fact is exactly why the q42 pipeline treats the
+# signature ONLY as a candidate generator and verifies every candidate
+# with EXACT set Jaccard before thresholding — this query keeps the
+# justification for that design decision measured on every corpus
+# instead of asserted once. (A production tier wanting a usable
+# estimate pays for independent per-slot hashes: xxhash64(i, s) — the
+# `hash_family="xxhash64"` profile — at the cost of the oracle.)
+#
+# Exactness: the estimate is an integer agreement count / 32.0 (exact
+# in binary), the true Jaccard is one int/int division — identical
+# doubles in both engines, so even abs(est − true) is bit-exact before
+# its round(4). Shape at scale: q42's profile shape (ONE shingle-scan
+# aggregate; the profile — one bounded row per doc — is materialized
+# once for its three consumers), band equi-join candidates, two
+# profile lookups per pair. Nothing is quadratic.
+# ---------------------------------------------------------------------------
+
+
+def q187_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.dedup import (
+        minhash_doc_profile,
+        shingle_rows,
+    )
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    ex = shingle_rows(
+        corpus, "doc_id", F.col("text"), 3, widen=False, distinct=False
+    )
+    prof = minhash_doc_profile(
+        ex, "doc_id", num_hashes=32, hash_family="md5"
+    ).localCheckpoint()
+    cands = lsh_candidate_pairs(
+        prof, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32
+    )
+    pa = prof.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sig").alias("__sa"),
+        F.col("hset").alias("__ha"),
+        F.col("n").alias("__na"),
+    )
+    pb = prof.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sig").alias("__sb"),
+        F.col("hset").alias("__hb"),
+        F.col("n").alias("__nb"),
+    )
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    true_j = inter / (F.col("__na") + F.col("__nb") - inter)
+    est = agree / F.lit(32.0)
+    return (
+        cands.join(pa, "a_id")
+        .join(pb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(true_j, 4).alias("true_jaccard"),
+            F.round(F.abs(est - true_j), 4).alias("abs_err"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+_Q187_SQL = rf"""
+WITH u AS ({_DOCS_DUPS_SQL}),
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM words),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hs AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(s), 1, 13))::BIGINT  AS h1,
+         ('0x' || substr(md5(s), 14, 13))::BIGINT AS h2
+  FROM ex),
+sig AS (
+  SELECT doc_id, i, min(h1 + i * h2) AS m
+  FROM hs CROSS JOIN range(32) t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, (i // 4)::INT AS band,
+         string_agg(m::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM sig GROUP BY doc_id, (i // 4)::INT),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+agree AS (
+  SELECT c.a_id, c.b_id,
+         sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 32.0 AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a_id
+  JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+  GROUP BY 1, 2),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.a_id
+  JOIN ex b ON b.doc_id = c.b_id AND b.s = a.s
+  GROUP BY 1, 2)
+SELECT g.a_id, g.b_id,
+       round(g.est, 4) AS est_jaccard,
+       round(coalesce(i.inter, 0)
+             / (sa.n + sb.n - coalesce(i.inter, 0)), 4) AS true_jaccard,
+       round(abs(g.est - coalesce(i.inter, 0)
+                 / (sa.n + sb.n - coalesce(i.inter, 0))), 4) AS abs_err
+FROM agree g
+LEFT JOIN inter i ON i.a_id = g.a_id AND i.b_id = g.b_id
+JOIN sizes sa ON sa.doc_id = g.a_id
+JOIN sizes sb ON sb.doc_id = g.b_id
+ORDER BY g.a_id, g.b_id
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q159_normalized_dedup": q159_normalized_dedup,
@@ -3458,6 +3596,7 @@ QUERIES = {
     "q182_contamination_fraction": q182_contamination_fraction,
     "q183_dup_lines": q183_dup_lines,
     "q186_ann_recall": q186_ann_recall,
+    "q187_minhash_calibration": q187_minhash_calibration,
     "q75_corpus_pipeline": q75_corpus_pipeline,
     "q68_bm25": q68_bm25,
     "q69_stratified_sample": q69_stratified_sample,
@@ -3506,6 +3645,7 @@ ORACLE = {
     "q182_contamination_fraction": _Q182_SQL,
     "q183_dup_lines": _Q183_SQL,
     "q186_ann_recall": _Q186_SQL,
+    "q187_minhash_calibration": _Q187_SQL,
     "q75_corpus_pipeline": _Q75_SQL,
     "q77_fuzzy_join": _Q77_SQL,
     "q68_bm25": _Q68_SQL,

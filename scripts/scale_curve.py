@@ -80,6 +80,7 @@ NAMES = [
     "q184_mixture_materialize",
     "q185_bpe_encode",
     "q186_ann_recall",
+    "q187_minhash_calibration",
 ]
 
 

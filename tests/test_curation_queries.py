@@ -353,6 +353,52 @@ class TestAnnRecall:
             assert out.loc[qid, "n_hit"] == want, qid
 
 
+class TestMinhashCalibration:
+    def test_planted_dups_estimate_and_truth_agree_high(self, spark, sf_dir):
+        """On the planted near-dup pairs (mutant = original + 2 tokens)
+        both the estimate and the exact Jaccard are high, and the
+        error is small — the regime banding is tuned for."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            _MUT_OFFSET,
+            q187_minhash_calibration,
+        )
+
+        out = q187_minhash_calibration(spark, sf_dir).toPandas()
+        planted = out[out["b_id"] - _MUT_OFFSET == out["a_id"]]
+        assert len(planted) > 0
+        assert (planted["true_jaccard"] >= 0.5).all()
+        assert (planted["est_jaccard"] >= 0.5).all()
+        assert planted["abs_err"].mean() < 0.25
+
+    def test_error_column_is_consistent(self, spark, sf_dir):
+        import numpy as np
+
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q187_minhash_calibration,
+        )
+
+        out = q187_minhash_calibration(spark, sf_dir).toPandas()
+        assert ((out["est_jaccard"] >= 0) & (out["est_jaccard"] <= 1)).all()
+        assert ((out["true_jaccard"] >= 0) & (out["true_jaccard"] <= 1)).all()
+        # rounded |est - true| within a rounding ulp of the rounded cols
+        recomputed = (out["est_jaccard"] - out["true_jaccard"]).abs()
+        assert np.allclose(out["abs_err"], recomputed, atol=2e-4)
+
+    def test_documented_slot_correlation_is_real(self, spark, sf_dir):
+        """The docstring's claim — the linear (h1 + i*h2) family
+        overestimates on low-overlap candidates — must stay measured:
+        among pairs with true_jaccard < 0.1, the mean estimate is
+        biased high by a wide margin."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q187_minhash_calibration,
+        )
+
+        out = q187_minhash_calibration(spark, sf_dir).toPandas()
+        low = out[out["true_jaccard"] < 0.1]
+        if len(low) > 10:
+            assert (low["est_jaccard"].mean() - low["true_jaccard"].mean()) > 0.2
+
+
 class TestLmBuckets:
     def test_tercile_sizes_per_lang(self, spark, sf_dir):
         """Within each language the three buckets split ~equally: exact

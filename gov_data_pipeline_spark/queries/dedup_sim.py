@@ -3581,6 +3581,123 @@ ORDER BY g.a_id, g.b_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q188 — IVF RECALL report: q186's twin for the inverted-file tier
+# (q55: 16 deterministic centroids, n_probe=3). With q186 (hyperplane
+# LSH) and q187 (MinHash calibration) this closes the set: every
+# approximate tier in the engine carries a first-class, oracle-checked
+# quality measurement. IVF with 3-of-16 probes searches ~19% of the
+# corpus, so its recall@5 reads meaningfully higher than the 6×6-bit
+# LSH tier on the same fixture — the comparison a capacity-planning
+# decision actually needs.
+# ---------------------------------------------------------------------------
+
+
+def q188_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+    ).select("vec_id", "neighbor_id")
+    ivf = ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, n_centroids=16, n_probe=3,
+    ).select(
+        F.col("vec_id").alias("__ivid"), F.col("neighbor_id").alias("__inid")
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.vec_id == F.col("__ivid"))
+            & (exact.neighbor_id == F.col("__inid")),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("__inid").alias("n_hit"),
+            F.round(
+                F.count("__inid").cast("double") / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q188_SQL = """
+WITH exact_scored AS (
+  SELECT q.vec_id,
+         c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20),
+exact_top AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rk
+    FROM exact_scored) WHERE rk <= 5),
+cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+q_assign AS (
+  SELECT e.vec_id AS qid, c.cid,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           AS dist
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < 20),
+q_cells AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM q_assign)
+  WHERE rn <= 3),
+c_assign AS (
+  SELECT e.vec_id AS nid, c.cid,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           AS dist
+  FROM embeddings e CROSS JOIN cents c),
+c_cells AS (
+  SELECT nid, cid FROM (
+    SELECT nid, cid,
+           row_number() OVER (PARTITION BY nid
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM c_assign)
+  WHERE rn = 1),
+cand AS (
+  SELECT DISTINCT q.qid, c.nid
+  FROM q_cells q JOIN c_cells c ON q.cid = c.cid
+  WHERE q.qid <> c.nid),
+ivf_scored AS (
+  SELECT cand.qid AS vec_id, cand.nid AS neighbor_id,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ce ON ce.vec_id = cand.nid),
+ivf_top AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rk
+    FROM ivf_scored) WHERE rk <= 5)
+SELECT e.vec_id,
+       count(*) AS k,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+FROM exact_top e
+LEFT JOIN ivf_top a
+  ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q159_normalized_dedup": q159_normalized_dedup,
@@ -3597,6 +3714,7 @@ QUERIES = {
     "q183_dup_lines": q183_dup_lines,
     "q186_ann_recall": q186_ann_recall,
     "q187_minhash_calibration": q187_minhash_calibration,
+    "q188_ivf_recall": q188_ivf_recall,
     "q75_corpus_pipeline": q75_corpus_pipeline,
     "q68_bm25": q68_bm25,
     "q69_stratified_sample": q69_stratified_sample,
@@ -3646,6 +3764,7 @@ ORACLE = {
     "q183_dup_lines": _Q183_SQL,
     "q186_ann_recall": _Q186_SQL,
     "q187_minhash_calibration": _Q187_SQL,
+    "q188_ivf_recall": _Q188_SQL,
     "q75_corpus_pipeline": _Q75_SQL,
     "q77_fuzzy_join": _Q77_SQL,
     "q68_bm25": _Q68_SQL,

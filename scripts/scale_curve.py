@@ -81,6 +81,7 @@ NAMES = [
     "q185_bpe_encode",
     "q186_ann_recall",
     "q187_minhash_calibration",
+    "q188_ivf_recall",
 ]
 
 

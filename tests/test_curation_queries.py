@@ -353,6 +353,24 @@ class TestAnnRecall:
             assert out.loc[qid, "n_hit"] == want, qid
 
 
+class TestIvfRecall:
+    def test_well_formed_and_beats_lsh_tier(self, spark, sf_dir):
+        """3-of-16-probe IVF searches ~19% of the corpus, so its mean
+        recall@5 must land clearly above the 6x6-bit LSH tier's on the
+        same fixture — the comparison these reports exist to expose."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q186_ann_recall,
+            q188_ivf_recall,
+        )
+
+        ivf = q188_ivf_recall(spark, sf_dir).toPandas()
+        lsh = q186_ann_recall(spark, sf_dir).toPandas()
+        assert len(ivf) == 20
+        assert (ivf["k"] == 5).all()
+        assert (ivf["recall"] == (ivf["n_hit"] / 5).round(4)).all()
+        assert ivf["recall"].mean() > lsh["recall"].mean()
+
+
 class TestMinhashCalibration:
     def test_planted_dups_estimate_and_truth_agree_high(self, spark, sf_dir):
         """On the planted near-dup pairs (mutant = original + 2 tokens)

@@ -3509,6 +3509,13 @@ def q187_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("__ha", "__hb"))
     true_j = inter / (F.col("__na") + F.col("__nb") - inter)
     est = agree / F.lit(32.0)
+    # abs_err derives from the ROUNDED columns, not the raw doubles:
+    # est is an exact k/32, so (est - true) lands ON .00005 boundaries,
+    # where Spark's round (BigDecimal of the double's shortest decimal
+    # rendering) and DuckDB's (multiply-round-divide on the binary
+    # value) can disagree by 1e-4 — caught by the adversarial-Unicode
+    # sweep. Differences of two 4-decimal values are never within an
+    # ulp of a half boundary, so this form is engine-exact.
     return (
         cands.join(pa, "a_id")
         .join(pb, "b_id")
@@ -3517,7 +3524,10 @@ def q187_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             F.round(est, 4).alias("est_jaccard"),
             F.round(true_j, 4).alias("true_jaccard"),
-            F.round(F.abs(est - true_j), 4).alias("abs_err"),
+        )
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 4),
         )
         .orderBy("a_id", "b_id")
     )
@@ -3567,17 +3577,18 @@ inter AS (
   JOIN ex a ON a.doc_id = c.a_id
   JOIN ex b ON b.doc_id = c.b_id AND b.s = a.s
   GROUP BY 1, 2)
-SELECT g.a_id, g.b_id,
-       round(g.est, 4) AS est_jaccard,
-       round(coalesce(i.inter, 0)
-             / (sa.n + sb.n - coalesce(i.inter, 0)), 4) AS true_jaccard,
-       round(abs(g.est - coalesce(i.inter, 0)
-                 / (sa.n + sb.n - coalesce(i.inter, 0))), 4) AS abs_err
-FROM agree g
-LEFT JOIN inter i ON i.a_id = g.a_id AND i.b_id = g.b_id
-JOIN sizes sa ON sa.doc_id = g.a_id
-JOIN sizes sb ON sb.doc_id = g.b_id
-ORDER BY g.a_id, g.b_id
+SELECT a_id, b_id, est_jaccard, true_jaccard,
+       round(abs(est_jaccard - true_jaccard), 4) AS abs_err
+FROM (
+  SELECT g.a_id, g.b_id,
+         round(g.est, 4) AS est_jaccard,
+         round(coalesce(i.inter, 0)
+               / (sa.n + sb.n - coalesce(i.inter, 0)), 4) AS true_jaccard
+  FROM agree g
+  LEFT JOIN inter i ON i.a_id = g.a_id AND i.b_id = g.b_id
+  JOIN sizes sa ON sa.doc_id = g.a_id
+  JOIN sizes sb ON sb.doc_id = g.b_id)
+ORDER BY a_id, b_id
 """
 
 

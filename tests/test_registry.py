@@ -313,14 +313,27 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
         "q171_bigram_logprob", "q172_top_ngram_fraction",
         "q173_multilingual_curation", "q175_phrase_merges",
         "q176_passage_removal",
+        # round-10 session-2 text family
+        "q177_dsir_select", "q178_boilerplate_lines", "q179_pr_curve",
+        "q180_lm_buckets", "q182_contamination_fraction",
+        "q183_dup_lines", "q185_bpe_encode", "q187_minhash_calibration",
     ]
     missing = [n for n in must_match if n not in Q or n not in O]
     assert not missing, f"sweep list out of date: {missing}"
+    from tests.oracle import canonicalize
+
     bad = []
     for name in must_match:
-        r = compare(Q[name](spark, str(base)).toPandas(), run_oracle(con, O[name]))
+        spdf = Q[name](spark, str(base)).toPandas()
+        dudf = run_oracle(con, O[name])
+        r = compare(spdf, dudf)
         if not r["hash_match"]:
-            bad.append(name)
+            sa, sb = set(canonicalize(spdf)), set(canonicalize(dudf))
+            bad.append(
+                f"{name}: rows={r['rows']} "
+                f"only_spark={sorted(sa - sb)[:3]} "
+                f"only_duck={sorted(sb - sa)[:3]}"
+            )
     assert not bad, f"unicode parity broke: {bad}"
     for name in ("q20_clean_text",):
         r = compare(Q[name](spark, str(base)).toPandas(), run_oracle(con, O[name]))

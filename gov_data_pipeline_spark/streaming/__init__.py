@@ -6,6 +6,7 @@ from gov_data_pipeline_spark.streaming.stateful import (  # noqa: F401
     token_bucket_throttle,
 )
 from gov_data_pipeline_spark.streaming.ingest import (  # noqa: F401
+    decontaminating_ingest_sink,
     incremental_dedup_sink,
     incremental_neardup_sink,
     scored_ingest_sink,

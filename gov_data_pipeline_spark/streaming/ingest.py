@@ -491,3 +491,77 @@ def scored_ingest_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def decontaminating_ingest_sink(
+    stream_df: DataFrame,
+    corpus_path: str,
+    text_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    benchmark_grams: DataFrame,
+    n: int = 13,
+    quarantine_path: str | None = None,
+) -> DataStreamWriter:
+    """Benchmark decontamination AT INGEST: every micro-batch's
+    documents are gated on n-gram membership against the evaluation
+    set (the q87 batch gate run continuously), clean rows append to
+    the corpus, and contaminated rows optionally append to
+    ``quarantine_path`` WITH their matched-gram count — the audit
+    trail (same posture as ``scored_ingest_sink``'s logit column:
+    silently dropped data is undebuggable).
+
+    ``benchmark_grams``: one string column named ``s`` holding the
+    eval set's distinct n-grams — built once, outside the stream
+    (e.g. ``operators/dedup.word_shingles(text, 13)`` exploded over
+    the benchmark corpus). It is broadcast into each batch's
+    membership join, so per-batch cost is batch-sized; the benchmark
+    set never re-derives. For a benchmark too large to broadcast, the
+    q154 Bloom-bitset gate is the drop-in replacement (same verdicts
+    on survivors because q154 exact-verifies).
+
+    Gram semantics are exactly ``word_shingles``: distinct n-grams,
+    documents shorter than ``n`` words contribute their full word-join
+    (which only matches a benchmark gram of that exact short text).
+
+    Retry idempotence: a replayed batch's ids anti-join against both
+    output directories before the gate — the scored-sink mechanism.
+    """
+    from gov_data_pipeline_spark.operators.dedup import word_shingles
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()  # source read once per batch
+        for prior_path in (corpus_path, quarantine_path):
+            if prior_path is None:
+                continue
+            prior = _read_corpus_or_none(spark, prior_path)
+            if prior is not None:
+                batch_df = batch_df.join(
+                    prior.select(id_col), id_col, "left_anti"
+                )
+        ex = batch_df.select(
+            id_col, F.explode(word_shingles(F.col(text_col), n)).alias("s")
+        )
+        hits = (
+            ex.join(F.broadcast(benchmark_grams.select("s")), "s", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        )
+        gated = batch_df.join(F.broadcast(hits), id_col, "left")
+        if quarantine_path is not None:
+            # two consumers of the gated frame: pin it once
+            gated = gated.localCheckpoint()
+        gated.filter(F.col("n_hit_grams").isNull()).drop(
+            "n_hit_grams"
+        ).write.mode("append").parquet(corpus_path)
+        if quarantine_path is not None:
+            gated.filter(F.col("n_hit_grams").isNotNull()).write.mode(
+                "append"
+            ).parquet(quarantine_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

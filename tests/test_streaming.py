@@ -1420,3 +1420,91 @@ def test_scored_ingest_sink_filters_and_quarantines(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(quarantine).collect()
     } == set(quar)
+
+
+def test_decontaminating_ingest_sink_gates_and_quarantines(spark, tmp_path):
+    """Benchmark decontamination at ingest: a doc embedding an eval-set
+    13-gram is quarantined WITH its matched-gram count, clean docs
+    append to the corpus; stream verdicts equal the batch q87-style
+    gate on the same rows; a fresh-checkpoint replay appends nothing."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.operators.dedup import word_shingles
+    from gov_data_pipeline_spark.streaming import decontaminating_ingest_sink
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    bench = spark.createDataFrame([(bench_text,)], "text string").select(
+        F.explode(word_shingles(F.col("text"), 13)).alias("s")
+    )
+    clean = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = [(1, clean + " one"), (2, clean + " two")]
+    # doc 3 embeds the full benchmark span mid-document -> contaminated
+    b2 = [
+        (3, "prefix words " + bench_text + " suffix words"),
+        (4, clean + " four"),
+    ]
+
+    src = str(tmp_path / "src")
+    seen, t0 = set(), time.time()
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for root, _, files in os.walk(src):
+            for f in files:
+                p = os.path.join(root, f)
+                if p not in seen:
+                    os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                    seen.add(p)
+
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            decontaminating_ingest_sink(
+                stream, corpus, "text", "doc_id", ckpt, bench,
+                n=13, quarantine_path=quarantine,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "k1"))
+    kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    quar = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in spark.read.parquet(quarantine).collect()
+    }
+    assert kept == {1, 2, 4}
+    assert set(quar) == {3}
+    assert quar[3] >= 1  # audit column survives
+
+    # stream == batch: the q87-style gate on all rows agrees
+    all_rows = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    ex = all_rows.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 13)).alias("s")
+    )
+    contaminated = {
+        r["doc_id"]
+        for r in ex.join(F.broadcast(bench), "s", "left_semi")
+        .select("doc_id").distinct().collect()
+    }
+    assert contaminated == set(quar)
+    assert kept == {1, 2, 3, 4} - contaminated
+
+    # fresh-checkpoint replay: every id already lives in an output
+    run(str(tmp_path / "k2"))
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == kept
+    assert {
+        r["doc_id"] for r in spark.read.parquet(quarantine).collect()
+    } == set(quar)

@@ -1430,3 +1430,63 @@ def test_stratified_exact_k_rejects_reserved_column(spark):
     df = spark.createDataFrame([(1, "a", 9)], "doc_id long, g string, SAMPLE_RANK long")
     with _pytest.raises(ValueError, match="sample_rank"):
         stratified_exact_k(df, "doc_id", "g", 3)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # cell
+            st.lists(
+                st.floats(
+                    min_value=-4, max_value=4,
+                    allow_nan=False, allow_infinity=False,
+                    width=32,
+                ),
+                min_size=6, max_size=6,
+            ),
+        ),
+        min_size=2, max_size=40,
+    ),
+    threshold=st.sampled_from([0.5, 0.9, 0.99]),
+)
+def test_cell_gemm_pairs_match_numpy_model(spark, data, threshold):
+    """cell_cosine_pairs_gemm must agree with a pure-numpy brute model
+    (same HALF_UP rounding) on arbitrary small cell layouts: only
+    within-cell pairs, a < b, zero-norm rows never match, threshold on
+    the rounded similarity. Random low-dim vectors make near-threshold
+    sims common rather than contrived."""
+    import numpy as np
+
+    from gov_data_pipeline_spark.operators.similarity import (
+        cell_cosine_pairs_gemm,
+    )
+
+    rows = [(i, c, v) for i, (c, v) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in cell_cosine_pairs_gemm(
+            df, "vec_id", "cell", "embedding", threshold
+        ).collect()
+    }
+
+    want = set()
+    by_cell: dict[int, list[tuple[int, list[float]]]] = {}
+    for i, (c, v) in enumerate(data):
+        by_cell.setdefault(c, []).append((i, v))
+    for members in by_cell.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                (ia, va), (ib, vb) = members[x], members[y]
+                a, b = np.asarray(va), np.asarray(vb)
+                na, nb = np.linalg.norm(a), np.linalg.norm(b)
+                if na == 0 or nb == 0:
+                    continue
+                s = float(a @ b / (na * nb))
+                s_r = np.sign(s) * np.floor(abs(s) * 1e4 + 0.5) / 1e4
+                if s_r >= threshold:
+                    want.add((min(ia, ib), max(ia, ib)))
+    assert got == want

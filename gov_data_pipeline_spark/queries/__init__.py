@@ -51,13 +51,14 @@ _MODULES = (
 # Re-derived after r09 from all CORRECTNESS_r*.json (tripwire:
 # tests/test_registry.py::test_priority_rotation_is_fresh). Latest
 # green rounds after r09: 12 queries at r05 (q46-era cohort), 50 at
-# r07, 50 at r08, 50 at r09. The 22 new round-10 queries (no driver
+# r07, 50 at r08, 50 at r09. The 23 new round-10 queries (no driver
 # row) lead; then the full r05 cohort; the 50 r07 greens follow in
 # name order and straddle the
 # boundary (tie across the boundary — allowed); r08/r09 greens fall
 # through to module order.
 _PRIORITY: tuple[str, ...] = (
     # new in r10 (no driver row yet)
+    "q189_margin_mining",
     "q188_ivf_recall",
     "q187_minhash_calibration",
     "q186_ann_recall",
@@ -109,10 +110,10 @@ _PRIORITY: tuple[str, ...] = (
     "q137_pagerank_mass",
     "q138_semantic_decontaminate",
     "q139_char_budget_mix",
-    "q140_semantic_decontaminate_lsh",
-    # --- driver sample boundary (first 50 end here: 22 r10-new +
-    # 12 r05 + 16 r07; the 34 remaining r07 greens below are boundary
+    # --- driver sample boundary (first 50 end here: 23 r10-new +
+    # 12 r05 + 15 r07; the 35 remaining r07 greens below are boundary
     # ties) ---
+    "q140_semantic_decontaminate_lsh",
     "q141_jpeg_dims",
     "q142_source_overlap",
     "q143_distinctive_terms",

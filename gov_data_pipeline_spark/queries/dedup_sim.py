@@ -3709,6 +3709,109 @@ ORDER BY e.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q189 — margin-based bitext mining (Artetxe & Schwenk 2019): align
+# two embedding spaces by RATIO margin instead of raw cosine — for
+# each query vector on side A (label-even), its best side-B
+# (label-odd) neighbor is accepted only when cos(a, b) clears the mean
+# of both endpoints' top-k neighborhoods: margin = cos /
+# ((mean top-k cos of a toward B + mean top-k cos of b toward A) / 2).
+# The raw-cosine rule mines hubs (vectors close to everything); the
+# margin rule is what makes mined parallel corpora usable — and it is
+# the last missing member of the similarity family: q44/q45/q55
+# retrieve, q46/q56/q80/q181 dedup, q99 fuses, q189 ALIGNS two spaces.
+#
+# Determinism: every cosine is rounded before ranking (the q44
+# convention); the margin derives from the rounded cosines and the
+# accept flag from the ROUNDED margin (the q187 lesson). Shape at
+# scale: both top-k arms are the documented brute broadcast regime
+# (40 mining queries / ≤ 40 back-probes); a full-corpus mining run
+# swaps in ann_topk for both arms — identical output contract, the
+# q99 posture.
+# ---------------------------------------------------------------------------
+
+_Q189_K = 4
+_Q189_NQ = 40
+_Q189_MARGIN = 1.05
+
+
+def q189_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    a_full = emb.filter(F.col("label") % 2 == 0).select("vec_id", "embedding")
+    b_full = emb.filter(F.col("label") % 2 == 1).select("vec_id", "embedding")
+    q = a_full.filter(F.col("vec_id") < _Q189_NQ)
+
+    fwd = cosine_topk(
+        q, b_full, "vec_id", "vec_id", "embedding", "embedding", k=_Q189_K
+    )
+    da = fwd.groupBy("vec_id").agg(F.avg("cosine_sim").alias("__da"))
+    best = fwd.filter(F.col("rk") == 1).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("neighbor_id").alias("b_id"),
+        F.col("cosine_sim").alias("cos"),
+    )
+    bq = b_full.join(
+        best.select(F.col("b_id").alias("vec_id")).distinct(), "vec_id"
+    )
+    bwd = cosine_topk(
+        bq, a_full, "vec_id", "vec_id", "embedding", "embedding", k=_Q189_K
+    )
+    db = bwd.groupBy("vec_id").agg(F.avg("cosine_sim").alias("__db"))
+
+    margin = F.round(
+        F.col("cos") / ((F.col("__da") + F.col("__db")) / 2), 4
+    )
+    return (
+        best.join(da.withColumnRenamed("vec_id", "a_id"), "a_id")
+        .join(db.withColumnRenamed("vec_id", "b_id"), "b_id")
+        .select("a_id", "b_id", "cos", margin.alias("margin"))
+        .withColumn("accepted", F.col("margin") >= _Q189_MARGIN)
+        .orderBy("a_id")
+    )
+
+
+_Q189_SQL = f"""
+WITH a_full AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label % 2 = 0),
+b_full AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label % 2 = 1),
+q AS (SELECT * FROM a_full WHERE vec_id < {_Q189_NQ}),
+fwd0 AS (
+  SELECT q.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(q.v, b.v), 4) AS cos
+  FROM q CROSS JOIN b_full b),
+fwd AS (
+  SELECT *, row_number() OVER (PARTITION BY a_id
+                               ORDER BY cos DESC, b_id) AS rk
+  FROM fwd0),
+da AS (
+  SELECT a_id, avg(cos) AS da FROM fwd WHERE rk <= {_Q189_K} GROUP BY 1),
+best AS (SELECT a_id, b_id, cos FROM fwd WHERE rk = 1),
+bq AS (SELECT DISTINCT b_id FROM best),
+bwd0 AS (
+  SELECT b.vec_id AS b_id, a.vec_id AS a2,
+         round(list_cosine_similarity(b.v, a.v), 4) AS cos
+  FROM b_full b JOIN bq ON bq.b_id = b.vec_id
+  CROSS JOIN a_full a),
+bwd AS (
+  SELECT *, row_number() OVER (PARTITION BY b_id
+                               ORDER BY cos DESC, a2) AS rk
+  FROM bwd0),
+db AS (
+  SELECT b_id, avg(cos) AS db FROM bwd WHERE rk <= {_Q189_K} GROUP BY 1)
+SELECT best.a_id, best.b_id, best.cos,
+       round(best.cos / ((da.da + db.db) / 2), 4) AS margin,
+       round(best.cos / ((da.da + db.db) / 2), 4) >= {_Q189_MARGIN}
+         AS accepted
+FROM best
+JOIN da USING (a_id)
+JOIN db USING (b_id)
+ORDER BY best.a_id
+"""
+
+
 QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q159_normalized_dedup": q159_normalized_dedup,
@@ -3726,6 +3829,7 @@ QUERIES = {
     "q186_ann_recall": q186_ann_recall,
     "q187_minhash_calibration": q187_minhash_calibration,
     "q188_ivf_recall": q188_ivf_recall,
+    "q189_margin_mining": q189_margin_mining,
     "q75_corpus_pipeline": q75_corpus_pipeline,
     "q68_bm25": q68_bm25,
     "q69_stratified_sample": q69_stratified_sample,
@@ -3776,6 +3880,7 @@ ORACLE = {
     "q186_ann_recall": _Q186_SQL,
     "q187_minhash_calibration": _Q187_SQL,
     "q188_ivf_recall": _Q188_SQL,
+    "q189_margin_mining": _Q189_SQL,
     "q75_corpus_pipeline": _Q75_SQL,
     "q77_fuzzy_join": _Q77_SQL,
     "q68_bm25": _Q68_SQL,

@@ -82,6 +82,7 @@ NAMES = [
     "q186_ann_recall",
     "q187_minhash_calibration",
     "q188_ivf_recall",
+    "q189_margin_mining",
 ]
 
 

@@ -371,6 +371,38 @@ class TestIvfRecall:
         assert ivf["recall"].mean() > lsh["recall"].mean()
 
 
+class TestMarginMining:
+    def test_margin_selects_a_strict_subset_of_raw_best(self, spark, sf_dir):
+        """The margin rule must be doing work: margins straddle the
+        1.05 bar (some best-cosine matches rejected), acceptance is a
+        pure function of the rounded margin, and every b_id really is
+        its query's rounded-cosine argmax on the odd side."""
+        from gov_data_pipeline_spark.operators.similarity import cosine_topk
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            _Q189_MARGIN,
+            _Q189_NQ,
+            q189_margin_mining,
+        )
+
+        out = q189_margin_mining(spark, sf_dir).toPandas()
+        assert len(out) > 0
+        assert (out["accepted"] == (out["margin"] >= _Q189_MARGIN)).all()
+        assert out["accepted"].any() and (~out["accepted"]).any()
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = emb.filter((F.col("label") % 2 == 0) & (F.col("vec_id") < _Q189_NQ))
+        b = emb.filter(F.col("label") % 2 == 1)
+        best = (
+            cosine_topk(
+                a, b, "vec_id", "vec_id", "embedding", "embedding", k=1
+            )
+            .toPandas()
+            .set_index("vec_id")["neighbor_id"]
+        )
+        got = out.set_index("a_id")["b_id"]
+        assert got.to_dict() == best.to_dict()
+
+
 class TestMinhashCalibration:
     def test_planted_dups_estimate_and_truth_agree_high(self, spark, sf_dir):
         """On the planted near-dup pairs (mutant = original + 2 tokens)

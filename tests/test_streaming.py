@@ -539,9 +539,19 @@ def test_ingest_sinks_survive_precreated_empty_corpus_dir(spark, tmp_path):
         incremental_neardup_sink,
     )
 
-    for name, mk in (
-        ("exact", lambda s, c, k: incremental_dedup_sink(s, c, ["text"], "doc_id", k)),
-        ("near", lambda s, c, k: incremental_neardup_sink(s, c, "text", "doc_id", k, threshold=0.5)),
+    from pyspark.sql import functions as _F
+
+    from gov_data_pipeline_spark.operators.dedup import word_shingles
+    from gov_data_pipeline_spark.streaming import decontaminating_ingest_sink
+
+    bench = spark.createDataFrame([("never matches anything",)], "text string").select(
+        _F.explode(word_shingles(_F.col("text"), 13)).alias("s")
+    )
+
+    for name, mk, want in (
+        ("exact", lambda s, c, k: incremental_dedup_sink(s, c, ["text"], "doc_id", k), {1}),
+        ("near", lambda s, c, k: incremental_neardup_sink(s, c, "text", "doc_id", k, threshold=0.5), {1}),
+        ("decon", lambda s, c, k: decontaminating_ingest_sink(s, c, "text", "doc_id", k, bench), {1, 2}),
     ):
         src = str(tmp_path / f"src_{name}")
         corpus = str(tmp_path / f"corpus_{name}")
@@ -556,7 +566,9 @@ def test_ingest_sinks_survive_precreated_empty_corpus_dir(spark, tmp_path):
         )
         q = mk(stream, corpus, ckpt).trigger(availableNow=True).start()
         q.awaitTermination(120)
-        assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1}
+        assert {
+            r["doc_id"] for r in spark.read.parquet(corpus).collect()
+        } == want, name
 
 
 def test_psi_drift_sink_flags_shifted_batch(spark, sf_dir, tmp_path):

@@ -168,11 +168,14 @@ def main() -> None:
     # per-document rows), then ship the best-F1 threshold -------------
     from pyspark.sql import Window as W
 
-    labeled = scored.select("doc_id", "logit").join(
-        kept.select("doc_id", "text"), "doc_id"
-    ).select(
+    # scored carries text through (score_linear_model keeps input
+    # columns) — and the label must null-guard like q179: a NULL text
+    # would otherwise silently vanish from both histogram sides
+    labeled = scored.select(
         F.floor(F.col("logit") / 4096).cast("long").alias("band"),
-        F.col("text").contains("spark").cast("int").alias("y"),
+        F.coalesce(
+            F.col("text").contains("spark").cast("int"), F.lit(0)
+        ).alias("y"),
     )
     hist = labeled.groupBy("band").agg(
         F.sum("y").alias("n_pos"), F.sum(1 - F.col("y")).alias("n_neg")
@@ -192,7 +195,11 @@ def main() -> None:
         )
     )
     best = curve.orderBy(F.col("f1").desc(), F.col("threshold")).first()
-    print(f"best-F1 keep threshold: logit >= {best['threshold']} (F1 {best['f1']})")
+    if best is not None:
+        print(
+            f"best-F1 keep threshold: logit >= {best['threshold']}"
+            f" (F1 {best['f1']})"
+        )
 
     # --- semantic (embedding-space) dedup tier: SemDeDup's clustering
     # partitioner — nearest-seed cells bound the pairwise work, one
@@ -201,40 +208,14 @@ def main() -> None:
     # that survived curation -------------------------------------------
     from gov_data_pipeline_spark.operators.similarity import (
         cell_cosine_pairs_gemm,
+        semdedup_cells,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    emb = emb.join(
+    emb = read_table(spark, sf_dir, "embeddings").join(
         kept.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
     )
-    n = emb.count()
-    k = max(8, n // 256)
-    seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
-    seeds = (
-        emb.orderBy(*seed_order)
-        .limit(k)
-        .withColumn("cid", F.row_number().over(W.orderBy(*seed_order)))
-        .select("cid", F.col("embedding").alias("__c"))
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("__c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cells = (
-        emb.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "embedding", "cid", F.round(d2, 4).alias("__d2"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy("__d2", "cid")
-            ),
-        )
-        .filter("__rn = 1")
-        .select("vec_id", F.col("cid").alias("cell"), "embedding")
-    )
+    cells = semdedup_cells(emb, "vec_id", "embedding").localCheckpoint()
+    k = cells.agg(F.max("cell")).first()[0]
     sem_pairs = cell_cosine_pairs_gemm(
         cells, "vec_id", "cell", "embedding", threshold=0.99
     )

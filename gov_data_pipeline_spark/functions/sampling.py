@@ -40,20 +40,53 @@ def stratified_exact_k(
     superset first (bucket < ceil(256·k·safety/|group|) still contains
     ≥ k survivors w.h.p.) and rank only the survivors.
     """
+    _guard_sample_rank(df, "stratified_exact_k")
+    return _md5_ranked(df, id_col, group_col).filter(
+        F.col("sample_rank") <= k
+    )
+
+
+def stratified_exact_quota(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    quotas: DataFrame,
+    quota_col: str,
+) -> DataFrame:
+    """``stratified_exact_k`` with a PER-GROUP k delivered by a quota
+    table (``group_col``, ``quota_col``) instead of one literal — the
+    mixture-materialization shape (q174 designs the quotas, this
+    selects exactly min(quota, |group|) members per group). Membership
+    is the SAME stable-md5-rank contract as ``stratified_exact_k``
+    (one definition, shared rank helper — the two cannot drift), so
+    the selected ids are a pure function of the ids present and the
+    quota numbers. The quota table is group-sized and broadcast; the
+    rank is still ONE hash-partition-by-group window."""
+    _guard_sample_rank(df, "stratified_exact_quota")
+    return (
+        _md5_ranked(df, id_col, group_col)
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("sample_rank") <= F.col(quota_col))
+    )
+
+
+def _guard_sample_rank(df: DataFrame, op: str) -> None:
     clash = {c for c in df.columns if c.lower() == "sample_rank"}
     if clash:
         raise ValueError(
-            f"stratified_exact_k: input already has column(s) "
+            f"{op}: input already has column(s) "
             f"{sorted(clash)}; rename them first — 'sample_rank' is the "
             "operator's output rank"
         )
+
+
+def _md5_ranked(df: DataFrame, id_col: str, group_col: str) -> DataFrame:
+    """The shared membership rule: stable md5 rank of the id, ties by
+    the id itself, 1-based within the group."""
     w = W.partitionBy(group_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
-    return (
-        df.withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= k)
-    )
+    return df.withColumn("sample_rank", F.row_number().over(w))
 
 
 def budget_sample(

@@ -260,6 +260,60 @@ def cosine_pairs_gemm(
     )
 
 
+def semdedup_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_target: int = 256,
+    k_min: int = 8,
+) -> DataFrame:
+    """SemDeDup's clustering partitioner: assign every vector to its
+    nearest of k deterministic seeds (the smallest ``(md5(id), id)``
+    rows — the q113 seeding convention), with k = max(k_min,
+    n // cell_target) so cell occupancy — and the per-cell pairwise
+    work downstream — stays bounded as the corpus grows. Returns
+    ``(id, cell, vec)`` rows; feed them to ``cell_cosine_pairs_gemm``.
+
+    Determinism (the oracle contract shared with q181): squared
+    distances fold left-to-right over the same doubles in both engines
+    (zip_with + aggregate ⟷ list_transform + list_sum), rounded to 4
+    before the argmin with the seed id as tiebreak. The corpus count
+    is ONE scalar of model state (fixes k; the oracle's cnt CTE
+    mirrors it); seeds are a k-row TakeOrdered + broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    n = vecs.count()
+    k = max(k_min, n // cell_target)
+    seed_order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    seeds = (
+        vecs.orderBy(*seed_order)
+        .limit(k)
+        .withColumn("__cid", F.row_number().over(W.orderBy(*seed_order)))
+        .select("__cid", F.col(vec_col).alias("__c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("__c"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rn = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.col("__d2"), F.col("__cid"))
+    )
+    return (
+        vecs.crossJoin(F.broadcast(seeds))
+        .select(id_col, vec_col, "__cid", F.round(d2, 4).alias("__d2"))
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("__cid").alias("cell"), vec_col)
+    )
+
+
 def cell_cosine_pairs_gemm(
     cells: DataFrame,
     id_col: str,

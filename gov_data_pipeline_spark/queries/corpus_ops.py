@@ -1539,17 +1539,16 @@ ORDER BY lang, sample_rank
 
 
 def q184_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.sampling import (
+        stratified_exact_quota,
+    )
+
     quotas = q174_temperature_quota(spark, sf_dir).select(
         "source", "quota_temp"
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    w = W.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
     return (
-        docs.withColumn("sample_rank", F.row_number().over(w))
-        .join(F.broadcast(quotas), "source")
-        .filter(F.col("sample_rank") <= F.col("quota_temp"))
+        stratified_exact_quota(docs, "doc_id", "source", quotas, "quota_temp")
         .select("doc_id", "source", "sample_rank", "quota_temp")
         .orderBy("source", "sample_rank")
     )
@@ -1631,11 +1630,14 @@ def q185_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()
         )
         if top is None:
-            return spark.createDataFrame(
-                [],
-                "doc_id bigint, n_tokens_before bigint,"
-                " n_tokens_after bigint, n_merged bigint",
-            )
+            # merge-exhausted round (every doc is one token, or the
+            # corpus is empty): NO rule to apply — the encoded stream
+            # is unchanged, and the remaining rounds can only be
+            # exhausted too. Do NOT return early: per-doc rows must
+            # still come out (before == after, n_merged 0 for the
+            # survivors). The oracle's CASE WHEN pair IS NULL mirrors
+            # this no-op exactly.
+            break
         merged = top["pair"].replace(" ", "_")
         cur = cur.select(
             "doc_id",
@@ -1681,9 +1683,10 @@ p1 AS (
 top1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
 t1 AS (
   SELECT doc_id,
-         replace(t, ' ' || (SELECT pair FROM top1) || ' ',
-                 ' ' || replace((SELECT pair FROM top1), ' ', '_') || ' ')
-           AS t
+         CASE WHEN (SELECT pair FROM top1) IS NULL THEN t
+              ELSE replace(t, ' ' || (SELECT pair FROM top1) || ' ',
+                   ' ' || replace((SELECT pair FROM top1), ' ', '_') || ' ')
+         END AS t
   FROM t0),
 p2 AS (
   SELECT pair, count(*) AS cnt FROM (
@@ -1695,9 +1698,10 @@ p2 AS (
 top2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
 t2 AS (
   SELECT doc_id,
-         replace(t, ' ' || (SELECT pair FROM top2) || ' ',
-                 ' ' || replace((SELECT pair FROM top2), ' ', '_') || ' ')
-           AS t
+         CASE WHEN (SELECT pair FROM top2) IS NULL THEN t
+              ELSE replace(t, ' ' || (SELECT pair FROM top2) || ' ',
+                   ' ' || replace((SELECT pair FROM top2), ' ', '_') || ' ')
+         END AS t
   FROM t1)
 SELECT t0.doc_id,
        CAST(len(string_split(trim(t0.t), ' ')) AS BIGINT) AS n_tokens_before,

@@ -3048,11 +3048,10 @@ _Q181_CELL = 256  # target cell occupancy: k = max(K_MIN, n // CELL)
 
 
 def q181_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from gov_data_pipeline_spark.operators.graph import dedup_clusters
     from gov_data_pipeline_spark.operators.similarity import (
         cell_cosine_pairs_gemm,
+        semdedup_cells,
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -3061,44 +3060,15 @@ def q181_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     )
 
-    # k scales with the corpus (bounded cell occupancy — the property
-    # that keeps Σ|cell|² linear in n); the count is ONE scalar of
-    # model state (the q113 convention), mirrored by the oracle's
-    # cnt CTE.
-    n = corpus.count()
-    k = max(_Q181_K_MIN, n // _Q181_CELL)
-
-    seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
-    seeds = (
-        corpus.orderBy(*seed_order)
-        .limit(k)
-        .withColumn("cid", F.row_number().over(W.orderBy(*seed_order)))
-        .select("cid", F.col("embedding").alias("__c"))
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("__c"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = corpus.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "embedding", "cid", F.round(d2, 4).alias("__d2")
-    )
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy("__d2", "cid")
-    )
     # Materialize the assignment ONCE: three consumers read it (both
-    # pair sides + the final label join), and each would otherwise
+    # GEMM inputs + the final label join), and each would otherwise
     # re-run the seed broadcast, distance projection and per-vector
     # argmin window from the scan — the q42/q163 persist-across-
     # consumers convention (measured here: 25 s -> ~8 s at sf0.1).
-    cells = (
-        assigned.withColumn("__rn", rn)
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "embedding")
-        .localCheckpoint()
-    )
+    cells = semdedup_cells(
+        corpus, "vec_id", "embedding",
+        cell_target=_Q181_CELL, k_min=_Q181_K_MIN,
+    ).localCheckpoint()
 
     pairs = cell_cosine_pairs_gemm(
         cells, "vec_id", "cell", "embedding", threshold=0.99
@@ -3741,10 +3711,21 @@ def q189_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_full = emb.filter(F.col("label") % 2 == 1).select("vec_id", "embedding")
     q = a_full.filter(F.col("vec_id") < _Q189_NQ)
 
+    # Denominators in INTEGER space (the q187 lesson, applied before it
+    # bites): cosine_topk's cosine_sim is a 4-decimal multiple, so
+    # round(cos*1e4) recovers an exact int64 in both engines, the two
+    # neighborhood sums are exact integers, and the margin
+    #   cos / ((mean_a + mean_b)/2) = (cos·1e4·2k) / (Σa + Σb)
+    # is ONE int/int division — identical doubles everywhere. An avg()
+    # of doubles instead would re-expose the partial-aggregation-order
+    # ulp that can flip round(·,4) (and the accept flag) near a .00005
+    # boundary.
+    scaled = F.round(F.col("cosine_sim") * 10000).cast("long")
+
     fwd = cosine_topk(
         q, b_full, "vec_id", "vec_id", "embedding", "embedding", k=_Q189_K
     )
-    da = fwd.groupBy("vec_id").agg(F.avg("cosine_sim").alias("__da"))
+    da = fwd.groupBy("vec_id").agg(F.sum(scaled).alias("__sa"))
     best = fwd.filter(F.col("rk") == 1).select(
         F.col("vec_id").alias("a_id"),
         F.col("neighbor_id").alias("b_id"),
@@ -3756,16 +3737,25 @@ def q189_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     bwd = cosine_topk(
         bq, a_full, "vec_id", "vec_id", "embedding", "embedding", k=_Q189_K
     )
-    db = bwd.groupBy("vec_id").agg(F.avg("cosine_sim").alias("__db"))
+    db = bwd.groupBy("vec_id").agg(F.sum(scaled).alias("__sb"))
 
+    # try_divide: a degenerate neighborhood (sum <= 0 is possible with
+    # negative cosines) nulls the margin and drops at the accept flag
     margin = F.round(
-        F.col("cos") / ((F.col("__da") + F.col("__db")) / 2), 4
+        F.try_divide(
+            F.round(F.col("cos") * 10000).cast("long") * (2 * _Q189_K),
+            F.col("__sa") + F.col("__sb"),
+        ),
+        4,
     )
     return (
         best.join(da.withColumnRenamed("vec_id", "a_id"), "a_id")
         .join(db.withColumnRenamed("vec_id", "b_id"), "b_id")
         .select("a_id", "b_id", "cos", margin.alias("margin"))
-        .withColumn("accepted", F.col("margin") >= _Q189_MARGIN)
+        .withColumn(
+            "accepted",
+            F.coalesce(F.col("margin") >= _Q189_MARGIN, F.lit(False)),
+        )
         .orderBy("a_id")
     )
 
@@ -3787,7 +3777,8 @@ fwd AS (
                                ORDER BY cos DESC, b_id) AS rk
   FROM fwd0),
 da AS (
-  SELECT a_id, avg(cos) AS da FROM fwd WHERE rk <= {_Q189_K} GROUP BY 1),
+  SELECT a_id, sum(CAST(round(cos * 10000) AS BIGINT)) AS sa
+  FROM fwd WHERE rk <= {_Q189_K} GROUP BY 1),
 best AS (SELECT a_id, b_id, cos FROM fwd WHERE rk = 1),
 bq AS (SELECT DISTINCT b_id FROM best),
 bwd0 AS (
@@ -3800,15 +3791,18 @@ bwd AS (
                                ORDER BY cos DESC, a2) AS rk
   FROM bwd0),
 db AS (
-  SELECT b_id, avg(cos) AS db FROM bwd WHERE rk <= {_Q189_K} GROUP BY 1)
-SELECT best.a_id, best.b_id, best.cos,
-       round(best.cos / ((da.da + db.db) / 2), 4) AS margin,
-       round(best.cos / ((da.da + db.db) / 2), 4) >= {_Q189_MARGIN}
-         AS accepted
-FROM best
-JOIN da USING (a_id)
-JOIN db USING (b_id)
-ORDER BY best.a_id
+  SELECT b_id, sum(CAST(round(cos * 10000) AS BIGINT)) AS sb
+  FROM bwd WHERE rk <= {_Q189_K} GROUP BY 1)
+SELECT a_id, b_id, cos, margin,
+       coalesce(margin >= {_Q189_MARGIN}, FALSE) AS accepted
+FROM (
+  SELECT best.a_id, best.b_id, best.cos,
+         round(CAST(round(best.cos * 10000) AS BIGINT) * {2 * _Q189_K}
+               / nullif(da.sa + db.sb, 0), 4) AS margin
+  FROM best
+  JOIN da USING (a_id)
+  JOIN db USING (b_id))
+ORDER BY a_id
 """
 
 

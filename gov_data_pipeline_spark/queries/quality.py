@@ -1032,6 +1032,10 @@ def q179_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # score_linear_model carries the input columns through, so the
+    # label reads `text` straight off the scored frame — re-joining
+    # documents here would add a second scan purely to recover a
+    # column the frame already has (review-caught).
     scored = score_linear_model(
         docs,
         "doc_id",
@@ -1039,8 +1043,8 @@ def q179_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         pseudo_weights(spark, n_features=_Q164_N_FEATURES),
         n_features=_Q164_N_FEATURES,
         hash_family="md5",
-    ).select("doc_id", "logit")
-    labeled = scored.join(docs, "doc_id").select(
+    )
+    labeled = scored.select(
         F.floor(F.col("logit") / _Q179_BAND).cast("long").alias("band"),
         F.coalesce(
             F.col("text").contains("spark").cast("int"), F.lit(0)

@@ -529,6 +529,13 @@ def decontaminating_ingest_sink(
     """
     from gov_data_pipeline_spark.operators.dedup import word_shingles
 
+    # Pin the benchmark set ONCE at sink construction: foreachBatch
+    # would otherwise re-execute its full derivation (benchmark scan +
+    # shingle explode) and re-broadcast it on EVERY micro-batch
+    # (review-caught — the docstring's "never re-derives" was a claim,
+    # not a property, until this line).
+    benchmark_grams = benchmark_grams.select("s").localCheckpoint()
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()  # source read once per batch

@@ -312,6 +312,38 @@ class TestBpeEncode:
         ).all()
 
 
+class TestBpeEncodeMergeExhausted:
+    def test_one_token_corpus_matches_oracle(self, spark, sf_dir, tmp_path):
+        """Review-caught regression: a corpus where round 1 leaves
+        every document a single token (round 2 finds NO pair) must
+        still emit one row per doc with before/after counts — the old
+        early return emitted an empty frame while the oracle NULLed
+        the counts. Both sides now treat an exhausted round as a
+        no-op."""
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.queries.corpus_ops import (
+            _Q185_SQL,
+            q185_bpe_encode,
+        )
+        from tests.oracle import TABLE_NAMES, compare, duckdb_con, run_oracle
+
+        base = str(tmp_path / "sf_exhausted")
+        for t in (t for t in TABLE_NAMES if t != "documents"):
+            read_table(spark, sf_dir, t).write.parquet(f"{base}/{t}.parquet")
+        spark.createDataFrame(
+            [(i, "alpha beta") for i in range(6)],
+            "doc_id long, text string",
+        ).write.parquet(f"{base}/documents.parquet")
+
+        out = q185_bpe_encode(spark, base).toPandas()
+        assert len(out) == 6
+        assert (out["n_tokens_before"] == 2).all()
+        assert (out["n_tokens_after"] == 1).all()
+        assert (out["n_merged"] == 1).all()
+        res = compare(out, run_oracle(duckdb_con(base), _Q185_SQL))
+        assert res["hash_match"], res
+
+
 class TestAnnRecall:
     def test_recall_well_formed(self, spark, sf_dir):
         """Every query reports k=5 exact neighbors, hits bounded by k,

@@ -509,6 +509,37 @@ class TestRound2OperatorPlans:
         assert "EvalPython" not in plan
         assert "Window" not in plan
 
+    def test_sketch_reports_and_mining_product_free(self, spark, sf_dir):
+        """q186/q187/q188/q189: the exact arms run through the GEMM /
+        profile machinery (Arrow kernels, bucket joins) — none of the
+        four reports may contain a CartesianProduct, and any
+        BroadcastNestedLoopJoin must be a condition-free cross build
+        (the house 1-row/tiny-dim broadcasts)."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q186_ann_recall,
+            q187_minhash_calibration,
+            q188_ivf_recall,
+            q189_margin_mining,
+        )
+
+        for fn in (
+            q186_ann_recall,
+            q187_minhash_calibration,
+            q188_ivf_recall,
+            q189_margin_mining,
+        ):
+            df = fn(spark, sf_dir)
+            df.collect()
+            plan = _plan(df)
+            assert "CartesianProduct" not in plan, fn.__name__
+            final = plan.split("== Initial Plan ==")[0]
+            n_bnlj = final.count("BroadcastNestedLoopJoin")
+            assert n_bnlj == final.count(
+                "BroadcastNestedLoopJoin BuildRight, Cross"
+            ) + final.count(
+                "BroadcastNestedLoopJoin BuildLeft, Cross"
+            ), fn.__name__
+
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no
         joins, no aggregate exchange — only the output sort shuffles."""

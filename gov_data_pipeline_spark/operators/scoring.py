@@ -52,8 +52,12 @@ def canonical_tokens_col(text: Column, token_classes: str = "ascii") -> Column:
     ``"ascii"`` strips to [A-Za-z0-9] then lowers (blind outside
     Latin); ``"unicode"`` keeps ``\\p{L}\\p{N}`` and folds ASCII case
     only (cross-engine-exact on any script — see the canonical
-    docstring). Returns a single-space-joined token string; split on
-    ' ' for the token array."""
+    docstring); ``"cjk"`` additionally splits Han/kana/Thai characters
+    into their own tokens, so the unigram+bigram feature machinery
+    yields char-1/2-grams on separator-free scripts instead of one
+    sentence-sized token (the r10 verdict's CJK gap). Returns a
+    single-space-joined token string; split on ' ' for the token
+    array."""
     from gov_data_pipeline_spark.transforms.text import canonical_text_col
 
     return canonical_text_col(text, token_classes)

@@ -280,12 +280,19 @@ def semdedup_cells(
     before the argmin with the seed id as tiebreak. The corpus count
     is ONE scalar of model state (fixes k; the oracle's cnt CTE
     mirrors it); seeds are a k-row TakeOrdered + broadcast.
+
+    NULL handling (the ``cell_cosine_pairs_gemm`` convention): rows
+    with a NULL vector are DROPPED before partitioning. Without the
+    filter a NULL (or ragged, vs the seed) vector yields NULL ``__d2``,
+    and Spark's ascending window order sorts NULLs FIRST — silently
+    assigning the row to the lowest cell id — while the oracle's
+    ``ORDER BY d2`` sorts NULLs LAST: a divergence, not a policy.
     """
     from pyspark.sql import Window as W
 
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-    )
+    ).filter(F.col(vec_col).isNotNull())
     n = vecs.count()
     k = max(k_min, n // cell_target)
     seed_order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
@@ -647,6 +654,8 @@ def ann_topk(
     exclude_self: bool = True,
     hash_family: str = "xxhash64",
     dim: int | None = None,
+    probe_flips: int | None = None,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket candidates.
 
@@ -657,16 +666,69 @@ def ann_topk(
     p = 1-θ/π. The bucket join replaces the cross join, so cost scales
     with bucket occupancy, not |corpus|×|queries|.
 
+    ``probe_flips``: MULTI-PROBE (Lv et al., VLDB 2007) — additionally
+    probe, per table, every bucket obtained by flipping any non-empty
+    subset (of size <= ``probe_radius``) of the first ``probe_flips``
+    signature bits. The DEFAULT is ``None`` = ``bits`` (full radius-1
+    ball: 1+bits buckets per table): the plain single-bucket tier
+    measured recall@5 at only 0.3-0.6 on the 64-dim fixture (q186, the
+    r10 verdict's #2 item) — a default that misses half the true
+    neighbors is the wrong default. Pass ``probe_flips=0`` for the
+    plain tier (q45/q186 pin it to keep measuring that baseline). A
+    near neighbor lost to ONE wrong side of ONE hyperplane is
+    recovered without re-hashing or more tables; per-pair recall
+    rises to 1-(1-p^bits-bits·p^(bits-1)(1-p))^tables at radius-1.
+    Cost model at 100 TB: the CORPUS side is untouched (still one
+    (t, b) row per table per vector — the big side never fans out);
+    only query-side bucket rows multiply by the probe count, so the
+    equi-join stays bucket-occupancy-bound. Measured on the sf0.1
+    embeddings fixture (q190): recall@5 0.40 -> 0.89 for 6x6 md5 at
+    5.0x the candidate pairs of the plain tier (20,799 vs 4,159 —
+    still ~6x under the 20x6,000 brute-force pair count, a margin
+    that widens with corpus size since probe cost tracks bucket
+    occupancy). ``probe_radius=2`` adds the C(probe_flips, 2) two-bit
+    flips per table (measured 0.98-1.0 recall on the same fixture at
+    ~1.8x the radius-1 candidates). Prefer probing or IVF n_probe
+    (q188: 0.87) over raising ``tables`` — more tables re-hash the
+    corpus; probing is query-side only.
+
     ``hash_family="md5"`` derives the ±1 plane components from
     ``md5(dim ',' plane)`` via a tiny broadcast sign table (one digest
     per (dim, plane), not per row) — reproducible in any md5-capable
     engine, so q45 carries a full DuckDB oracle. The xxhash64 default
     computes signs inline per row; both stay entirely JVM-side.
     """
+    if probe_flips is None:
+        probe_flips = bits
+    if not 0 <= probe_flips <= bits:
+        raise ValueError(
+            f"probe_flips must be in [0, bits]; got {probe_flips} with "
+            f"bits={bits}"
+        )
+    if probe_radius not in (1, 2):
+        raise ValueError(f"probe_radius must be 1 or 2; got {probe_radius}")
     q = _with_lsh_buckets(
         queries, query_id, query_vec, "__qid", "__qv", bits, tables, hash_family,
         norma="__qn", dim=dim,
     )
+    if probe_flips:
+        masks = [0] + [1 << i for i in range(probe_flips)]
+        if probe_radius == 2:
+            from itertools import combinations
+
+            masks += [
+                (1 << a) | (1 << b)
+                for a, b in combinations(range(probe_flips), 2)
+            ]
+        q = q.select(
+            "__qid", "__qv", "__qn", "__t",
+            F.explode(
+                F.array(*[
+                    F.col("__b").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in masks
+                ])
+            ).alias("__b"),
+        )
     c = _with_lsh_buckets(
         corpus, corpus_id, corpus_vec, "neighbor_id", "__cv", bits, tables,
         hash_family, norma="__cn", dim=dim,

@@ -48,71 +48,18 @@ _MODULES = (
 # to freshest; everything green in the LATEST driver round is demoted past
 # position 50 (falls through to module order).  Re-derive the ordering
 # from CORRECTNESS_r{N}.json every round — never trust last round's order.
-# Re-derived after r09 from all CORRECTNESS_r*.json (tripwire:
+# Re-derived after r10 from all CORRECTNESS_r*.json (tripwire:
 # tests/test_registry.py::test_priority_rotation_is_fresh). Latest
-# green rounds after r09: 12 queries at r05 (q46-era cohort), 50 at
-# r07, 50 at r08, 50 at r09. The 23 new round-10 queries (no driver
-# row) lead; then the full r05 cohort; the 50 r07 greens follow in
-# name order and straddle the
-# boundary (tie across the boundary — allowed); r08/r09 greens fall
-# through to module order.
+# green rounds after r10: 35 queries at r07, 50 at r08, 50 at r09,
+# 50 at r10. New round-11 queries (no driver row) lead; then the full
+# r07 cohort; the 50 r08 greens follow in name order and straddle the
+# sample boundary (tie across the boundary — allowed); r09/r10 greens
+# fall through to module order.
 _PRIORITY: tuple[str, ...] = (
-    # new in r10 (no driver row yet)
-    "q189_margin_mining",
-    "q188_ivf_recall",
-    "q187_minhash_calibration",
-    "q186_ann_recall",
-    "q184_mixture_materialize",
-    "q185_bpe_encode",
-    "q181_semdedup",
-    "q182_contamination_fraction",
-    "q183_dup_lines",
-    "q177_dsir_select",
-    "q178_boilerplate_lines",
-    "q179_pr_curve",
-    "q180_lm_buckets",
-    "q167_quality_linear_unicode",
-    "q168_quality_trained",
-    "q169_unicode_normalized_dedup",
-    "q170_script_profile",
-    "q171_bigram_logprob",
-    "q172_top_ngram_fraction",
-    "q173_multilingual_curation",
-    "q174_temperature_quota",
-    "q175_phrase_merges",
-    "q176_passage_removal",
-    # stalest cohort: last driver row r05
-    "q46_cosine_neardup",
-    "q47_text_stats",
-    "q48_lang_id",
-    "q49_fingerprint",
-    "q57_winnowing",
-    "q67_dedup_clusters",
-    "q68_bm25",
-    "q69_stratified_sample",
-    "q70_frequent_terms",
-    "q74_semantic_clusters",
-    "q75_corpus_pipeline",
-    "q77_fuzzy_join",
-    # r05 cohort ends; r07 greens, name-ordered, straddle the boundary
-    "q04_anti_join",
-    "q05_band_join",
-    "q07_rollup",
-    "q08_cube",
-    "q09_group_concat",
-    "q10_window_rank",
-    "q115_weighted_sample",
-    "q116_mad_outliers",
-    "q120_token_entropy",
-    "q122_k_anonymity",
-    "q128_expectations",
-    "q12_running_sum",
-    "q137_pagerank_mass",
-    "q138_semantic_decontaminate",
-    "q139_char_budget_mix",
-    # --- driver sample boundary (first 50 end here: 23 r10-new +
-    # 12 r05 + 15 r07; the 35 remaining r07 greens below are boundary
-    # ties) ---
+    # new in r11 (no driver row yet)
+    "q190_ann_multiprobe_recall",
+    "q191_cjk_normalized_dedup",
+    # stalest cohort: last driver row r07 (35 queries)
     "q140_semantic_decontaminate_lsh",
     "q141_jpeg_dims",
     "q142_source_overlap",
@@ -148,6 +95,58 @@ _PRIORITY: tuple[str, ...] = (
     "q72_upsert_latest",
     "q73_salted_join",
     "q78_grouping_sets",
+    # r08 greens, name-ordered; the driver sample boundary (50) falls
+    # 15 entries into this cohort — boundary ties are allowed
+    "q06_asof_join",
+    "q100_source_cap_sample",
+    "q101_source_quality_gate",
+    "q102_funnel",
+    "q103_retention",
+    "q104_embed_topk",
+    "q105_corpus_diff",
+    "q106_unpivot",
+    "q107_negative_sampling",
+    "q108_time_weighted_avg",
+    "q109_session_paths",
+    "q110_value_histogram",
+    "q111_grouped_percentiles",
+    "q112_correlation",
+    "q113_kmeans",
+    "q11_window_lag",
+    "q13_sessionize",
+    "q151_compact_roundtrip",
+    "q152_jsonl_roundtrip",
+    "q153_token_budget_pack",
+    "q154_decontaminate_bloom",
+    "q155_sparse_cosine_topk",
+    "q156_interval_overlap",
+    "q157_capped_sessions",
+    "q158_containment_pairs",
+    "q159_normalized_dedup",
+    "q160_asof_nearest",
+    "q161_token_bucket",
+    "q17_pivot",
+    "q27_sql_api",
+    "q29_salted_agg",
+    "q34_json",
+    "q36_map",
+    "q60_tumbling",
+    "q61_sliding",
+    "q62_session_window",
+    "q63_stream_dedup",
+    "q64_gapfill",
+    "q66_cumulative_alerts",
+    "q71_range_window",
+    "q76_stream_join",
+    "q79_ntile",
+    "q80_semantic_clusters_lsh",
+    "q81_xlsx_image_extract",
+    "q82_docx_ingest",
+    "q83_row_index_ingest",
+    "q84_frame_sample",
+    "q85_chunk_documents",
+    "q86_sequence_pack",
+    "q87_decontaminate",
 )
 
 

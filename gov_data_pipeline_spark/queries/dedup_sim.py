@@ -262,6 +262,109 @@ ORDER BY doc_id
 """
 
 
+_HAN = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+
+
+def q191_cjk_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q169's normalized dedup on a HAN-script corpus — the
+    ``token_classes="cjk"`` canonical key (unicode-class collapse +
+    per-character tokenization of Han/kana/Thai). The fixture is
+    ASCII-only, so the Han corpus is derived in-query: every 2nd
+    document is re-lettered to 26 Han codepoints with a 1:1
+    ``translate`` both engines implement identically (the q167/q169
+    synthesize pattern) and then DE-SPACED — real Han text carries no
+    word separators, which is precisely the regime the unicode-mode
+    key mishandles. Planted variants: every 10th doc (all on the
+    Han half) re-published with a space injected after every HAN
+    character (capture-replace on the script class, no lookaround —
+    digits and residual ASCII keep their word boundaries) plus
+    trailing CJK punctuation ``。！`` — the CJK analogue of q159's
+    SHOUTING+punctuation Latin variants, since separator-free scripts
+    vary in incidental intra-sentence spacing, not case.
+
+    What this pins (the r10 verdict's CJK gap): under the "unicode"
+    key a Han document is ONE token per sentence, so the spacing
+    variant gets a DIFFERENT key (word boundaries differ) and the
+    dedup walks past a true duplicate; under the "cjk" key both
+    canonicalize to the same per-character form and the variant
+    dedups against its original and nothing else. Same L5 scale shape
+    as q159/q169 — one window over a 16-byte md5 key, no pairs, no
+    text shuffle beyond the key."""
+    from gov_data_pipeline_spark.transforms import canonical_text_col
+
+    _LO = "abcdefghijklmnopqrstuvwxyz"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.regexp_replace(
+                F.translate(F.col("text"), _LO, _HAN), r"\s+", ""
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.col("text"), r"([\p{IsHan}])", "$1 "),
+            F.lit("。！"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    keyed = corpus.select(
+        "doc_id",
+        F.md5(
+            canonical_text_col(F.col("text"), token_classes="cjk")
+        ).alias("__k"),
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("__k")
+    return (
+        keyed.withColumn("group_size", F.count(F.lit(1)).over(wk))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(wk))
+        .select("doc_id", "group_size", "keep")
+        .orderBy("doc_id")
+    )
+
+
+_Q191_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN regexp_replace(
+                     translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                               '{_HAN}'),
+                     '\s+', '', 'g')
+              ELSE text END AS text
+  FROM documents),
+u AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         regexp_replace(text, '([\p{{Han}}])', '\1 ', 'g') || '。！' AS text
+  FROM base WHERE doc_id % 10 = 0),
+keyed AS (
+  SELECT doc_id,
+         md5(translate(
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[^\p{{L}}\p{{N}}]+', ' ', 'g'),
+               '([\p{{Han}}\p{{Hiragana}}\p{{Katakana}}\p{{Thai}}])',
+               '\1 ', 'g'),
+             ' +', ' ', 'g')),
+           'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+           'abcdefghijklmnopqrstuvwxyz')) AS k
+  FROM u)
+SELECT doc_id,
+       count(*) OVER (PARTITION BY k) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY k) AS keep
+FROM keyed
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # L6 (exact path) — n-gram Jaccard near-dup pairs via shingle inverted
 # index. Full oracle: DuckDB builds identical shingles and joins them.
@@ -461,9 +564,36 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
-# q42's persisted minhash profile from the previous invocation (≤1
-# entry; see the eviction note inside the function)
-_Q42_LIVE_PROFILES: list[DataFrame] = []
+# Persisted intermediates from the previous invocation, one live entry
+# per query key (q42's minhash profile, q187's profile, q181's cell
+# assignment). A long-lived session invoking these queries repeatedly
+# (the driver does) must not accumulate storage blocks per call — the
+# localCheckpoint form relied on Python GC + ContextCleaner to free
+# executor-storage blocks (ADVICE r10), which can transiently
+# accumulate; persist + explicit unpersist-on-next-invocation bounds
+# live entries to 1 per key deterministically.
+# SINGLE-THREADED-DRIVER ASSUMPTION (ADVICE r06): unsynchronized by
+# design — the driver, bench.py, and the test suite invoke queries
+# sequentially. Two CONCURRENT invocations of the same query stay
+# correct (unpersist only drops cached blocks; the plan recomputes)
+# but could evict each other's pin and lose the caching win.
+_LIVE_PINS: dict[str, DataFrame] = {}
+
+
+def _pin_one_live(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK — spills rather than OOMs when
+    the pinned relation outgrows executor storage) and evict the
+    PREVIOUS invocation's pin for ``key``. Lazy: no eager
+    materialization (costs ~0.6 s on the sf0.1 bench); the first
+    consumer populates the cache, later consumers hit it."""
+    from pyspark import StorageLevel
+
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    prev = _LIVE_PINS.pop(key, None)
+    if prev is not None:
+        prev.unpersist()
+    _LIVE_PINS[key] = pinned
+    return pinned
 
 
 def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,28 +618,12 @@ def q42_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse cannot dedupe them and the scan+md5+aggregate pipeline runs
     # once per consumer (24 parquet scans observed). Persisting the
     # profile — one compact row per doc: 32-long signature + hash set —
-    # computes it once; MEMORY_AND_DISK spills rather than OOMs when
-    # the corpus outgrows executor storage.
-    from pyspark import StorageLevel
-
-    prof = minhash_doc_profile(
-        ex, "doc_id", num_hashes=32, hash_family="md5"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # A long-lived session invoking this query repeatedly (the driver
-    # does) must not accumulate one CacheManager entry per call: evict
-    # the previous invocation's profile before persisting this one
-    # (bounds live cache entries to 1 without forcing eager
-    # materialization, which costs ~0.6 s on the sf0.1 bench).
-    # SINGLE-THREADED-DRIVER ASSUMPTION (ADVICE r06): this module-global
-    # is unsynchronized by design — the driver, bench.py, and the test
-    # suite all invoke queries sequentially. Two CONCURRENT q42 calls
-    # would stay correct (unpersist only drops cached blocks; the plan
-    # recomputes) but could evict each other's profile mid-query and
-    # lose the ~0.6 s caching win. Callers running queries from multiple
-    # threads should clone the function with a per-invocation profile.
-    while _Q42_LIVE_PROFILES:
-        _Q42_LIVE_PROFILES.pop().unpersist()
-    _Q42_LIVE_PROFILES.append(prof)
+    # computes it once, with the one-live-entry eviction so repeated
+    # invocations never accumulate cache entries (see _pin_one_live).
+    prof = _pin_one_live(
+        "q42_profile",
+        minhash_doc_profile(ex, "doc_id", num_hashes=32, hash_family="md5"),
+    )
     cands = lsh_candidate_pairs(prof, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32)
     verified = verify_candidates_hashset(cands, prof, "doc_id", threshold=0.5)
     return verified.orderBy("a_id", "b_id")
@@ -696,12 +810,15 @@ ORDER BY vec_id, rk
 def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN with the md5 plane family (6 tables x 6 bits):
     every plane sign, bucket id, candidate set, and rerank score is
-    reproduced by the DuckDB oracle below — full value-hash check."""
+    reproduced by the DuckDB oracle below — full value-hash check.
+    ``probe_flips=0`` pins the PLAIN single-bucket tier: this query is
+    the baseline q190 measures the multi-probe default against (the
+    operator's default is now probe_flips=bits)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return ann_topk(
         queries, emb, "vec_id", "vec_id", "embedding", "embedding",
-        k=5, bits=6, tables=6, hash_family="md5",
+        k=5, bits=6, tables=6, hash_family="md5", probe_flips=0,
     ).orderBy("vec_id", "rk")
 
 
@@ -2485,12 +2602,16 @@ def q172_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs inside codegen; same family of finding as the q164
     ``\\p{Alnum}`` fix). The n tag is recovered from the gram itself
     (word count) — no struct building. Then one (doc, n, gram) count
-    aggregate, a top-1 window per (doc, n) with a deterministic
-    tiebreak (count desc, gram desc — both engines), and the per-doc
-    char length carried through. Docs with fewer than n words produce
-    no row for that n."""
-    from pyspark.sql import Window as W
-
+    aggregate and a ``max(struct(cnt, g))`` per-(doc, n) aggregate —
+    NOT a row_number window: the struct max has the same deterministic
+    tiebreak (count desc, then gram desc — struct comparison is
+    field-lexicographic in both engines), but it partial-aggregates
+    map-side, so the second exchange carries one candidate row per
+    (doc, n) per map partition and never sorts (the window form
+    shuffled + sorted every gram-count row; this reshape took the
+    sf0.1→sf1.0 curve from 3.0x/10x — the steepest in SCALE.md — down
+    with the oracle hash unchanged). Docs with fewer than n words
+    produce no row for that n."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
 
@@ -2511,21 +2632,19 @@ def q172_top_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = grams.groupBy("doc_id", "__len", "n", "g").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    win = W.partitionBy("doc_id", "n").orderBy(
-        F.col("cnt").desc(), F.col("g").desc()
+    top = counts.groupBy("doc_id", "__len", "n").agg(
+        F.max(F.struct(F.col("cnt"), F.col("g"))).alias("__top")
     )
     return (
-        counts.withColumn("__rk", F.row_number().over(win))
-        .filter(F.col("__rk") == 1)
-        .select(
+        top.select(
             "doc_id",
             "n",
-            F.col("g").alias("top_gram"),
-            F.col("cnt").alias("top_count"),
+            F.col("__top.g").alias("top_gram"),
+            F.col("__top.cnt").alias("top_count"),
             F.round(
                 F.least(
                     F.lit(1.0),
-                    F.col("cnt") * F.length("g") / F.col("__len"),
+                    F.col("__top.cnt") * F.length("__top.g") / F.col("__len"),
                 ),
                 4,
             ).alias("char_fraction"),
@@ -3065,10 +3184,15 @@ def q181_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the seed broadcast, distance projection and per-vector
     # argmin window from the scan — the q42/q163 persist-across-
     # consumers convention (measured here: 25 s -> ~8 s at sf0.1).
-    cells = semdedup_cells(
-        corpus, "vec_id", "embedding",
-        cell_target=_Q181_CELL, k_min=_Q181_K_MIN,
-    ).localCheckpoint()
+    # _pin_one_live (not localCheckpoint): explicit eviction of the
+    # previous invocation's blocks instead of GC-driven cleanup.
+    cells = _pin_one_live(
+        "q181_cells",
+        semdedup_cells(
+            corpus, "vec_id", "embedding",
+            cell_target=_Q181_CELL, k_min=_Q181_K_MIN,
+        ),
+    )
 
     pairs = cell_cosine_pairs_gemm(
         cells, "vec_id", "cell", "embedding", threshold=0.99
@@ -3324,7 +3448,7 @@ def q186_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "neighbor_id")
     ann = ann_topk(
         queries, emb, "vec_id", "vec_id", "embedding", "embedding",
-        k=5, bits=6, tables=6, hash_family="md5",
+        k=5, bits=6, tables=6, hash_family="md5", probe_flips=0,
     ).select(
         F.col("vec_id").alias("__avid"), F.col("neighbor_id").alias("__anid")
     )
@@ -3414,6 +3538,251 @@ ORDER BY e.vec_id
 
 
 # ---------------------------------------------------------------------------
+# q190 — MULTI-PROBE ANN recall/cost report: q186 measured the plain
+# hyperplane-LSH tier at recall@5 ≈ 0.3-0.6 (r10 verdict item #2) — a
+# user reaching for ann_topk got a tier that misses half the true
+# neighbors. The fix is multi-probe (Lv et al., VLDB 2007): per table,
+# also probe every bucket at Hamming distance 1 (probe_flips=bits), so
+# a neighbor lost to one wrong side of one hyperplane is recovered
+# WITHOUT re-hashing the corpus — the corpus side keeps one (t, b) row
+# per table per vector; only the 20-query side fans out ×7. This query
+# is the permanent instrument for that claim: per query, candidate
+# count and recall@5 for BOTH tiers side by side, so the recall gain
+# (measured 0.40 → 0.89 at sf0.1) and its candidate-cost multiplier
+# (5.0× — 20,799 vs 4,159 pairs, still ~6× under the 20×6,000
+# brute-force pair count at this fixture, a margin that widens with
+# corpus size) stay measured on every corpus rather than asserted once.
+#
+# Determinism: identical md5 sign-table bucket arithmetic to q186's
+# oracle; a radius-1 probe pair is `xor(q.b, c.b) IN (0,1,2,4,8,16,32)`
+# in both engines; ranking on ROUNDED cosine with neighbor-id
+# tiebreaks. Shape at scale: bucket equi-join candidates (query side
+# ×(1+bits), corpus side unchanged), id-only candidate aggregate, then
+# one vector lookup join per side — vectors never ride the candidate
+# dedup shuffle.
+# ---------------------------------------------------------------------------
+
+
+def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from gov_data_pipeline_spark.operators.similarity import (
+        _norm,
+        _pair_cosine,
+        _with_lsh_buckets,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+    ).select("vec_id", F.col("neighbor_id").alias("__enid"))
+
+    bits, tables = 6, 6
+    qb = _with_lsh_buckets(
+        queries, "vec_id", "embedding", "__qid", "__qv", bits, tables, "md5"
+    ).select("__qid", "__t", "__b")
+    cb = _with_lsh_buckets(
+        emb, "vec_id", "embedding", "__cid", "__cv", bits, tables, "md5"
+    ).select("__cid", "__t", "__b")
+    masks = [0] + [1 << i for i in range(bits)]
+    probes = qb.select(
+        "__qid",
+        "__t",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.col("__b").bitwiseXOR(F.lit(m).cast("long")).alias("b"),
+                    F.lit(int(m == 0)).alias("plain"),
+                )
+                for m in masks
+            ])
+        ).alias("__p"),
+    ).select(
+        "__qid", "__t",
+        F.col("__p.b").alias("__b"), F.col("__p.plain").alias("__plain"),
+    )
+    # id-only candidate aggregate: the (qid, cid) dedup shuffle carries
+    # two longs + a flag, never vectors
+    pairs = (
+        cb.join(probes, ["__t", "__b"])
+        .filter(F.col("__qid") != F.col("__cid"))
+        .groupBy("__qid", "__cid")
+        .agg(F.max("__plain").alias("__plain"))
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("__qid"),
+        F.col("embedding").alias("__qv"),
+        _norm(F.col("embedding")).alias("__qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("__cid"),
+        F.col("embedding").alias("__cv"),
+        _norm(F.col("embedding")).alias("__cn"),
+    )
+    scored = (
+        pairs.join(F.broadcast(qv), "__qid")
+        .join(cv, "__cid")
+        .select(
+            "__qid", "__cid", "__plain",
+            F.round(
+                _pair_cosine(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ).alias("__sim"),
+        )
+        .filter(F.col("__sim").isNotNull())
+    )
+    wp = W.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    probe_top = (
+        scored.withColumn("__rk", F.row_number().over(wp))
+        .filter(F.col("__rk") <= 5)
+        .select("__qid", "__cid")
+    )
+    plain_top = (
+        scored.filter(F.col("__plain") == 1)
+        .withColumn("__rk", F.row_number().over(wp))
+        .filter(F.col("__rk") <= 5)
+        .select(F.col("__qid").alias("__pqid"), F.col("__cid").alias("__pcid"))
+    )
+    cand_counts = pairs.groupBy("__qid").agg(
+        F.count(F.lit(1)).alias("n_cand_probe"),
+        F.sum("__plain").cast("bigint").alias("n_cand_plain"),
+    )
+    hits = (
+        exact.join(
+            probe_top,
+            (exact.vec_id == F.col("__qid"))
+            & (F.col("__enid") == F.col("__cid")),
+            "left",
+        )
+        .join(
+            plain_top,
+            (exact.vec_id == F.col("__pqid"))
+            & (F.col("__enid") == F.col("__pcid")),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("__pcid").alias("n_hit_plain"),
+            F.count("__cid").alias("n_hit_probe"),
+        )
+    )
+    return (
+        hits.join(
+            cand_counts, hits.vec_id == cand_counts.__qid
+        )
+        .select(
+            "vec_id",
+            "k",
+            "n_cand_plain",
+            "n_cand_probe",
+            "n_hit_plain",
+            "n_hit_probe",
+            F.round(
+                F.col("n_hit_plain").cast("double") / F.col("k"), 4
+            ).alias("recall_plain"),
+            F.round(
+                F.col("n_hit_probe").cast("double") / F.col("k"), 4
+            ).alias("recall_probe"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q190_SQL = """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dims AS (SELECT DISTINCT d FROM ex),
+planes AS (
+  SELECT dims.d, p.p AS p,
+         CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
+                                   1, 1))::INT & 1 = 1
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM dims CROSS JOIN range(36) p(p)),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  FROM ex e JOIN planes pl ON pl.d = e.d
+  GROUP BY e.vec_id, pl.p),
+buckets AS (
+  SELECT vec_id, (p // 6)::INT AS t,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 6)) ELSE 0 END)::BIGINT
+           AS b
+  FROM dots GROUP BY vec_id, (p // 6)::INT),
+cand AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         max(CASE WHEN q.b = c.b THEN 1 ELSE 0 END) AS is_plain
+  FROM buckets q
+  JOIN buckets c ON q.t = c.t AND xor(q.b, c.b) IN (0, 1, 2, 4, 8, 16, 32)
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+  GROUP BY q.vec_id, c.vec_id),
+scored AS (
+  SELECT cand.qid, cand.cid, cand.is_plain,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])), 4)
+           AS sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+  JOIN embeddings ce ON ce.vec_id = cand.cid),
+probe_top AS (
+  SELECT qid, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, cid) AS rk
+    FROM scored) WHERE rk <= 5),
+plain_top AS (
+  SELECT qid, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, cid) AS rk
+    FROM scored WHERE is_plain = 1) WHERE rk <= 5),
+exact_scored AS (
+  SELECT q.vec_id,
+         c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20),
+exact_top AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rk
+    FROM exact_scored) WHERE rk <= 5),
+counts AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_cand_probe,
+         CAST(sum(is_plain) AS BIGINT) AS n_cand_plain
+  FROM cand GROUP BY qid),
+hits AS (
+  SELECT e.vec_id,
+         count(*) AS k,
+         count(pl.cid) AS n_hit_plain,
+         count(p.cid) AS n_hit_probe
+  FROM exact_top e
+  LEFT JOIN probe_top p ON p.qid = e.vec_id AND p.cid = e.neighbor_id
+  LEFT JOIN plain_top pl ON pl.qid = e.vec_id AND pl.cid = e.neighbor_id
+  GROUP BY e.vec_id)
+SELECT h.vec_id,
+       CAST(h.k AS BIGINT) AS k,
+       c.n_cand_plain,
+       c.n_cand_probe,
+       CAST(h.n_hit_plain AS BIGINT) AS n_hit_plain,
+       CAST(h.n_hit_probe AS BIGINT) AS n_hit_probe,
+       round(CAST(h.n_hit_plain AS DOUBLE) / h.k, 4) AS recall_plain,
+       round(CAST(h.n_hit_probe AS DOUBLE) / h.k, 4) AS recall_probe
+FROM hits h
+JOIN counts c ON c.qid = h.vec_id
+ORDER BY h.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q187 — MinHash CALIBRATION report: q186's companion for the Jaccard
 # sketch tier. For every banded-LSH candidate pair (q42's generator,
 # md5 family), report the signature-agreement ESTIMATE (mean of 32
@@ -3453,9 +3822,10 @@ def q187_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = shingle_rows(
         corpus, "doc_id", F.col("text"), 3, widen=False, distinct=False
     )
-    prof = minhash_doc_profile(
-        ex, "doc_id", num_hashes=32, hash_family="md5"
-    ).localCheckpoint()
+    prof = _pin_one_live(
+        "q187_profile",
+        minhash_doc_profile(ex, "doc_id", num_hashes=32, hash_family="md5"),
+    )
     cands = lsh_candidate_pairs(
         prof, "doc_id", "sig", bands=8, rows_per_band=4, sig_len=32
     )
@@ -3810,6 +4180,7 @@ QUERIES = {
     "q40_exact_dedup": q40_exact_dedup,
     "q159_normalized_dedup": q159_normalized_dedup,
     "q169_unicode_normalized_dedup": q169_unicode_normalized_dedup,
+    "q191_cjk_normalized_dedup": q191_cjk_normalized_dedup,
     "q170_script_profile": q170_script_profile,
     "q172_top_ngram_fraction": q172_top_ngram_fraction,
     "q176_passage_removal": q176_passage_removal,
@@ -3821,6 +4192,7 @@ QUERIES = {
     "q182_contamination_fraction": q182_contamination_fraction,
     "q183_dup_lines": q183_dup_lines,
     "q186_ann_recall": q186_ann_recall,
+    "q190_ann_multiprobe_recall": q190_ann_multiprobe_recall,
     "q187_minhash_calibration": q187_minhash_calibration,
     "q188_ivf_recall": q188_ivf_recall,
     "q189_margin_mining": q189_margin_mining,
@@ -3872,6 +4244,7 @@ ORACLE = {
     "q182_contamination_fraction": _Q182_SQL,
     "q183_dup_lines": _Q183_SQL,
     "q186_ann_recall": _Q186_SQL,
+    "q190_ann_multiprobe_recall": _Q190_SQL,
     "q187_minhash_calibration": _Q187_SQL,
     "q188_ivf_recall": _Q188_SQL,
     "q189_margin_mining": _Q189_SQL,
@@ -3894,6 +4267,7 @@ ORACLE = {
     "q40_exact_dedup": _Q40_SQL,
     "q159_normalized_dedup": _Q159_SQL,
     "q169_unicode_normalized_dedup": _Q169_SQL,
+    "q191_cjk_normalized_dedup": _Q191_SQL,
     "q170_script_profile": _Q170_SQL,
     "q172_top_ngram_fraction": _Q172_SQL,
     "q176_passage_removal": _Q176_SQL,

@@ -502,6 +502,7 @@ def decontaminating_ingest_sink(
     benchmark_grams: DataFrame,
     n: int = 13,
     quarantine_path: str | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataStreamWriter:
     """Benchmark decontamination AT INGEST: every micro-batch's
     documents are gated on n-gram membership against the evaluation
@@ -526,15 +527,42 @@ def decontaminating_ingest_sink(
 
     Retry idempotence: a replayed batch's ids anti-join against both
     output directories before the gate — the scored-sink mechanism.
+
+    ``reliable_checkpoint``: the pinned benchmark set defaults to
+    ``localCheckpoint`` (executor-local storage — zero extra config,
+    right for local mode and tests). On a long-lived cluster stream
+    that pin is the sink's one piece of irreplaceable distributed
+    state: lose an executor and its blocks are gone, and EVERY
+    subsequent micro-batch fails until the sink is rebuilt. Pass
+    ``reliable_checkpoint=True`` (plus ``spark.sparkContext
+    .setCheckpointDir``) to write the grams to reliable storage
+    instead — the ``connected_components`` convention.
     """
     from gov_data_pipeline_spark.operators.dedup import word_shingles
+
+    # Reserved-column guard (the sampling.py _guard_sample_rank
+    # pattern): the gate joins an internal 'n_hit_grams' count onto the
+    # user's frame and routes rows on its NULLness — a stream whose
+    # schema already carries that name would silently mis-route every
+    # row. Fail at construction, not per batch.
+    clash = {c for c in stream_df.columns if c.lower() == "n_hit_grams"}
+    if clash:
+        raise ValueError(
+            "decontaminating_ingest_sink: input stream already has "
+            f"column(s) {sorted(clash)}; rename them first — "
+            "'n_hit_grams' is the sink's internal hit-count column"
+        )
 
     # Pin the benchmark set ONCE at sink construction: foreachBatch
     # would otherwise re-execute its full derivation (benchmark scan +
     # shingle explode) and re-broadcast it on EVERY micro-batch
     # (review-caught — the docstring's "never re-derives" was a claim,
     # not a property, until this line).
-    benchmark_grams = benchmark_grams.select("s").localCheckpoint()
+    benchmark_grams = (
+        benchmark_grams.select("s").checkpoint()
+        if reliable_checkpoint
+        else benchmark_grams.select("s").localCheckpoint()
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -192,12 +192,43 @@ def canonical_text_col(col: Column, token_classes: str = "ascii") -> Column:
       the documented, cross-engine-exact multilingual contract. For
       full Unicode case/compat folding, dedup on the NFKC-cleaned
       text (``clean_text_col``) and accept its documented DuckDB
-      oracle boundary.
+      oracle boundary. BLIND spot: scripts with no separator
+      characters (Han, kana, Thai) keep whole sentences as ONE token,
+      so the key degenerates toward byte identity and a downstream
+      word tokenizer sees ~1 feature per sentence — the ``"cjk"``
+      mode exists for those.
+    - ``"cjk"``: the unicode mode's strip + ASCII-only fold, plus
+      every Han / Hiragana / Katakana / Thai character becomes its
+      own space-delimited token (capture-replace ``(ch)`` → ``ch ``
+      then whitespace re-collapse — NO lookaround, which RE2/DuckDB
+      lacks). Two consequences: (a) the canonical key is robust to
+      intra-sentence spacing variants of CJK text (``北京大学`` and
+      ``北京 大学`` share a key — the CJK analogue of the Latin
+      punctuation variants), and (b) a word tokenizer downstream sees
+      characters as words, so the standard unigram+bigram feature
+      machinery becomes char-1/2-grams — the standard CJK feature
+      set. Latin/Cyrillic runs inside mixed text keep whole-word
+      tokens. The Spark side names scripts Java-style
+      (``\\p{IsHan}``); oracles use the RE2 spelling (``\\p{Han}``) —
+      the same documented regex-dialect boundary as \\p{Alnum}.
     """
     if token_classes == "unicode":
         stripped = F.trim(F.regexp_replace(col, r"[^\p{L}\p{N}]+", " "))
         return F.translate(
             stripped,
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            "abcdefghijklmnopqrstuvwxyz",
+        )
+    if token_classes == "cjk":
+        stripped = F.regexp_replace(col, r"[^\p{L}\p{N}]+", " ")
+        char_split = F.regexp_replace(
+            stripped,
+            r"([\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsThai}])",
+            "$1 ",
+        )
+        collapsed = F.trim(F.regexp_replace(char_split, r" +", " "))
+        return F.translate(
+            collapsed,
             "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
             "abcdefghijklmnopqrstuvwxyz",
         )

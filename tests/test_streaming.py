@@ -1434,6 +1434,30 @@ def test_scored_ingest_sink_filters_and_quarantines(spark, tmp_path):
     } == set(quar)
 
 
+def test_decontaminating_sink_rejects_reserved_column(spark, tmp_path):
+    """A stream whose schema already carries 'n_hit_grams' (any case)
+    would silently mis-route rows at the isNull gate — the sink must
+    refuse at construction (the sampling.py _guard_sample_rank
+    pattern), not per batch."""
+    import pytest as _pytest
+
+    from gov_data_pipeline_spark.streaming import decontaminating_ingest_sink
+
+    bench = spark.createDataFrame([("a b c",)], "s string")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "x", 0)], "doc_id long, text string, N_HIT_GRAMS long"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, N_HIT_GRAMS long"
+    ).parquet(src)
+    with _pytest.raises(ValueError, match="n_hit_grams"):
+        decontaminating_ingest_sink(
+            stream, str(tmp_path / "c"), "text", "doc_id",
+            str(tmp_path / "k"), bench,
+        )
+
+
 def test_decontaminating_ingest_sink_gates_and_quarantines(spark, tmp_path):
     """Benchmark decontamination at ingest: a doc embedding an eval-set
     13-gram is quarantined WITH its matched-gram count, clean docs

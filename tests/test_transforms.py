@@ -599,3 +599,48 @@ def test_canonical_text_unicode_mode(spark):
 
     with _pytest.raises(ValueError, match="token_classes"):
         canonical_text_col(F.col("t"), token_classes="latin9")
+
+
+def test_canonical_text_cjk_mode(spark):
+    """canonical_text_col(token_classes="cjk"): Han/kana/Thai
+    characters become their own space-delimited tokens, so spacing
+    variants of separator-free text share a key (the r10 verdict's
+    CJK gap — under "unicode" a Han sentence is ONE token and the
+    spaced variant gets a different key), while Latin/Cyrillic words
+    keep word tokens and the downstream unigram+bigram machinery
+    yields char-1/2-grams on the CJK runs."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.transforms import canonical_text_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "北京大学Hello, WORLD 42"),
+            (2, "北京 大学 hello world 42!!"),
+            (3, "ひらがなカタカナไทย"),
+            (4, "ひ らがな カタ カナ ไท ย"),
+            (5, "Привет мир"),
+        ],
+        "id int, t string",
+    )
+    cjk = {
+        r.id: r.k
+        for r in df.select(
+            "id",
+            canonical_text_col(F.col("t"), token_classes="cjk").alias("k"),
+        ).collect()
+    }
+    uni = {
+        r.id: r.k
+        for r in df.select(
+            "id",
+            canonical_text_col(F.col("t"), token_classes="unicode").alias("k"),
+        ).collect()
+    }
+    # spacing variants share the cjk key but NOT the unicode key
+    assert cjk[1] == cjk[2] == "北 京 大 学 hello world 42"
+    assert uni[1] != uni[2]
+    assert cjk[3] == cjk[4] == "ひ ら が な カ タ カ ナ ไ ท ย"
+    assert uni[3] != uni[4]
+    # non-CJK scripts keep word tokens (and non-ASCII case unfolded)
+    assert cjk[5] == "Привет мир"

@@ -66,6 +66,104 @@ def _count_one(text: str | None) -> int:
 _UDF_CACHE: list = []
 
 
+# ---------------------------------------------------------------------------
+# REAL-TOKENIZER ADAPTER (r10 verdict item #6). The mock above stays
+# the t2 default (oracle-exact, zero external state); this half loads
+# an ACTUAL BPE vocabulary in the tiktoken mergeable-ranks file format
+# (`base64(token_bytes) rank` per line — the public format of
+# cl100k_base.tiktoken et al.) and counts tokens with the real
+# byte-pair-merge algorithm: per word, start from single bytes and
+# repeatedly merge the adjacent pair whose CONCATENATION has the
+# lowest rank in the table (ties: leftmost), until no adjacent
+# concatenation is in the vocabulary. That is tiktoken's
+# byte_pair_merge loop (public algorithm; openai/tiktoken README) —
+# so token budgets driven by q153-style packing can use the counts a
+# real training run would see instead of the mock's ceil(len/4).
+#
+# Pre-tokenization stays this module's word splitter ([^ \t\n\f\r]+):
+# the exotic cl100k split regex needs the `regex` module (possessive
+# quantifiers) which this runtime doesn't ship, and keeping the
+# splitter shared with the mock is what makes the mock-vs-real BUDGET
+# DRIFT measurable as a pure vocabulary effect (q193 reports it).
+# ---------------------------------------------------------------------------
+
+
+def load_mergeable_ranks(path: str) -> dict[bytes, int]:
+    """Parse a tiktoken-format mergeable-ranks file: one
+    ``base64(token_bytes) <space> rank`` pair per line, blank lines
+    ignored. Returns {token_bytes: rank}."""
+    import base64
+
+    ranks: dict[bytes, int] = {}
+    with open(path, "rb") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            tok_b64, rank = line.split()
+            ranks[base64.b64decode(tok_b64)] = int(rank)
+    return ranks
+
+
+def dump_mergeable_ranks(ranks: dict[bytes, int], path: str) -> None:
+    """Write ``ranks`` in the tiktoken file format (the inverse of
+    ``load_mergeable_ranks``) — rank-ordered for a stable file."""
+    import base64
+
+    with open(path, "wb") as f:
+        for tok, rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+            f.write(base64.b64encode(tok) + b" " + str(rank).encode() + b"\n")
+
+
+def bpe_token_count(col: Column, ranks: dict[bytes, int]) -> Column:
+    """Token count of ``col`` under a REAL mergeable-ranks BPE
+    vocabulary (tiktoken semantics — see the adapter note above), one
+    Arrow-batched crossing, NULL counts 0 like the mock.
+
+    ``ranks`` ships inside the UDF closure (cloudpickled by value, so
+    executors never import this package): a full 100k-token vocabulary
+    is a few MB, deserialized once per long-lived Python worker — the
+    same cost model as a broadcast without the extra moving part. The
+    single-byte base tokens need not be present in ``ranks``; a word
+    none of whose adjacent concatenations appear costs len(bytes)
+    tokens (everything stays unmerged)."""
+    import pandas
+
+    globals()["pd"] = pandas
+
+    def count_one(text):
+        if text is None:
+            return 0
+        import re as _re
+
+        n = 0
+        for w in _re.findall(r"[^ \t\n\f\r]+", text):
+            wb = w.encode("utf-8")
+            parts = [wb[i:i + 1] for i in range(len(wb))]
+            while len(parts) >= 2:
+                best_rank = None
+                best_i = -1
+                for i in range(len(parts) - 1):
+                    r = ranks.get(parts[i] + parts[i + 1])
+                    if r is not None and (
+                        best_rank is None or r < best_rank
+                    ):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                parts[best_i:best_i + 2] = [
+                    parts[best_i] + parts[best_i + 1]
+                ]
+            n += len(parts)
+        return n
+
+    @F.pandas_udf(T.LongType())
+    def _bpe_count(s: "pd.Series") -> "pd.Series":
+        return s.map(count_one).astype("int64")
+
+    return _bpe_count(col)
+
+
 def mock_bpe_token_count(col: Column) -> Column:
     """Token count of ``col`` under the deterministic mock-BPE scheme
     (one Arrow-batched crossing; see module docstring for the scheme

@@ -59,6 +59,8 @@ _PRIORITY: tuple[str, ...] = (
     # new in r11 (no driver row yet)
     "q190_ann_multiprobe_recall",
     "q191_cjk_normalized_dedup",
+    "q192_quality_linear_cjk",
+    "q193_bpe_ranks_count",
     # stalest cohort: last driver row r07 (35 queries)
     "q140_semantic_decontaminate_lsh",
     "q141_jpeg_dims",

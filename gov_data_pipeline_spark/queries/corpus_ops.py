@@ -1713,6 +1713,125 @@ ORDER BY t0.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q193 — REAL-TOKENIZER budget counts (the r10 verdict's item #6): per
+# document, the token count under an actual mergeable-ranks BPE
+# vocabulary (tiktoken semantics: per word, repeatedly merge the
+# adjacent pair whose concatenation has the lowest rank — ties
+# leftmost — until none is in the vocab), side by side with the mock
+# tokenizer's count and their drift. The vocabulary is a fixed 30-entry
+# English-digram/trigram table both engines construct from the same
+# literal list (rank = list position), exercising MULTI-LEVEL merges
+# ('t h'→'th', 'th e'→'the'): real budgets come from real merge
+# cascades, and the drift column is the measured gap q153-style
+# packing would inherit by budgeting on the mock.
+#
+# Oracle exactness: DuckDB replays the SAME algorithm with a recursive
+# CTE — each step merges exactly ONE pair (the min-rank, leftmost) per
+# word, so a word's states form a chain and its final token count is
+# min(len(toks)) over the chain. Rank lookup is a map() built from the
+# same VALUES list. Fixture text is ASCII, so Python's byte-level
+# merge and SQL's char-level merge agree codepoint for codepoint (the
+# documented boundary; a multibyte corpus would need a byte-table on
+# the SQL side).
+#
+# Shape at scale: one Arrow-batched crossing for the real count (the
+# vocabulary rides the UDF closure — a few MB for a 100k-token vocab,
+# deserialized once per long-lived worker), one codegen'd projection
+# for the mock; no exchange at all until the output sort. The
+# file-format adapter (load_mergeable_ranks / tiktoken format) is
+# unit-tested against this same counting kernel.
+# ---------------------------------------------------------------------------
+
+_Q193_VOCAB: tuple[str, ...] = (
+    "th", "he", "the", "in", "ng", "ing", "an", "nd", "and", "er",
+    "ed", "es", "en", "re", "on", "at", "or", "ti", "te", "is",
+    "it", "al", "ar", "st", "to", "nt", "of", "ou", "le", "ly",
+)
+
+
+def q193_bpe_ranks_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.tokenizer import (
+        bpe_token_count,
+        mock_bpe_token_count,
+    )
+
+    ranks = {t.encode(): i for i, t in enumerate(_Q193_VOCAB)}
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select(
+            "doc_id",
+            bpe_token_count(F.col("text"), ranks).alias("n_tokens_bpe"),
+            mock_bpe_token_count(F.col("text")).alias("n_tokens_mock"),
+        )
+        .withColumn(
+            "drift", F.col("n_tokens_bpe") - F.col("n_tokens_mock")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q193_RANKS_SQL = ", ".join(
+    f"('{t}', {i})" for i, t in enumerate(_Q193_VOCAB)
+)
+
+from gov_data_pipeline_spark.functions.tokenizer import (  # noqa: E402
+    MOCK_BPE_SQL as _MOCK_BPE_SQL,
+)
+
+_Q193_MOCK = _MOCK_BPE_SQL.format(col="d.text")
+
+_Q193_SQL = rf"""
+WITH RECURSIVE
+ranks(tok, rank) AS (VALUES {_Q193_RANKS_SQL}),
+rmap AS (SELECT map(list(tok), list(rank)) AS m FROM ranks),
+words AS (
+  SELECT doc_id,
+         generate_subscripts(ws, 1) AS w_idx,
+         unnest(ws) AS w
+  FROM (SELECT doc_id,
+               regexp_extract_all(text, '[^ \t\n\f\r]+') AS ws
+        FROM documents)),
+bpe AS (
+  SELECT doc_id, w_idx,
+         list_transform(range(1, length(w)::BIGINT + 1),
+                        i -> substr(w, i::INT, 1)) AS toks
+  FROM words
+  UNION ALL
+  SELECT doc_id, w_idx,
+         list_concat(
+           list_concat(toks[1:bi - 1],
+                       [toks[bi] || toks[bi + 1]]),
+           toks[bi + 2:]) AS toks
+  FROM (
+    SELECT doc_id, w_idx, toks,
+           list_position(prl, list_min(prl)) AS bi,
+           list_min(prl) AS mr
+    FROM (
+      SELECT b.doc_id, b.w_idx, b.toks,
+             list_transform(
+               range(1, len(b.toks)),
+               i -> coalesce(map_extract(r.m, b.toks[i] || b.toks[i + 1])[1],
+                             2147483647)) AS prl
+      FROM bpe b, rmap r
+      WHERE len(b.toks) >= 2))
+  WHERE mr < 2147483647),
+word_counts AS (
+  SELECT doc_id, w_idx, min(len(toks)) AS n
+  FROM bpe GROUP BY doc_id, w_idx),
+per_doc AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens_bpe
+  FROM word_counts GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_tokens_bpe, 0) AS n_tokens_bpe,
+       CAST({_Q193_MOCK} AS BIGINT) AS n_tokens_mock,
+       coalesce(p.n_tokens_bpe, 0) - CAST({_Q193_MOCK} AS BIGINT) AS drift
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q171_bigram_logprob": q171_bigram_logprob,
@@ -1720,6 +1839,7 @@ QUERIES = {
     "q175_phrase_merges": q175_phrase_merges,
     "q184_mixture_materialize": q184_mixture_materialize,
     "q185_bpe_encode": q185_bpe_encode,
+    "q193_bpe_ranks_count": q193_bpe_ranks_count,
     "q165_eval_sample": q165_eval_sample,
     "q139_char_budget_mix": q139_char_budget_mix,
     "q143_distinctive_terms": q143_distinctive_terms,
@@ -1745,6 +1865,7 @@ ORACLE = {
     "q175_phrase_merges": _Q175_SQL,
     "q184_mixture_materialize": _Q184_SQL,
     "q185_bpe_encode": _Q185_SQL,
+    "q193_bpe_ranks_count": _Q193_SQL,
     "q165_eval_sample": _Q165_SQL,
     "q139_char_budget_mix": _Q139_SQL,
     "q143_distinctive_terms": _Q143_SQL,

@@ -757,6 +757,115 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q192 — the q167 learned filter on a SEPARATOR-FREE (Han) corpus: the
+# ``token_classes="cjk"`` scorer mode. Every 2nd document is
+# re-lettered to 26 Han codepoints AND de-spaced (real Han text has no
+# word separators — the q191 synthesis). The point this query pins
+# (the r10 verdict's CJK gap, item #4): under "unicode" token classes
+# a de-spaced Han document is ONE token per punctuation-free run, so
+# the scorer sees ~1 feature per sentence and every Han doc scores
+# near the intercept; under "cjk" every Han character is a token and
+# the standard unigram+bigram machinery becomes char-1/2-grams —
+# real, dense features whose exact int64 logits the oracle reproduces
+# bit-for-bit. Same plan shape as q164/q167: one explode over one
+# text scan, broadcast model, one corpus shuffle.
+# ---------------------------------------------------------------------------
+
+_HAN26 = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+
+
+def q192_quality_linear_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.operators.scoring import (
+        pseudo_weights,
+        score_linear_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.regexp_replace(
+                F.translate(
+                    F.col("text"), "abcdefghijklmnopqrstuvwxyz", _HAN26
+                ),
+                r"\s+",
+                "",
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = pseudo_weights(spark, n_features=_Q164_N_FEATURES)
+    return (
+        score_linear_model(
+            docs,
+            "doc_id",
+            F.col("text"),
+            w,
+            n_features=_Q164_N_FEATURES,
+            hash_family="md5",
+            token_classes="cjk",
+        )
+        .select("doc_id", "logit", "kept")
+        .orderBy("doc_id")
+    )
+
+
+_Q192_SQL = r"""
+WITH w AS (
+  SELECT range AS feature_id,
+         ('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 13))::BIGINT
+           % 2001 - 1000 AS weight
+  FROM range(262144)),
+docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN regexp_replace(
+                     translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                               '的一是不了人我在有他这中大来上国个到说们为子和你地出'),
+                     '\s+', '', 'g')
+              ELSE text END AS text
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+         translate(
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g'),
+               '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', '\1 ', 'g'),
+             ' +', ' ', 'g')),
+           'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+           'abcdefghijklmnopqrstuvwxyz') AS c
+  FROM docs),
+ws AS (
+  SELECT doc_id, string_split(c, ' ') AS wlist
+  FROM canon WHERE len(c) > 0),
+grams AS (
+  SELECT doc_id, unnest(wlist) AS g FROM ws
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wlist)),
+                               i -> wlist[i] || ' ' || wlist[i+1])) AS g
+  FROM ws WHERE len(wlist) >= 2),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 13))::BIGINT % 262144 AS feature_id,
+         count(*) AS tf
+  FROM grams GROUP BY 1, 2),
+sums AS (
+  SELECT f.doc_id, sum(f.tf * w.weight) AS dot
+  FROM feats f JOIN w ON w.feature_id = f.feature_id
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.dot, 0) AS BIGINT) AS logit,
+       coalesce(s.dot, 0) >= 0 AS kept
+FROM documents d
+LEFT JOIN sums s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 _Q166_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS "column",
        count(*) AS n_rows,
@@ -1231,6 +1340,7 @@ QUERIES = {
     "q128_expectations": q128_expectations,
     "q164_quality_linear": q164_quality_linear,
     "q167_quality_linear_unicode": q167_quality_linear_unicode,
+    "q192_quality_linear_cjk": q192_quality_linear_cjk,
     "q168_quality_trained": q168_quality_trained,
     "q173_multilingual_curation": q173_multilingual_curation,
     "q177_dsir_select": q177_dsir_select,
@@ -1247,6 +1357,7 @@ ORACLE = {
     "q128_expectations": _Q128_SQL,
     "q164_quality_linear": _Q164_SQL,
     "q167_quality_linear_unicode": _Q167_SQL,
+    "q192_quality_linear_cjk": _Q192_SQL,
     "q168_quality_trained": _Q168_SQL,
     "q173_multilingual_curation": _Q173_SQL,
     "q177_dsir_select": _Q177_SQL,

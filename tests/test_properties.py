@@ -1045,6 +1045,146 @@ def test_mock_bpe_tokenizer_three_way_parity(spark, texts):
     assert got == duck == model
 
 
+# ---------------------------------------------------------------------------
+# real-tokenizer adapter (r11): tiktoken-format ranks file round-trip,
+# the byte-pair-merge counting kernel vs an independent pure-Python
+# model, and the mock-vs-real budget drift on fixture text.
+# ---------------------------------------------------------------------------
+
+_BPE_RANKS = {
+    b"th": 0, b"he": 1, b"the": 2, b"ab": 3, b"ba": 4, b"aba": 5,
+    b"\xe4\xbd\xa0\xe5\xa5\xbd": 6,  # multibyte merge: 你好
+}
+
+
+def _bpe_model_count(text, ranks):
+    """Independent reference: lowest-rank-first, leftmost ties, per
+    whitespace word — written differently from the adapter (sorted
+    scan over rank order) so a shared bug can't hide."""
+    import re as _re
+
+    if text is None:
+        return 0
+    total = 0
+    for w in _re.findall(r"[^ \t\n\f\r]+", text):
+        parts = [bytes([b]) for b in w.encode("utf-8")]
+        while True:
+            cands = [
+                (ranks[parts[i] + parts[i + 1]], i)
+                for i in range(len(parts) - 1)
+                if parts[i] + parts[i + 1] in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            parts[i:i + 2] = [parts[i] + parts[i + 1]]
+        total += len(parts)
+    return total
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(_TOK_ALPHABET, max_size=30)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_real_bpe_count_matches_model(spark, texts):
+    from gov_data_pipeline_spark.functions.tokenizer import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", bpe_token_count(F.col("text"), _BPE_RANKS).alias("n")
+        ).collect()
+    }
+    want = {i: _bpe_model_count(t, _BPE_RANKS) for i, t in enumerate(texts)}
+    assert got == want
+
+
+def test_bpe_merge_cascade_hand_computed(spark):
+    """'the' must take the full cascade t+h -> th (rank 0), th+e ->
+    the (rank 2) down to ONE token; 'he' merges once; 'xyz' (no rank
+    hits) stays 3 bytes = 3 tokens; the multibyte 你好 merges its six
+    UTF-8 bytes into one token through the byte-level table."""
+    from gov_data_pipeline_spark.functions.tokenizer import bpe_token_count
+
+    rows = [(1, "the"), (2, "he"), (3, "xyz"), (4, "the the xyz")]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i", bpe_token_count(F.col("text"), _BPE_RANKS).alias("n")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 5}
+    # 你好: bytes e4 bd a0 e5 a5 bd — only the full 6-byte
+    # concatenation is ranked, so no merge path exists byte-by-byte
+    # (BPE needs intermediate merges); verify it stays 6 tokens, then
+    # add the intermediates and verify it collapses to 1.
+    df2 = spark.createDataFrame([(1, "你好")], "i long, text string")
+    n_without = df2.select(
+        bpe_token_count(F.col("text"), _BPE_RANKS).alias("n")
+    ).first()["n"]
+    assert n_without == 6
+    full = dict(_BPE_RANKS)
+    full.update({
+        b"\xe4\xbd": 10, b"\xe4\xbd\xa0": 11,
+        b"\xe5\xa5": 12, b"\xe5\xa5\xbd": 13,
+    })
+    n_with = df2.select(
+        bpe_token_count(F.col("text"), full).alias("n")
+    ).first()["n"]
+    assert n_with == 1
+
+
+def test_mergeable_ranks_file_roundtrip(spark, tmp_path):
+    """dump -> load round-trips the tiktoken file format exactly, and
+    counts computed through the loaded table equal counts through the
+    in-memory table (the adapter's integration contract)."""
+    from gov_data_pipeline_spark.functions.tokenizer import (
+        bpe_token_count,
+        dump_mergeable_ranks,
+        load_mergeable_ranks,
+    )
+
+    path = str(tmp_path / "mini.tiktoken")
+    dump_mergeable_ranks(_BPE_RANKS, path)
+    loaded = load_mergeable_ranks(path)
+    assert loaded == _BPE_RANKS
+    # file format spot-check: base64 token + space + rank per line
+    import base64
+
+    first = open(path, "rb").read().splitlines()[0].split()
+    assert base64.b64decode(first[0]) == b"th" and first[1] == b"0"
+    df = spark.createDataFrame([(1, "the he ababa")], "i long, text string")
+    n_mem = df.select(bpe_token_count(F.col("text"), _BPE_RANKS).alias("n")).first()["n"]
+    n_file = df.select(bpe_token_count(F.col("text"), loaded).alias("n")).first()["n"]
+    assert n_mem == n_file
+
+
+def test_mock_vs_real_budget_drift_on_fixture(spark, sf_dir):
+    """The r10 verdict's budget-drift pin: the mock's ceil(len/4)
+    scheme and a real merge-table count MUST diverge on fixture text —
+    if they agreed, the adapter would be measuring nothing and q153
+    packing budgets would be silently interchangeable with mock ones.
+    q193 reports the drift per document; here we pin that it is
+    nonzero for the overwhelming majority of documents."""
+    from gov_data_pipeline_spark.queries.corpus_ops import (
+        q193_bpe_ranks_count,
+    )
+
+    out = q193_bpe_ranks_count(spark, sf_dir).toPandas()
+    assert (out["drift"] != 0).mean() > 0.9
+    # real counts are bounded by character count and at least the
+    # whitespace word count — sanity for the merge kernel
+    assert (out["n_tokens_bpe"] > 0).all()
+
+
 # --- interval_join vs the naive quadratic model -------------------------
 
 

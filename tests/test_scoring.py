@@ -260,6 +260,59 @@ class TestUnicodeTokenMode:
         assert got[1] != got[2]  # non-ASCII case stays significant
 
 
+class TestCjkTokenMode:
+    def test_cjk_features_are_char_grams(self, spark):
+        """token_classes="cjk" pin (the r10 verdict's CJK gap): a
+        separator-free Han document yields ONE feature row per
+        distinct gram under "unicode" (the whole run is one token) but
+        char-1/2-gram features under "cjk", bit-exact against the same
+        pure-Python model with the per-character canonicalization."""
+        from gov_data_pipeline_spark.operators.scoring import (
+            hashed_token_features,
+            pseudo_weights,
+            score_linear_model,
+        )
+
+        n = 1 << 10
+        han = "的一是不了人我在有"  # separator-free run
+        docs = spark.createDataFrame(
+            [(1, han)], "doc_id long, text string"
+        )
+        uni_rows = hashed_token_features(
+            docs, "doc_id", F.col("text"), n_features=n,
+            hash_family="md5", token_classes="unicode",
+        ).count()
+        cjk_rows = hashed_token_features(
+            docs, "doc_id", F.col("text"), n_features=n,
+            hash_family="md5", token_classes="cjk",
+        ).count()
+        assert uni_rows == 1  # one sentence-sized token (+its 0 bigrams)
+        # 9 char unigrams + 8 char bigrams, all distinct -> 17 rows
+        # (modulo hash collisions into the same bucket)
+        assert cjk_rows >= 15
+
+        def expected(text: str) -> int:
+            chars = list(text)
+            grams = chars + [
+                f"{a} {b}" for a, b in zip(chars, chars[1:])
+            ]
+            return sum(_model_weight(_h1(g) % n) for g in grams)
+
+        got = {
+            r.doc_id: r.logit
+            for r in score_linear_model(
+                docs,
+                "doc_id",
+                F.col("text"),
+                pseudo_weights(spark, n_features=n),
+                n_features=n,
+                hash_family="md5",
+                token_classes="cjk",
+            ).collect()
+        }
+        assert got == {1: expected(han)}
+
+
 class TestTrainLinearModel:
     N_ITER = 2
 

@@ -36,6 +36,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 
+def _pin_batch(df: DataFrame) -> DataFrame:
+    """Per-batch pin for a frame with >1 consumer inside one
+    foreachBatch invocation: LAZY localCheckpoint — lineage cut and
+    read-once like the eager form, but materialized by the first
+    consumer instead of by a dedicated job. Measured on the sf0.1
+    4-batch neardup bench (r11): eager localCheckpoint 7.97 s, lazy
+    7.57 s, persist(MEMORY_AND_DISK) 12.77 s — the cache's columnar
+    encode of document text costs far more than the job it saves, and
+    the eager pin's extra job per batch is the next-largest term on a
+    floor that is ~all job/stage scheduling (PLANS.md round-6
+    decomposition). Blocks are executor-local and freed by GC, same
+    lifecycle as the eager form."""
+    return df.localCheckpoint(eager=False)
+
+
 def _read_corpus_or_none(spark: SparkSession, corpus_path: str) -> DataFrame | None:
     """Read the persisted corpus, or ``None`` when no corpus EXISTS yet.
 
@@ -109,8 +124,9 @@ def incremental_dedup_sink(
         spark = batch_df.sparkSession
         # Pin the micro-batch: the dedup lineage references it twice
         # (anti-join input and winners aggregate) and an unpinned
-        # streaming source would be re-read once per reference.
-        batch_df = batch_df.localCheckpoint()
+        # streaming source would be re-read once per reference. Lazy
+        # pin — no extra job per batch (_pin_batch has the A/B data).
+        batch_df = _pin_batch(batch_df)
         seen = _read_corpus_or_none(spark, corpus_path)
         healed = None
         if seen is None:
@@ -123,9 +139,11 @@ def incremental_dedup_sink(
                 else seen.join(stored.select(id_col), id_col, "left_anti")
             )
             # pinned: consumed by the dedup join AND the sidecar append
-            healed = missing.select(
-                F.col(id_col), _content_hash(content_cols).alias("digest")
-            ).localCheckpoint()
+            healed = _pin_batch(
+                missing.select(
+                    F.col(id_col), _content_hash(content_cols).alias("digest")
+                )
+            )
             digests = (
                 healed if stored is None else stored.unionByName(healed)
             )
@@ -139,7 +157,7 @@ def incremental_dedup_sink(
         else:
             fresh = incremental_exact_dedup(batch_df, seen, content_cols, id_col)
         if digest_sidecar:
-            fresh = fresh.localCheckpoint()  # consumed by data + digests
+            fresh = _pin_batch(fresh)  # consumed by data + digests
         fresh.write.mode("append").parquet(corpus_path)
         if digest_sidecar:
             fresh_digests = fresh.select(
@@ -260,7 +278,9 @@ def incremental_neardup_sink(
 
     sidecar_path = corpus_path.rstrip("/") + "/_minhash_profiles"
 
-    def _corpus_profiles(spark, corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def _corpus_profiles(
+        spark, corpus: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
         """(full corpus profile, newly-healed profiles to persist)."""
         stored = _read_corpus_or_none(spark, sidecar_path)
         if stored is None:
@@ -269,14 +289,19 @@ def incremental_neardup_sink(
             missing = corpus.join(
                 stored.select(id_col), id_col, "left_anti"
             )
-        # pinned: consumed by the dedup joins AND the sidecar append
-        heal = _profile(missing).localCheckpoint()
+        # pinned lazily: consumed by the dedup joins AND the sidecar
+        # append (see _pin_batch — no eager job on the per-batch floor)
+        heal = _pin_batch(_profile(missing))
         prof_c = heal if stored is None else stored.unionByName(heal)
         return prof_c, heal
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint()  # source read once per batch
+        # lazy pin (r11): the batch feeds the profile aggregate and
+        # the final anti-join — two consumers, one source read — and
+        # the lazy form gives that without the eager pin's extra job
+        # per micro-batch (see _pin_batch for the A/B numbers)
+        batch_df = _pin_batch(batch_df)
         corpus = _read_corpus_or_none(spark, corpus_path)
 
         prof_b = _profile(batch_df)
@@ -284,7 +309,7 @@ def incremental_neardup_sink(
             # the containment probe adds a third and fourth consumer of
             # the batch profile — past the break-even where recompute
             # beat materialization (the q42 bet, re-decided per count)
-            prof_b = prof_b.localCheckpoint()
+            prof_b = _pin_batch(prof_b)
         healed = None
         dup_ids = None
         if corpus is not None:
@@ -340,7 +365,6 @@ def incremental_neardup_sink(
                         F.col("__i") / F.col("n_a") >= containment_threshold
                     )
                     .select("a_id")
-                    .distinct()
                 )
                 dup_ids = dup_ids.unionByName(contained)
 
@@ -378,25 +402,24 @@ def incremental_neardup_sink(
             )
             ca = F.col("__i") / F.col("n_a") >= containment_threshold
             cb = F.col("__i") / F.col("n_b") >= containment_threshold
-            intra_cont = (
-                pairs.select(
-                    F.when(ca & cb, F.greatest("a_id", "b_id"))
-                    .when(ca, F.col("a_id"))
-                    .when(cb, F.col("b_id"))
-                    .alias("a_id")
-                )
-                .filter(F.col("a_id").isNotNull())
-                .distinct()
-            )
+            intra_cont = pairs.select(
+                F.when(ca & cb, F.greatest("a_id", "b_id"))
+                .when(ca, F.col("a_id"))
+                .when(cb, F.col("b_id"))
+                .alias("a_id")
+            ).filter(F.col("a_id").isNotNull())
             dup_ids = dup_ids.unionByName(intra_cont)
 
+        # no .distinct() on the dup-id set (r11): a left_anti join is
+        # duplicate-insensitive on its right side, so the distinct was
+        # a pure extra exchange+aggregate on the per-batch floor
         fresh = batch_df.join(
-            dup_ids.distinct().withColumnRenamed("a_id", id_col),
+            dup_ids.withColumnRenamed("a_id", id_col),
             id_col,
             "left_anti",
         )
         if profile_sidecar:
-            fresh = fresh.localCheckpoint()  # consumed by data + profiles
+            fresh = _pin_batch(fresh)  # consumed by data + profiles
         fresh.write.mode("append").parquet(corpus_path)
         if profile_sidecar:
             # data first, profiles second (see docstring for the
@@ -455,7 +478,8 @@ def scored_ingest_sink(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint()  # source read once per batch
+        # lazy pin: read-once with zero extra jobs per batch
+        batch_df = _pin_batch(batch_df)
         for prior_path in (corpus_path, quarantine_path):
             if prior_path is None:
                 continue
@@ -477,7 +501,7 @@ def scored_ingest_sink(
         )
         if quarantine_path is not None:
             # two consumers of the scored frame: pin it once
-            scored = scored.localCheckpoint()
+            scored = _pin_batch(scored)
         scored.filter(F.col("kept")).drop("logit", "kept").write.mode(
             "append"
         ).parquet(corpus_path)
@@ -566,7 +590,8 @@ def decontaminating_ingest_sink(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint()  # source read once per batch
+        # lazy pin: read-once with zero extra jobs per batch
+        batch_df = _pin_batch(batch_df)
         for prior_path in (corpus_path, quarantine_path):
             if prior_path is None:
                 continue
@@ -586,7 +611,7 @@ def decontaminating_ingest_sink(
         gated = batch_df.join(F.broadcast(hits), id_col, "left")
         if quarantine_path is not None:
             # two consumers of the gated frame: pin it once
-            gated = gated.localCheckpoint()
+            gated = _pin_batch(gated)
         gated.filter(F.col("n_hit_grams").isNull()).drop(
             "n_hit_grams"
         ).write.mode("append").parquet(corpus_path)

@@ -83,6 +83,11 @@ NAMES = [
     "q187_minhash_calibration",
     "q188_ivf_recall",
     "q189_margin_mining",
+    # round-11 additions
+    "q190_ann_multiprobe_recall",
+    "q191_cjk_normalized_dedup",
+    "q192_quality_linear_cjk",
+    "q193_bpe_ranks_count",
 ]
 
 

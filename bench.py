@@ -61,6 +61,12 @@ HEADLINE = [
     # of the set never executes.
     "q168_quality_trained",
     "q171_bigram_logprob",
+    # round-11 additions: the multi-probe LSH candidate join (query-side
+    # bucket fan-out + id-only candidate dedup + per-side vector
+    # joinback) and the Arrow-batched real-BPE merge kernel — plan
+    # shapes the rest of the set never executes.
+    "q190_ann_multiprobe_recall",
+    "q193_bpe_ranks_count",
 ]
 
 # The set every round before r09 measured — its subtotal is emitted as

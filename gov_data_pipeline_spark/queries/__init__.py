@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q191_cjk_normalized_dedup",
     "q192_quality_linear_cjk",
     "q193_bpe_ranks_count",
+    "q194_pii_scrub",
     # stalest cohort: last driver row r07 (35 queries)
     "q140_semantic_decontaminate_lsh",
     "q141_jpeg_dims",

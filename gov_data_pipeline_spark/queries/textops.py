@@ -231,12 +231,107 @@ ORDER BY idx
 """
 
 
+# ---------------------------------------------------------------------------
+# q194 — PII SCRUB (r11): mask emails / IPv4s / phone-shaped spans
+# with typed placeholder tokens and report per-document counts — the
+# first step of every published pretraining-curation pipeline (the
+# Dolma/RedPajama core family), as a pure codegen'd regexp_replace
+# chain (no UDF, no exchange until the output sort). The fixture is
+# PII-free, so the corpus plants spans in-query (the q167 synthesize
+# pattern): every 3rd doc an email, every 5th an IPv4, every 7th an
+# international phone — deterministic concat in both engines, and the
+# families OVERLAP on doc_id multiples so chained-order effects are
+# exercised. Patterns are lookaround-free explicit ASCII classes
+# (identical in Java regex and RE2); replace order is email → IP →
+# phone so a digit-bearing email local part is masked before the
+# phone pattern can nibble it. Over-masking (a date masked as
+# <PHONE>) is deliberate scrubber posture and identical in both
+# engines — the oracle checks the masked TEXT byte-for-byte, not just
+# the counts.
+# ---------------------------------------------------------------------------
+
+
+def q194_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.transforms import pii_count_col, scrub_pii_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact bob.smith+pr"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example-mail.co.uk now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from host 10.20."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 today"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" call +44 (020) 7946-0958 x"),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", planted.alias("__t"))
+    return (
+        base.select(
+            "doc_id",
+            pii_count_col(F.col("__t"), "email").alias("n_email"),
+            pii_count_col(F.col("__t"), "ip").alias("n_ip"),
+            pii_count_col(F.col("__t"), "phone").alias("n_phone"),
+            scrub_pii_col(F.col("__t")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = (
+    r"(\+[0-9]{1,3}[ -]?)?(\([0-9]{2,4}\)[ -]?)?"
+    r"[0-9]{2,4}([ -][0-9]{2,4}){1,3}"
+)
+
+_Q194_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact bob.smith+pr' || CAST(doc_id AS VARCHAR)
+                      || '@example-mail.co.uk now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from host 10.20.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 today' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +44 (020) 7946-0958 x' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM planted
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q20_clean_text": q20_clean_text,
     "q21_reg_num": q21_reg_num,
     "q22_exclusion": q22_exclusion,
     "q23_clean_cell": q23_clean_cell,
     "q24_merge_continuation": q24_merge_continuation,
+    "q194_pii_scrub": q194_pii_scrub,
 }
 
 ORACLE = {
@@ -245,4 +340,5 @@ ORACLE = {
     "q22_exclusion": _Q22_SQL,
     "q23_clean_cell": _Q23_SQL,
     "q24_merge_continuation": _Q24_SQL,
+    "q194_pii_scrub": _Q194_SQL,
 }

@@ -5,6 +5,8 @@ from gov_data_pipeline_spark.transforms.text import (  # noqa: F401
     is_excluded_col,
     nfkc_normalize,
     normalize_reg_num_col,
+    pii_count_col,
+    scrub_pii_col,
     strip_all_strings,
     cast_all_string,
 )

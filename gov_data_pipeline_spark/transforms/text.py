@@ -165,6 +165,63 @@ def redact_long_col(col: Column, max_len: int = 100, keep: int = 50) -> Column:
     ).otherwise(col)
 
 
+# PII regex family. Cross-engine contract: explicit ASCII classes only
+# (no \w, no \d ambiguity, no lookaround — RE2 lacks lookaround and the
+# shorthand classes differ under Unicode flags between Java and RE2).
+# Email: RFC-ish local@domain.tld with a 2+-letter TLD. IPv4: four
+# 1-3-digit octets (no value-range check — a scrubber over-masking
+# 999.999.999.999 costs nothing; under-masking a real IP does). Phone:
+# international-ish +NN... or NNN-NNN-NNNN / (NNN) NNN-NNNN shapes, 7+
+# digits total. Order matters: emails first (their local parts can
+# contain digits a phone pattern might nibble), then IPs, then phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ip",
+        r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+        "<IP>",
+    ),
+    (
+        "phone",
+        r"(\+[0-9]{1,3}[ -]?)?(\([0-9]{2,4}\)[ -]?)?[0-9]{2,4}([ -][0-9]{2,4}){1,3}",
+        "<PHONE>",
+    ),
+)
+
+
+def scrub_pii_col(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Mask PII spans in ``col`` with typed placeholder tokens — the
+    pre-training scrub step every published curation pipeline runs
+    before anything else sees the text (emails/IPs/phones are the
+    Dolma/RedPajama core set). Pure codegen'd ``regexp_replace`` chain
+    (one pass per kind, no UDF); patterns are lookaround-free explicit
+    ASCII classes, identical in Java regex and RE2, so the DuckDB
+    oracle (q194) reproduces the masked text byte-for-byte.
+
+    ``kinds`` restricts/reorders the families (default: all of
+    ``PII_PATTERNS`` in its order — email before IP before phone, so a
+    digit-bearing email local part is masked before the phone pattern
+    can nibble it). Counting the masked spans is
+    ``pii_count_col(col, kind)`` — same pattern, ``regexp_count``."""
+    wanted = {k: (p, r) for k, p, r in PII_PATTERNS}
+    out = col
+    for kind in kinds or tuple(k for k, _, _ in PII_PATTERNS):
+        pat, repl = wanted[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count_col(col: Column, kind: str) -> Column:
+    """Occurrence count of one PII family (see ``PII_PATTERNS``) —
+    the audit metric beside the scrub."""
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.regexp_count(col, F.lit(pat)).cast("long")
+
+
 def canonical_text_col(col: Column, token_classes: str = "ascii") -> Column:
     """Canonical form for normalized ("fuzzy-exact") dedup, one of two
     cross-engine-exact contracts:

@@ -318,8 +318,10 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
         "q180_lm_buckets", "q182_contamination_fraction",
         "q183_dup_lines", "q185_bpe_encode", "q187_minhash_calibration",
         # round-11: the CJK canonical key (char-per-token Han/kana/Thai
-        # split) must stay cross-engine-exact under the same snippets
+        # split) and the PII scrub's masked-text output must stay
+        # cross-engine-exact under the same snippets
         "q191_cjk_normalized_dedup",
+        "q194_pii_scrub",
     ]
     missing = [n for n in must_match if n not in Q or n not in O]
     assert not missing, f"sweep list out of date: {missing}"

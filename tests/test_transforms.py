@@ -533,6 +533,42 @@ class TestWebFunctions:
             mod.main()  # raises on any stage failure
 
 
+def test_scrub_pii_masks_and_counts(spark):
+    """scrub_pii_col: emails/IPv4s/phone-shaped spans become typed
+    tokens; replace order (email -> ip -> phone) keeps a digit-bearing
+    email local part out of the phone pattern's reach; kinds=(...)
+    restricts the families; counts match the masks."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.transforms import pii_count_col, scrub_pii_col
+
+    rows = [
+        (1, "mail a.b+99@ex.co and host 8.8.8.8 call +1 212 555 0187 ok"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io z@w.org"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            scrub_pii_col(F.col("t")).alias("c"),
+            pii_count_col(F.col("t"), "email").alias("ne"),
+            pii_count_col(F.col("t"), "ip").alias("ni"),
+            pii_count_col(F.col("t"), "phone").alias("np"),
+        ).collect()
+    }
+    assert out[1].c == "mail <EMAIL> and host <IP> call <PHONE> ok"
+    assert (out[1].ne, out[1].ni, out[1].np) == (1, 1, 1)
+    assert out[2].c == rows[1][1]
+    assert out[3].c == "two mails <EMAIL> <EMAIL>" and out[3].ne == 2
+    # kinds restriction: scrub only ips, leave the email intact
+    only_ip = df.filter("id = 1").select(
+        scrub_pii_col(F.col("t"), kinds=("ip",)).alias("c")
+    ).first()["c"]
+    assert "<IP>" in only_ip and "a.b+99@ex.co" in only_ip
+
+
 def test_canonical_text_dedup_key(spark):
     """canonical_text_col: case/punct/whitespace variants share one
     key (the q159 semantics) while genuinely different text does not;

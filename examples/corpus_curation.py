@@ -47,6 +47,21 @@ def main() -> None:
     corpus = docs.unionByName(mutants).unionByName(shouty)
     print(f"corpus (docs + planted near-dups + SHOUTING variants): {corpus.count()}")
 
+    # --- stage -1: PII scrub — masking runs before ANYTHING else sees
+    # the text (q194's operator; emails/IPs/phones become typed
+    # tokens, so no later stage — keys, shingles, features, exports —
+    # can leak a raw identifier) --------------------------------------
+    from gov_data_pipeline_spark.transforms import pii_count_col, scrub_pii_col
+
+    n_pii = (
+        pii_count_col(F.col("text"), "email")
+        + pii_count_col(F.col("text"), "ip")
+        + pii_count_col(F.col("text"), "phone")
+    )
+    masked = corpus.agg(F.sum(n_pii)).first()[0] or 0
+    corpus = corpus.withColumn("text", scrub_pii_col(F.col("text")))
+    print(f"PII spans masked before curation: {masked}")
+
     # --- stage 0: normalized ("fuzzy-exact") dedup — case/punctuation
     # variants collapse on the canonical key before any similarity work
     # (q159's rule; far cheaper than shingling, so it runs first) -----

@@ -88,6 +88,7 @@ NAMES = [
     "q191_cjk_normalized_dedup",
     "q192_quality_linear_cjk",
     "q193_bpe_ranks_count",
+    "q194_pii_scrub",
 ]
 
 

@@ -548,6 +548,37 @@ class TestRound2OperatorPlans:
                 "BroadcastNestedLoopJoin BuildLeft, Cross"
             ), fn.__name__
 
+    def test_q190_multiprobe_bucket_join_vectors_off_dedup(
+        self, spark, sf_dir
+    ):
+        """q190: candidates must come from the (t, b) bucket equi-join
+        (query-side probe fan-out only — no pair enumeration), the
+        candidate dedup aggregate must NOT carry vectors (ids + the
+        plain flag only — the r11 'vectors never ride the dedup
+        shuffle' promise), and the exact arm stays in the q186
+        broadcast regime."""
+        from gov_data_pipeline_spark.queries.dedup_sim import (
+            q190_ann_multiprobe_recall,
+        )
+
+        df = q190_ann_multiprobe_recall(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        n_bnlj = final.count("BroadcastNestedLoopJoin")
+        assert n_bnlj == final.count(
+            "BroadcastNestedLoopJoin BuildRight, Cross"
+        ) + final.count("BroadcastNestedLoopJoin BuildLeft, Cross")
+        # the candidate-dedup aggregate groups ids + __plain only:
+        # no HashAggregate key list may contain a vector column
+        import re as _re
+
+        for m in _re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", final):
+            assert "__qv" not in m.group(1) and "__cv" not in m.group(1), (
+                m.group(1)
+            )
+
     def test_q88_repetition_single_map_stage(self, spark, sf_dir):
         """Per-doc repetition ratio is one projection over the scan: no
         joins, no aggregate exchange — only the output sort shuffles."""

@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "q192_quality_linear_cjk",
     "q193_bpe_ranks_count",
     "q194_pii_scrub",
+    "q195_bpe_budget_pack",
     # stalest cohort: last driver row r07 (35 queries)
     "q140_semantic_decontaminate_lsh",
     "q141_jpeg_dims",

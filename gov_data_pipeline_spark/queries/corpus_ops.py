@@ -1781,8 +1781,9 @@ from gov_data_pipeline_spark.functions.tokenizer import (  # noqa: E402
 
 _Q193_MOCK = _MOCK_BPE_SQL.format(col="d.text")
 
-_Q193_SQL = rf"""
-WITH RECURSIVE
+# The count CTEs (ranks table -> per-word recursive merge chain ->
+# per-doc totals) are shared by q193's report and q195's packer oracle.
+_Q193_COUNT_CTES = rf"""
 ranks(tok, rank) AS (VALUES {_Q193_RANKS_SQL}),
 rmap AS (SELECT map(list(tok), list(rank)) AS m FROM ranks),
 words AS (
@@ -1821,7 +1822,11 @@ word_counts AS (
   FROM bpe GROUP BY doc_id, w_idx),
 per_doc AS (
   SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens_bpe
-  FROM word_counts GROUP BY doc_id)
+  FROM word_counts GROUP BY doc_id)"""
+
+_Q193_SQL = rf"""
+WITH RECURSIVE
+{_Q193_COUNT_CTES}
 SELECT d.doc_id,
        coalesce(p.n_tokens_bpe, 0) AS n_tokens_bpe,
        CAST({_Q193_MOCK} AS BIGINT) AS n_tokens_mock,
@@ -1829,6 +1834,65 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q195 — BUDGET PACK ON REAL-BPE COUNTS: q153's next-fit-decreasing
+# packer with the document sizes coming from the q193 mergeable-ranks
+# tokenizer instead of the mock — the closure the adapter exists for
+# (the r10 verdict: "token budgets that drive real training will be
+# wrong vs an actual BPE vocab"; q193 measures the drift, this query
+# PACKS on the corrected counts). Same scale shape as q153: the merge
+# kernel runs scan-side in one Arrow crossing, the packer then sees
+# only (shard, id, n_tokens) rows. The oracle chains the q193 count
+# recursion into the q153 fill recursion — two recursive CTEs, one
+# WITH RECURSIVE, all-integer.
+# ---------------------------------------------------------------------------
+
+
+def q195_bpe_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.chunking import pack_documents_nfd
+    from gov_data_pipeline_spark.functions.sampling import hash_bucket_col
+    from gov_data_pipeline_spark.functions.tokenizer import bpe_token_count
+
+    ranks = {t.encode(): i for i, t in enumerate(_Q193_VOCAB)}
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        bpe_token_count(F.col("text"), ranks).alias("n_tokens"),
+        (hash_bucket_col(F.col("doc_id")) % 8).cast("int").alias("shard"),
+    )
+    return pack_documents_nfd(
+        docs, "doc_id", "n_tokens", "shard", capacity=512
+    ).orderBy("shard", "doc_id")
+
+
+_Q195_SQL = rf"""
+WITH RECURSIVE
+{_Q193_COUNT_CTES},
+d AS MATERIALIZED (
+  SELECT dd.doc_id,
+         coalesce(p.n_tokens_bpe, 0) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 2))::INT % 8
+              AS INT) AS shard
+  FROM documents dd
+  LEFT JOIN per_doc p ON p.doc_id = dd.doc_id),
+o AS MATERIALIZED (
+  SELECT *, CAST(row_number() OVER (PARTITION BY shard
+                                    ORDER BY n_tokens DESC, doc_id) AS INT) AS rn
+  FROM d),
+fill(shard, rn, doc_id, n_tokens, bin, used) AS (
+  SELECT shard, rn, doc_id, n_tokens, 1, n_tokens FROM o WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN f.used + t.n_tokens <= 512 THEN f.bin ELSE f.bin + 1 END,
+         CASE WHEN f.used + t.n_tokens <= 512 THEN f.used + t.n_tokens
+              ELSE t.n_tokens END
+  FROM o t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
+SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bin AS INT) AS bin
+FROM fill
+ORDER BY shard, doc_id
 """
 
 
@@ -1840,6 +1904,7 @@ QUERIES = {
     "q184_mixture_materialize": q184_mixture_materialize,
     "q185_bpe_encode": q185_bpe_encode,
     "q193_bpe_ranks_count": q193_bpe_ranks_count,
+    "q195_bpe_budget_pack": q195_bpe_budget_pack,
     "q165_eval_sample": q165_eval_sample,
     "q139_char_budget_mix": q139_char_budget_mix,
     "q143_distinctive_terms": q143_distinctive_terms,
@@ -1866,6 +1931,7 @@ ORACLE = {
     "q184_mixture_materialize": _Q184_SQL,
     "q185_bpe_encode": _Q185_SQL,
     "q193_bpe_ranks_count": _Q193_SQL,
+    "q195_bpe_budget_pack": _Q195_SQL,
     "q165_eval_sample": _Q165_SQL,
     "q139_char_budget_mix": _Q139_SQL,
     "q143_distinctive_terms": _Q143_SQL,

@@ -89,6 +89,7 @@ NAMES = [
     "q192_quality_linear_cjk",
     "q193_bpe_ranks_count",
     "q194_pii_scrub",
+    "q195_bpe_budget_pack",
 ]
 
 

@@ -58,9 +58,12 @@ def main() -> None:
         + pii_count_col(F.col("text"), "ip")
         + pii_count_col(F.col("text"), "phone")
     )
-    masked = corpus.agg(F.sum(n_pii)).first()[0] or 0
+    # detection metric, not "spans masked": per-family counts run on
+    # the ORIGINAL text, and the sequential scrub can mask an
+    # overlapping span once that two families each counted
+    n_docs_pii = corpus.filter(n_pii > 0).count()
     corpus = corpus.withColumn("text", scrub_pii_col(F.col("text")))
-    print(f"PII spans masked before curation: {masked}")
+    print(f"docs with PII spans detected (pre-scrub): {n_docs_pii}")
 
     # --- stage 0: normalized ("fuzzy-exact") dedup — case/punctuation
     # variants collapse on the canonical key before any similarity work

@@ -131,34 +131,39 @@ def bpe_token_count(col: Column, ranks: dict[bytes, int]) -> Column:
 
     globals()["pd"] = pandas
 
-    def count_one(text):
-        if text is None:
-            return 0
-        import re as _re
-
-        n = 0
-        for w in _re.findall(r"[^ \t\n\f\r]+", text):
-            wb = w.encode("utf-8")
-            parts = [wb[i:i + 1] for i in range(len(wb))]
-            while len(parts) >= 2:
-                best_rank = None
-                best_i = -1
-                for i in range(len(parts) - 1):
-                    r = ranks.get(parts[i] + parts[i + 1])
-                    if r is not None and (
-                        best_rank is None or r < best_rank
-                    ):
-                        best_rank, best_i = r, i
-                if best_rank is None:
-                    break
-                parts[best_i:best_i + 2] = [
-                    parts[best_i] + parts[best_i + 1]
-                ]
-            n += len(parts)
-        return n
-
     @F.pandas_udf(T.LongType())
     def _bpe_count(s: "pd.Series") -> "pd.Series":
+        # import + regex compile ONCE PER ARROW BATCH, not per row
+        # (review-caught r11) — the closure still ships by value with
+        # only stdlib references, so executors never import the package
+        import re as _re
+
+        word_re = _re.compile(r"[^ \t\n\f\r]+")
+
+        def count_one(text):
+            if text is None:
+                return 0
+            n = 0
+            for w in word_re.findall(text):
+                wb = w.encode("utf-8")
+                parts = [wb[i:i + 1] for i in range(len(wb))]
+                while len(parts) >= 2:
+                    best_rank = None
+                    best_i = -1
+                    for i in range(len(parts) - 1):
+                        r = ranks.get(parts[i] + parts[i + 1])
+                        if r is not None and (
+                            best_rank is None or r < best_rank
+                        ):
+                            best_rank, best_i = r, i
+                    if best_rank is None:
+                        break
+                    parts[best_i:best_i + 2] = [
+                        parts[best_i] + parts[best_i + 1]
+                    ]
+                n += len(parts)
+            return n
+
         return s.map(count_one).astype("int64")
 
     return _bpe_count(col)
@@ -188,21 +193,25 @@ def mock_bpe_token_count(col: Column) -> Column:
         # (measured: ModuleNotFoundError on the workers). Must stay
         # semantically identical to `_count_one` above (the property
         # test's model) — same regex, same md5 nibble, same ceil.
-        def count_one(text):
-            if text is None:
-                return 0
+        @F.pandas_udf(T.LongType())
+        def _mock_bpe_count(s: "pd.Series") -> "pd.Series":
+            # import + regex compile ONCE PER ARROW BATCH, not per row
+            # (review-caught r11, same fix as bpe_token_count)
             import hashlib as _hl
             import math as _m
             import re as _re
 
-            n = 0
-            for w in _re.findall(r"[^ \t\n\f\r]+", text):
-                h = _hl.md5(w.encode("utf-8")).hexdigest()
-                n += 1 if h[0] in "0123" else _m.ceil(len(w) / 4)
-            return n
+            word_re = _re.compile(r"[^ \t\n\f\r]+")
 
-        @F.pandas_udf(T.LongType())
-        def _mock_bpe_count(s: "pd.Series") -> "pd.Series":
+            def count_one(text):
+                if text is None:
+                    return 0
+                n = 0
+                for w in word_re.findall(text):
+                    h = _hl.md5(w.encode("utf-8")).hexdigest()
+                    n += 1 if h[0] in "0123" else _m.ceil(len(w) / 4)
+                return n
+
             return s.map(count_one).astype("int64")
 
         _UDF_CACHE.append(_mock_bpe_count)

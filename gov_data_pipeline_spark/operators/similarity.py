@@ -283,10 +283,16 @@ def semdedup_cells(
 
     NULL handling (the ``cell_cosine_pairs_gemm`` convention): rows
     with a NULL vector are DROPPED before partitioning. Without the
-    filter a NULL (or ragged, vs the seed) vector yields NULL ``__d2``,
-    and Spark's ascending window order sorts NULLs FIRST — silently
-    assigning the row to the lowest cell id — while the oracle's
-    ``ORDER BY d2`` sorts NULLs LAST: a divergence, not a policy.
+    filter a NULL vector yields NULL ``__d2``, and Spark's default
+    ascending window order sorts NULLs FIRST — silently assigning the
+    row to the lowest cell id — while the oracle's ``ORDER BY d2``
+    sorts NULLs LAST: a divergence, not a policy. A RAGGED vector
+    (length ≠ seed length) survives the filter but also yields NULL
+    ``__d2`` against every seed (zip_with pads with NULLs), so the
+    argmin window additionally orders ``asc_nulls_last`` — both
+    engines then assign such a row to the lowest cell id via the
+    seed-id tiebreak, deterministically, instead of diverging on NULL
+    placement.
     """
     from pyspark.sql import Window as W
 
@@ -310,7 +316,9 @@ def semdedup_cells(
         lambda acc, x: acc + x,
     )
     rn = F.row_number().over(
-        W.partitionBy(id_col).orderBy(F.col("__d2"), F.col("__cid"))
+        W.partitionBy(id_col).orderBy(
+            F.col("__d2").asc_nulls_last(), F.col("__cid")
+        )
     )
     return (
         vecs.crossJoin(F.broadcast(seeds))
@@ -590,6 +598,64 @@ def _with_lsh_buckets(
     return base.join(sigs, ida)
 
 
+def _lsh_candidate_ids(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    bits: int,
+    tables: int,
+    hash_family: str,
+    dim: int | None,
+    exclude_self: bool,
+    probe_masks: list[int] | None = None,
+) -> DataFrame:
+    """Distinct (``__qid``, ``__cid``) LSH candidate pairs — the shared
+    id-only stage behind ``ann_topk`` and ``lsh_cosine_pairs``. The
+    bucket relations carry ids + (t, b) ONLY and the dedup aggregate
+    shuffles two ids per row, never vectors: the multi-table join
+    emits up to ``tables`` (× probes) copies of each pair, and with
+    vectors riding the distinct the exchange payload multiplied with
+    both knobs (review-caught r11 — the probing default made it
+    ~(1+bits)× worse). Vectors join back per side AFTER the dedup.
+    ``probe_masks`` (e.g. ``[0, 1, 2, 4]``) XOR-expands the QUERY side
+    only; the corpus side always keeps one (t, b) row per table."""
+    qb = _with_lsh_buckets(
+        queries, query_id, query_vec, "__qid", "__qv", bits, tables,
+        hash_family, dim=dim,
+    ).select("__qid", "__t", "__b")
+    cb = _with_lsh_buckets(
+        corpus, corpus_id, corpus_vec, "__cid", "__cv", bits, tables,
+        hash_family, dim=dim,
+    ).select("__cid", "__t", "__b")
+    if probe_masks:
+        qb = qb.select(
+            "__qid",
+            "__t",
+            F.explode(
+                F.array(*[
+                    F.col("__b").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in probe_masks
+                ])
+            ).alias("__b"),
+        )
+    joined = cb.join(qb, ["__t", "__b"])
+    if exclude_self:
+        joined = joined.filter(F.col("__qid") != F.col("__cid"))
+    return joined.select("__qid", "__cid").distinct()
+
+
+def _vec_side(df: DataFrame, idc: str, vecc: str, ida: str, veca: str,
+              norma: str, dim: int | None) -> DataFrame:
+    return df.select(
+        F.col(idc).alias(ida),
+        F.col(vecc).alias(veca),
+        _norm(F.col(vecc), dim).alias(norma),
+    )
+
+
 def lsh_cosine_pairs(
     queries: DataFrame,
     corpus: DataFrame,
@@ -610,25 +676,24 @@ def lsh_cosine_pairs(
     The scale-path replacement for a crossJoin pair stage (q46/q74's
     flagged all-pairs plan): candidate generation is an equi-join on
     (table, bucket), so cost scales with bucket occupancy instead of
-    |queries| x |corpus|. Thresholding happens on the 4-decimal-ROUNDED
+    |queries| x |corpus|. Candidate dedup is id-only and the vectors
+    join back per side afterwards (``_lsh_candidate_ids`` — the
+    multi-table pair copies never carry embeddings through an
+    exchange). Thresholding happens on the 4-decimal-ROUNDED
     similarity, matching the exact operators' convention so a DuckDB
     oracle that replicates the bucket arithmetic (md5 family) agrees
     value-for-value. Output: (a_id, b_id, cosine_sim).
     """
-    q = _with_lsh_buckets(
-        queries, query_id, query_vec, "__qid", "__qv", bits, tables, hash_family,
-        norma="__qn", dim=dim,
+    cand = _lsh_candidate_ids(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        bits, tables, hash_family, dim, exclude_self,
     )
-    c = _with_lsh_buckets(
-        corpus, corpus_id, corpus_vec, "__cid", "__cv", bits, tables, hash_family,
-        norma="__cn", dim=dim,
-    )
-    joined = c.join(q, ["__t", "__b"])
-    if exclude_self:
-        joined = joined.filter(F.col("__qid") != F.col("__cid"))
-    cand = joined.select("__qid", "__qv", "__qn", "__cid", "__cv", "__cn").distinct()
+    qv = _vec_side(queries, query_id, query_vec, "__qid", "__qv", "__qn", dim)
+    cv = _vec_side(corpus, corpus_id, corpus_vec, "__cid", "__cv", "__cn", dim)
     return (
-        cand.select(
+        cand.join(qv, "__qid")
+        .join(cv, "__cid")
+        .select(
             F.col("__qid").alias("a_id"),
             F.col("__cid").alias("b_id"),
             F.round(
@@ -707,10 +772,7 @@ def ann_topk(
         )
     if probe_radius not in (1, 2):
         raise ValueError(f"probe_radius must be 1 or 2; got {probe_radius}")
-    q = _with_lsh_buckets(
-        queries, query_id, query_vec, "__qid", "__qv", bits, tables, hash_family,
-        norma="__qn", dim=dim,
-    )
+    masks = None
     if probe_flips:
         masks = [0] + [1 << i for i in range(probe_flips)]
         if probe_radius == 2:
@@ -720,33 +782,24 @@ def ann_topk(
                 (1 << a) | (1 << b)
                 for a, b in combinations(range(probe_flips), 2)
             ]
-        q = q.select(
-            "__qid", "__qv", "__qn", "__t",
-            F.explode(
-                F.array(*[
-                    F.col("__b").bitwiseXOR(F.lit(m).cast("long"))
-                    for m in masks
-                ])
-            ).alias("__b"),
-        )
-    c = _with_lsh_buckets(
-        corpus, corpus_id, corpus_vec, "neighbor_id", "__cv", bits, tables,
-        hash_family, norma="__cn", dim=dim,
+    cand = _lsh_candidate_ids(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        bits, tables, hash_family, dim, exclude_self, probe_masks=masks,
     )
-    joined = c.join(q, ["__t", "__b"])
-    if exclude_self:
-        joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
-    cand = joined.select(
-        "__qid", "__qv", "__qn", "neighbor_id", "__cv", "__cn"
-    ).distinct()
-    scored = cand.select(
-        F.col("__qid").alias(query_id),
-        "neighbor_id",
-        F.round(
-            _pair_cosine(F.col("__qv"), F.col("__cv"),
-                         F.col("__qn"), F.col("__cn"), dim),
-            4,
-        ).alias("cosine_sim"),
+    qv = _vec_side(queries, query_id, query_vec, "__qid", "__qv", "__qn", dim)
+    cv = _vec_side(corpus, corpus_id, corpus_vec, "__cid", "__cv", "__cn", dim)
+    scored = (
+        cand.join(qv, "__qid")
+        .join(cv, "__cid")
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias("neighbor_id"),
+            F.round(
+                _pair_cosine(F.col("__qv"), F.col("__cv"),
+                             F.col("__qn"), F.col("__cn"), dim),
+                4,
+            ).alias("cosine_sim"),
+        )
     )
     # A malformed vector (ragged row, zero norm) yields a NULL
     # cosine_sim; without a threshold stage NULLs would otherwise rank

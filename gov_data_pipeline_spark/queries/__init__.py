@@ -99,8 +99,9 @@ _PRIORITY: tuple[str, ...] = (
     "q72_upsert_latest",
     "q73_salted_join",
     "q78_grouping_sets",
-    # r08 greens, name-ordered; the driver sample boundary (50) falls
-    # 15 entries into this cohort — boundary ties are allowed
+    # r08 greens, name-ordered; with the 6 r11-new entries + 35 r07
+    # above, the driver sample boundary (50) falls 9 entries into this
+    # cohort — boundary ties are allowed
     "q06_asof_join",
     "q100_source_cap_sample",
     "q101_source_quality_gate",

@@ -772,7 +772,9 @@ ORDER BY d.doc_id
 # text scan, broadcast model, one corpus shuffle.
 # ---------------------------------------------------------------------------
 
-_HAN26 = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+# the 26-codepoint Han alphabet lives in dedup_sim (q191 shares it);
+# one definition so the two Han-synthesis queries cannot drift
+from gov_data_pipeline_spark.queries.dedup_sim import _HAN as _HAN26  # noqa: E402
 
 
 def q192_quality_linear_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,7 +825,7 @@ docs AS (
          CASE WHEN doc_id % 2 = 0
               THEN regexp_replace(
                      translate(text, 'abcdefghijklmnopqrstuvwxyz',
-                               '的一是不了人我在有他这中大来上国个到说们为子和你地出'),
+                               '__HAN26__'),
                      '\s+', '', 'g')
               ELSE text END AS text
   FROM documents),
@@ -863,7 +865,7 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN sums s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id
-"""
+""".replace("__HAN26__", _HAN26)
 
 
 _Q166_SQL = "\nUNION ALL\n".join(

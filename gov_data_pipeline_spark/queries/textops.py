@@ -294,8 +294,10 @@ def q194_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"
 _PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 _PII_PHONE = (
-    r"(\+[0-9]{1,3}[ -]?)?(\([0-9]{2,4}\)[ -]?)?"
-    r"[0-9]{2,4}([ -][0-9]{2,4}){1,3}"
+    r"(?:\+[0-9]{1,3}[ -]?(?:\([0-9]{2,4}\)[ -]?)?[0-9]{2,4}(?:[ -]?[0-9]{2,4}){1,3}"
+    r"|\([0-9]{2,4}\)[ -]?[0-9]{3,4}(?:[ -][0-9]{3,4}){0,2}"
+    r"|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
+    r"|[0-9]{3,4} [0-9]{4})"
 )
 
 _Q194_SQL = rf"""

@@ -171,9 +171,16 @@ def redact_long_col(col: Column, max_len: int = 100, keep: int = 50) -> Column:
 # Email: RFC-ish local@domain.tld with a 2+-letter TLD. IPv4: four
 # 1-3-digit octets (no value-range check — a scrubber over-masking
 # 999.999.999.999 costs nothing; under-masking a real IP does). Phone:
-# international-ish +NN... or NNN-NNN-NNNN / (NNN) NNN-NNNN shapes, 7+
-# digits total. Order matters: emails first (their local parts can
-# contain digits a phone pattern might nibble), then IPs, then phones.
+# an ordered alternation that requires a PHONE MARKER or enough
+# digits — (a) a + country prefix, any grouping after it; (b) a
+# parenthesized area code; (c) bare 3-3-4 with separators (NANP);
+# (d) a bare space-separated {3,4}+{4} pair. A bare digit PAIR like
+# 'pages 12 34' or a dashed range like '1990-1995' or a date
+# '2026-08-16' matches NONE of the branches (review-caught r11: the
+# first cut's optional-everything shape masked any two number groups,
+# destructively rewriting dates and page ranges corpus-wide). Order
+# matters across families: emails first (their local parts can contain
+# digits a phone pattern might nibble), then IPs, then phones.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     (
         "email",
@@ -187,7 +194,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ),
     (
         "phone",
-        r"(\+[0-9]{1,3}[ -]?)?(\([0-9]{2,4}\)[ -]?)?[0-9]{2,4}([ -][0-9]{2,4}){1,3}",
+        r"(?:\+[0-9]{1,3}[ -]?(?:\([0-9]{2,4}\)[ -]?)?[0-9]{2,4}(?:[ -]?[0-9]{2,4}){1,3}"
+        r"|\([0-9]{2,4}\)[ -]?[0-9]{3,4}(?:[ -][0-9]{3,4}){0,2}"
+        r"|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
+        r"|[0-9]{3,4} [0-9]{4})",
         "<PHONE>",
     ),
 )
@@ -202,14 +212,23 @@ def scrub_pii_col(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
     ASCII classes, identical in Java regex and RE2, so the DuckDB
     oracle (q194) reproduces the masked text byte-for-byte.
 
-    ``kinds`` restricts/reorders the families (default: all of
-    ``PII_PATTERNS`` in its order — email before IP before phone, so a
-    digit-bearing email local part is masked before the phone pattern
-    can nibble it). Counting the masked spans is
+    ``kinds`` restricts/reorders the families (default ``None`` = all
+    of ``PII_PATTERNS`` in its order — email before IP before phone,
+    so a digit-bearing email local part is masked before the phone
+    pattern can nibble it); an explicit empty tuple is a no-op, and an
+    unknown kind raises ValueError naming the valid ones (not a bare
+    KeyError). Counting the masked spans is
     ``pii_count_col(col, kind)`` — same pattern, ``regexp_count``."""
     wanted = {k: (p, r) for k, p, r in PII_PATTERNS}
+    if kinds is None:
+        kinds = tuple(wanted)
+    unknown = [k for k in kinds if k not in wanted]
+    if unknown:
+        raise ValueError(
+            f"unknown PII kind(s) {unknown}; valid: {sorted(wanted)}"
+        )
     out = col
-    for kind in kinds or tuple(k for k, _, _ in PII_PATTERNS):
+    for kind in kinds:
         pat, repl = wanted[kind]
         out = F.regexp_replace(out, pat, repl)
     return out
@@ -217,9 +236,16 @@ def scrub_pii_col(col: Column, kinds: tuple[str, ...] | None = None) -> Column:
 
 def pii_count_col(col: Column, kind: str) -> Column:
     """Occurrence count of one PII family (see ``PII_PATTERNS``) —
-    the audit metric beside the scrub."""
-    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
-    return F.regexp_count(col, F.lit(pat)).cast("long")
+    the audit metric beside the scrub. NOTE: counts are per family on
+    the ORIGINAL text; because the scrub applies families in order, a
+    span matched by two families masks once but counts in both —
+    don't sum families and call it "spans masked"."""
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    if kind not in pats:
+        raise ValueError(
+            f"unknown PII kind {kind!r}; valid: {sorted(pats)}"
+        )
+    return F.regexp_count(col, F.lit(pats[kind])).cast("long")
 
 
 def canonical_text_col(col: Column, token_classes: str = "ascii") -> Column:

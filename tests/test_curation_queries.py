@@ -136,6 +136,30 @@ class TestSemDedup:
         assert 99 not in ids
         assert ids == set(range(1, 9))
 
+    def test_ragged_vectors_assign_deterministically(self, spark):
+        """A RAGGED vector (length != seed length) survives the NULL
+        filter but scores NULL __d2 against every seed; with
+        asc_nulls_last (review-caught r11) both engines fall to the
+        seed-id tiebreak, so the row lands in cell 1 deterministically
+        instead of diverging on NULL placement."""
+        from gov_data_pipeline_spark.operators.similarity import (
+            semdedup_cells,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(1, 9)]
+            + [(99, [1.0, 2.0, 3.0])],  # ragged: 3 dims vs 2
+            "id long, vec array<double>",
+        )
+        out = {
+            r["id"]: r["cell"]
+            for r in semdedup_cells(
+                df, "id", "vec", cell_target=4, k_min=2
+            ).collect()
+        }
+        assert out[99] == 1
+        assert set(out) == set(range(1, 9)) | {99}
+
     def test_cell_count_scales_with_corpus(self, spark, sf_dir):
         from gov_data_pipeline_spark.queries.dedup_sim import (
             _Q181_CELL,

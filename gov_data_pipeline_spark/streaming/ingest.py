@@ -38,17 +38,19 @@ from pyspark.sql.streaming import DataStreamWriter
 
 def _pin_batch(df: DataFrame) -> DataFrame:
     """Per-batch pin for a frame with >1 consumer inside one
-    foreachBatch invocation: LAZY localCheckpoint — lineage cut and
-    read-once like the eager form, but materialized by the first
-    consumer instead of by a dedicated job. Measured on the sf0.1
-    4-batch neardup bench (r11): eager localCheckpoint 7.97 s, lazy
-    7.57 s, persist(MEMORY_AND_DISK) 12.77 s — the cache's columnar
-    encode of document text costs far more than the job it saves, and
-    the eager pin's extra job per batch is the next-largest term on a
-    floor that is ~all job/stage scheduling (PLANS.md round-6
-    decomposition). Blocks are executor-local and freed by GC, same
-    lifecycle as the eager form."""
-    return df.localCheckpoint(eager=False)
+    foreachBatch invocation: EAGER localCheckpoint. All three forms
+    were measured on the sf0.1 4-batch neardup bench (r11, PLANS.md):
+    persist(MEMORY_AND_DISK) loses big (12.77 s vs ~8 — the cache's
+    columnar encode of document text costs far more than the job it
+    saves), and lazy localCheckpoint(eager=False) loses the read-once
+    property exactly when it matters: the pinned frame's consumers are
+    SIBLING STAGES of one job, scheduled concurrently, and lazy
+    checkpoint blocks only exist after one of them finishes — so both
+    recompute the source (back-to-back triples: lazy 9.05/9.07/9.29 s,
+    eager 7.48/8.22 s at matched load). The eager pin's dedicated job
+    is the price of actually computing once. Blocks are
+    executor-local, freed by GC."""
+    return df.localCheckpoint()
 
 
 def _read_corpus_or_none(spark: SparkSession, corpus_path: str) -> DataFrame | None:

@@ -45,72 +45,15 @@ _MODULES = (
 # The driver's per-round correctness run samples the FIRST 50 entries of
 # ``queries()`` (insertion order).  Invariant for this tuple: queries with
 # no driver-green row yet enumerate first, then greens from stalest round
-# to freshest; everything green in the LATEST driver round is demoted past
-# position 50 (falls through to module order).  Re-derive the ordering
-# from CORRECTNESS_r{N}.json every round — never trust last round's order.
-# Re-derived after r10 from all CORRECTNESS_r*.json (tripwire:
-# tests/test_registry.py::test_priority_rotation_is_fresh). Latest
-# green rounds after r10: 35 queries at r07, 50 at r08, 50 at r09,
-# 50 at r10. New round-11 queries (no driver row) lead; then the full
-# r07 cohort; the 50 r08 greens follow in name order and straddle the
-# sample boundary (tie across the boundary — allowed); r09/r10 greens
-# fall through to module order.
+# to freshest; ties across the sample boundary are allowed.  Re-derive
+# with ``python scripts/derive_priority.py`` at the start of EVERY round
+# (after a new CORRECTNESS file lands) and after registering new queries
+# — never trust last round's order.  Tripwire:
+# tests/test_registry.py::test_priority_rotation_is_fresh.
+# Re-derived after r11: cohorts 41 at r08, 50 each at r09/r10/r11; the
+# r09 cohort straddles the sample boundary (tie — allowed).
 _PRIORITY: tuple[str, ...] = (
-    # new in r11 (no driver row yet)
-    "q190_ann_multiprobe_recall",
-    "q191_cjk_normalized_dedup",
-    "q192_quality_linear_cjk",
-    "q193_bpe_ranks_count",
-    "q194_pii_scrub",
-    "q195_bpe_budget_pack",
-    # stalest cohort: last driver row r07 (35 queries)
-    "q140_semantic_decontaminate_lsh",
-    "q141_jpeg_dims",
-    "q142_source_overlap",
-    "q143_distinctive_terms",
-    "q144_duplicate_passages",
-    "q145_cluster_split",
-    "q146_epoch_mixture",
-    "q147_data_card",
-    "q148_event_throttle",
-    "q149_doc_pack_nfd",
-    "q14_topk_orders",
-    "q150_stream_throttle",
-    "q15_intersect",
-    "q16_except",
-    "q18_row_index",
-    "q19_count_distinct",
-    "q25_header_promotion",
-    "q28_redact",
-    "q30_string_funcs",
-    "q31_regex",
-    "q32_dates",
-    "q42_minhash_lsh",
-    "q43_simhash",
-    "q45_ann_lsh",
-    "q50_llm_enrich",
-    "q51_llm_correction",
-    "q52_multimodal",
-    "q55_ann_ivf",
-    "q56_cosine_neardup_gemm",
-    "q58_overlap_pairs",
-    "q59_incremental_dedup",
-    "q65_hash_sample",
-    "q72_upsert_latest",
-    "q73_salted_join",
-    "q78_grouping_sets",
-    # r08 greens, name-ordered; with the 6 r11-new entries + 35 r07
-    # above, the driver sample boundary (50) falls 9 entries into this
-    # cohort — boundary ties are allowed
-    "q06_asof_join",
-    "q100_source_cap_sample",
-    "q101_source_quality_gate",
-    "q102_funnel",
-    "q103_retention",
-    "q104_embed_topk",
-    "q105_corpus_diff",
-    "q106_unpivot",
-    "q107_negative_sampling",
+    # latest green r08
     "q108_time_weighted_avg",
     "q109_session_paths",
     "q110_value_histogram",
@@ -152,6 +95,159 @@ _PRIORITY: tuple[str, ...] = (
     "q85_chunk_documents",
     "q86_sequence_pack",
     "q87_decontaminate",
+    # latest green r09
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_semi_join",
+    "q114_psi_drift",
+    "q117_ohlc_bars",
+    "q118_embed_quantize",
+    "q119_trend_regression",
+    "q121_zipf_slope",
+    "q123_markov_transitions",
+    "q124_ab_welch",
+    "q125_heavy_hitters",
+    "q126_hourly_percentile_bands",
+    "q127_time_to_convert",
+    "q129_html_extract",
+    "q130_url_normalize",
+    "q131_pagerank",
+    "q132_sitemap_extract",
+    "q133_robots_gate",
+    "q134_image_dims",
+    "q135_media_meta",
+    "q136_parquet_roundtrip",
+    "q162_excel_roundtrip",
+    "q163_containment_dedup",
+    "q164_quality_linear",
+    "q165_eval_sample",
+    "q166_column_profile",
+    "q20_clean_text",
+    "q21_reg_num",
+    "q22_exclusion",
+    "q23_clean_cell",
+    "q24_merge_continuation",
+    "q26_approx_agg",
+    "q33_math",
+    "q35_array",
+    "q37_base64",
+    "q40_exact_dedup",
+    "q41_jaccard_pairs",
+    "q44_cosine_topk",
+    "q88_repetition_filter",
+    "q89_curation_pipeline",
+    "q90_pii_redact",
+    "q91_scd2_history",
+    "q92_bucketed_join",
+    "q93_outlier_zscore",
+    "q94_unigram_logprob",
+    "q95_inverted_index",
+    "q96_winsorize",
+    "q97_time_rollup",
+    "q98_point_in_time_join",
+    "q99_hybrid_retrieval",
+    # latest green r10
+    "q04_anti_join",
+    "q05_band_join",
+    "q07_rollup",
+    "q08_cube",
+    "q09_group_concat",
+    "q10_window_rank",
+    "q115_weighted_sample",
+    "q116_mad_outliers",
+    "q120_token_entropy",
+    "q122_k_anonymity",
+    "q128_expectations",
+    "q12_running_sum",
+    "q137_pagerank_mass",
+    "q138_semantic_decontaminate",
+    "q139_char_budget_mix",
+    "q167_quality_linear_unicode",
+    "q168_quality_trained",
+    "q169_unicode_normalized_dedup",
+    "q170_script_profile",
+    "q171_bigram_logprob",
+    "q172_top_ngram_fraction",
+    "q173_multilingual_curation",
+    "q174_temperature_quota",
+    "q175_phrase_merges",
+    "q176_passage_removal",
+    "q177_dsir_select",
+    "q178_boilerplate_lines",
+    "q179_pr_curve",
+    "q180_lm_buckets",
+    "q181_semdedup",
+    "q182_contamination_fraction",
+    "q183_dup_lines",
+    "q184_mixture_materialize",
+    "q185_bpe_encode",
+    "q186_ann_recall",
+    "q187_minhash_calibration",
+    "q188_ivf_recall",
+    "q189_margin_mining",
+    "q46_cosine_neardup",
+    "q47_text_stats",
+    "q48_lang_id",
+    "q49_fingerprint",
+    "q57_winnowing",
+    "q67_dedup_clusters",
+    "q68_bm25",
+    "q69_stratified_sample",
+    "q70_frequent_terms",
+    "q74_semantic_clusters",
+    "q75_corpus_pipeline",
+    "q77_fuzzy_join",
+    # latest green r11
+    "q06_asof_join",
+    "q100_source_cap_sample",
+    "q101_source_quality_gate",
+    "q102_funnel",
+    "q103_retention",
+    "q104_embed_topk",
+    "q105_corpus_diff",
+    "q106_unpivot",
+    "q107_negative_sampling",
+    "q140_semantic_decontaminate_lsh",
+    "q141_jpeg_dims",
+    "q142_source_overlap",
+    "q143_distinctive_terms",
+    "q144_duplicate_passages",
+    "q145_cluster_split",
+    "q146_epoch_mixture",
+    "q147_data_card",
+    "q148_event_throttle",
+    "q149_doc_pack_nfd",
+    "q14_topk_orders",
+    "q150_stream_throttle",
+    "q15_intersect",
+    "q16_except",
+    "q18_row_index",
+    "q190_ann_multiprobe_recall",
+    "q191_cjk_normalized_dedup",
+    "q192_quality_linear_cjk",
+    "q193_bpe_ranks_count",
+    "q194_pii_scrub",
+    "q195_bpe_budget_pack",
+    "q19_count_distinct",
+    "q25_header_promotion",
+    "q28_redact",
+    "q30_string_funcs",
+    "q31_regex",
+    "q32_dates",
+    "q42_minhash_lsh",
+    "q43_simhash",
+    "q45_ann_lsh",
+    "q50_llm_enrich",
+    "q51_llm_correction",
+    "q52_multimodal",
+    "q55_ann_ivf",
+    "q56_cosine_neardup_gemm",
+    "q58_overlap_pairs",
+    "q59_incremental_dedup",
+    "q65_hash_sample",
+    "q72_upsert_latest",
+    "q73_salted_join",
+    "q78_grouping_sets",
 )
 
 

@@ -21,7 +21,10 @@ from gov_data_pipeline_spark.transforms import (
     merge_continuation_rows,
     normalize_reg_num_col,
 )
-from gov_data_pipeline_spark.transforms.text import exclusion_flag_col
+from gov_data_pipeline_spark.transforms.text import (
+    PII_PATTERNS,
+    exclusion_flag_col,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -291,14 +294,16 @@ def q194_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}"
-_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
-_PII_PHONE = (
-    r"(?:\+[0-9]{1,3}[ -]?(?:\([0-9]{2,4}\)[ -]?)?[0-9]{2,4}(?:[ -]?[0-9]{2,4}){1,3}"
-    r"|\([0-9]{2,4}\)[ -]?[0-9]{3,4}(?:[ -][0-9]{3,4}){0,2}"
-    r"|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
-    r"|[0-9]{3,4} [0-9]{4})"
-)
+# Oracle regexes DERIVED from the one source of truth
+# (transforms.text.PII_PATTERNS — RE2-compatible by that module's
+# cross-engine contract) instead of re-declared literals: an edit to
+# the scrub patterns now reaches the oracle in the same commit rather
+# than drifting silently until a driver run catches it (the q192/_HAN
+# convention; review-caught r11).
+_PII_RE = {k: p for k, p, _ in PII_PATTERNS}
+_PII_EMAIL = _PII_RE["email"]
+_PII_IP = _PII_RE["ip"]
+_PII_PHONE = _PII_RE["phone"]
 
 _Q194_SQL = rf"""
 WITH planted AS (

@@ -126,8 +126,8 @@ def incremental_dedup_sink(
         spark = batch_df.sparkSession
         # Pin the micro-batch: the dedup lineage references it twice
         # (anti-join input and winners aggregate) and an unpinned
-        # streaming source would be re-read once per reference. Lazy
-        # pin — no extra job per batch (_pin_batch has the A/B data).
+        # streaming source would be re-read once per reference. Eager
+        # pin — see _pin_batch's A/B for why lazy loses read-once.
         batch_df = _pin_batch(batch_df)
         seen = _read_corpus_or_none(spark, corpus_path)
         healed = None
@@ -291,18 +291,18 @@ def incremental_neardup_sink(
             missing = corpus.join(
                 stored.select(id_col), id_col, "left_anti"
             )
-        # pinned lazily: consumed by the dedup joins AND the sidecar
-        # append (see _pin_batch — no eager job on the per-batch floor)
+        # pinned (eager — _pin_batch): consumed by the dedup joins
+        # AND the sidecar append
         heal = _pin_batch(_profile(missing))
         prof_c = heal if stored is None else stored.unionByName(heal)
         return prof_c, heal
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # lazy pin (r11): the batch feeds the profile aggregate and
-        # the final anti-join — two consumers, one source read — and
-        # the lazy form gives that without the eager pin's extra job
-        # per micro-batch (see _pin_batch for the A/B numbers)
+        # eager pin (r11 A/B, see _pin_batch): the batch feeds the
+        # profile aggregate and the final anti-join — two sibling
+        # consumers, and only the eager form actually reads the
+        # streaming source once
         batch_df = _pin_batch(batch_df)
         corpus = _read_corpus_or_none(spark, corpus_path)
 
@@ -480,7 +480,7 @@ def scored_ingest_sink(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # lazy pin: read-once with zero extra jobs per batch
+        # eager pin (see _pin_batch): read-once across sibling consumers
         batch_df = _pin_batch(batch_df)
         for prior_path in (corpus_path, quarantine_path):
             if prior_path is None:
@@ -592,7 +592,7 @@ def decontaminating_ingest_sink(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # lazy pin: read-once with zero extra jobs per batch
+        # eager pin (see _pin_batch): read-once across sibling consumers
         batch_df = _pin_batch(batch_df)
         for prior_path in (corpus_path, quarantine_path):
             if prior_path is None:

@@ -174,13 +174,26 @@ def redact_long_col(col: Column, max_len: int = 100, keep: int = 50) -> Column:
 # an ordered alternation that requires a PHONE MARKER or enough
 # digits — (a) a + country prefix, any grouping after it; (b) a
 # parenthesized area code; (c) bare 3-3-4 with separators (NANP);
-# (d) a bare space-separated {3,4}+{4} pair. A bare digit PAIR like
-# 'pages 12 34' or a dashed range like '1990-1995' or a date
-# '2026-08-16' matches NONE of the branches (review-caught r11: the
-# first cut's optional-everything shape masked any two number groups,
-# destructively rewriting dates and page ranges corpus-wide). Order
-# matters across families: emails first (their local parts can contain
-# digits a phone pattern might nibble), then IPs, then phones.
+# (d) a bare space-separated {3,4} {3,4} {4} TRIPLE (>= 10 digits).
+# A bare digit PAIR like 'pages 12 34', a dashed range '1990-1995', a
+# date '2026-08-16', an adjacent year pair 'fiscal 2024 2025', and an
+# ISBN fragment '978 0262' match NONE of the branches (review-caught
+# r11/r12: earlier cuts masked any TWO number groups, destructively
+# rewriting dates, page ranges and year pairs corpus-wide). A
+# space-separated TRIPLE ending in 4 digits ('2024 2025 2026') does
+# mask — >= 10 digits is the line where over-masking is the accepted
+# posture; narrowing the first group to {3} would instead SPLIT the
+# leading year ('2<PHONE>', regex can start mid-run without
+# lookbehind), which corrupts rather than masks. Documented residual over-mask: a digit run ADJACENT
+# to a real marker form can partially match — '1234-567-8901' masks
+# as '1<PHONE>' via branch (c) — accepted scrubber posture (prefer
+# over-masking near phone-shaped spans; boundary guards would need
+# capture-group replacements whose backreference syntax differs
+# between Java regex ($1) and RE2 (\\1), breaking the shared-pattern
+# oracle contract, and would under-mask adjacent phones separated by
+# one char). Pinned in tests/test_transforms.py. Order matters across
+# families: emails first (their local parts can contain digits a
+# phone pattern might nibble), then IPs, then phones.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     (
         "email",
@@ -197,7 +210,7 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
         r"(?:\+[0-9]{1,3}[ -]?(?:\([0-9]{2,4}\)[ -]?)?[0-9]{2,4}(?:[ -]?[0-9]{2,4}){1,3}"
         r"|\([0-9]{2,4}\)[ -]?[0-9]{3,4}(?:[ -][0-9]{3,4}){0,2}"
         r"|[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
-        r"|[0-9]{3,4} [0-9]{4})",
+        r"|[0-9]{3,4} [0-9]{3,4} [0-9]{4})",
         "<PHONE>",
     ),
 )

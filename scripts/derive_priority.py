@@ -1,0 +1,75 @@
+"""Re-derive ``queries/__init__._PRIORITY`` from CORRECTNESS_r*.json.
+
+The driver samples the FIRST 50 entries of ``queries()`` each round.  The
+rotation invariant (pinned by tests/test_registry.py::
+test_priority_rotation_is_fresh) is: no query inside the sample may have a
+fresher latest-green driver round than any query outside it.  This script
+prints the full ordering — never-sampled queries first, then ascending
+latest-green round, name order within a cohort — ready to paste into the
+``_PRIORITY`` tuple.  Run it at the START of every round, after any
+``CORRECTNESS_r{N}.json`` lands, and again after registering new queries.
+
+Usage::
+
+    python scripts/derive_priority.py          # print the tuple body
+    python scripts/derive_priority.py --stats  # cohort histogram only
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_green_rounds() -> dict[str, int]:
+    """query name -> latest driver round with a hash-green row."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") is None and "hash_match" not in row
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    from gov_data_pipeline_spark.queries import all_queries
+
+    greens = latest_green_rounds()
+    names = list(all_queries())
+    # sort key: (latest green round, name); never-green sorts first (round 0)
+    ordered = sorted(names, key=lambda n: (greens.get(n, 0), n))
+
+    if "--stats" in sys.argv:
+        from collections import Counter
+
+        hist = Counter(greens.get(n, 0) for n in names)
+        for rnd in sorted(hist):
+            label = "never" if rnd == 0 else f"r{rnd:02d}"
+            print(f"{label}: {hist[rnd]}")
+        boundary = ordered[49] if len(ordered) > 49 else ordered[-1]
+        print(f"sample boundary (pos 50): {boundary} (r{greens.get(boundary, 0):02d})")
+        return
+
+    prev_rnd = None
+    for name in ordered:
+        rnd = greens.get(name, 0)
+        if rnd != prev_rnd:
+            label = "never sampled (no driver row)" if rnd == 0 else f"latest green r{rnd:02d}"
+            print(f"    # {label}")
+            prev_rnd = rnd
+        print(f'    "{name}",')
+
+
+if __name__ == "__main__":
+    main()

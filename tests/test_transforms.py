@@ -569,6 +569,51 @@ def test_scrub_pii_masks_and_counts(spark):
     assert "<IP>" in only_ip and "a.b+99@ex.co" in only_ip
 
 
+def test_scrub_pii_phone_posture(spark):
+    """Phone-pattern posture pins (r12, verdict #6 / ADVICE): the
+    space-only form needs a {3,4} {3,4} {4} TRIPLE (>= 10 digits) —
+    adjacent year pairs ('2024 2025'), ISBN fragments ('978 0262'),
+    page pairs, dashed ranges, dates and bare mid-run pairs are NOT
+    masked; >=10-digit space triples and all marker forms ARE. The one
+    documented residual over-mask: a 4-digit run flowing into a dashed
+    NANP tail masks partially ('1234-567-8901' -> '1<PHONE>') — RE2
+    has no lookbehind, and a capture-group boundary guard would need
+    engine-specific backreference replacement syntax."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.transforms import scrub_pii_col
+
+    cases = {
+        # not phones — must survive untouched
+        1: ("fiscal years 2024 2025", "fiscal years 2024 2025"),
+        2: ("ISBN 978 0262 oh", "ISBN 978 0262 oh"),
+        3: ("pages 12 34", "pages 12 34"),
+        4: ("range 1990-1995", "range 1990-1995"),
+        5: ("on 2026-08-16", "on 2026-08-16"),
+        6: ("123456789 12345678", "123456789 12345678"),
+        # phones — masked
+        7: ("call 212 555 0187 now", "call <PHONE> now"),
+        8: ("call 081 2345 6789 now", "call <PHONE> now"),
+        9: ("tel 555-123-4567 end", "tel <PHONE> end"),
+        10: ("(495) 123-4567", "<PHONE>"),
+        # documented posture edges
+        11: ("2024 2025 2026", "<PHONE>"),  # >=10-digit space triple
+        12: ("1234-567-8901", "1<PHONE>"),  # residual partial mask
+        13: ("0612 3456 local", "0612 3456 local"),  # pair: under the bar
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "id int, t string"
+    )
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", scrub_pii_col(F.col("t"), kinds=("phone",)).alias("c")
+        ).collect()
+    }
+    for k, (_, want) in cases.items():
+        assert got[k] == want, (k, got[k], want)
+
+
 def test_canonical_text_dedup_key(spark):
     """canonical_text_col: case/punct/whitespace variants share one
     key (the q159 semantics) while genuinely different text does not;

@@ -67,6 +67,13 @@ HEADLINE = [
     # shapes the rest of the set never executes.
     "q190_ann_multiprobe_recall",
     "q193_bpe_ranks_count",
+    # round-12 additions: the seeded-shuffle jsonl export (shard
+    # exchange + in-partition sort + partitioned file sink, read back)
+    # and the multiclass broadcast-model router (per-class int64
+    # logits + argmax window) — plan shapes the rest of the set never
+    # executes.
+    "q196_shuffled_export",
+    "q198_multiclass_route",
 ]
 
 # The set every round before r09 measured — its subtotal is emitted as

@@ -88,13 +88,18 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     counts["packed"] = packed.count()
     counts["packs"] = packed.select("source", "pack_id").distinct().count()
 
-    # --- 6. sharded JSONL export ----------------------------------------
+    # --- 6. seeded-shuffle sharded JSONL export -------------------------
+    # shard membership and within-shard order are md5(seed:doc_id)
+    # functions, so re-running the export reproduces every shard file
+    # byte-for-byte — the trainer's reproducible-global-shuffle contract
     write_jsonl(
         packed.select("doc_id", "source", "pack_id", "n_tokens", "text"),
         out_dir,
         mode="overwrite",
         shards=4,
         compression="gzip",
+        shuffle_by="doc_id",
+        shuffle_seed=7,
     )
     return counts
 

@@ -115,6 +115,48 @@ def dump_mergeable_ranks(ranks: dict[bytes, int], path: str) -> None:
             f.write(base64.b64encode(tok) + b" " + str(rank).encode() + b"\n")
 
 
+def synthetic_mergeable_ranks(n_ranks: int = 50304) -> dict[bytes, int]:
+    """Deterministic production-SIZED mergeable-ranks table for
+    throughput evidence (r12 verdict item: the q193/q195 oracles run a
+    30-entry fixture table, so the per-word merge loop — the
+    pipeline's one per-token Python cost — was never measured at a
+    realistic vocabulary). Mimics the tiktoken table shape without
+    shipping a real model file:
+
+    - ranks 0-255: the 256 single bytes (every real table starts so);
+    - then every [a-z] 2-gram (676), every 3-gram (17 576), then
+      4-grams, each tier ordered by md5(token) — deterministic but
+      structureless, like learned merge order — until ``n_ranks``.
+
+    With all 2/3-grams present, every adjacent letter pair merges and
+    most longer spans cascade, so the merge loop's iteration count per
+    word matches a real English vocabulary's regime (words collapse to
+    ~len/3-len/4 tokens) instead of the 30-entry fixture's mostly-miss
+    fast path. Default 50 304 = the GPT-2 vocab size rounded to the
+    common 128-multiple convention. scripts/bpe_scale_bench.py
+    round-trips this table through dump/load_mergeable_ranks (the
+    tiktoken file format) and measures counting + packing throughput
+    at sf1.0; SCALE.md records the numbers."""
+    import itertools
+
+    ranks: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    rank = 256
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    for length in (2, 3, 4):
+        if rank >= n_ranks:
+            break
+        toks = ["".join(t) for t in itertools.product(alpha, repeat=length)]
+        toks.sort(
+            key=lambda t: hashlib.md5(t.encode("ascii")).hexdigest()
+        )
+        for t in toks:
+            if rank >= n_ranks:
+                break
+            ranks[t.encode("ascii")] = rank
+            rank += 1
+    return ranks
+
+
 def bpe_token_count(col: Column, ranks: dict[bytes, int]) -> Column:
     """Token count of ``col`` under a REAL mergeable-ranks BPE
     vocabulary (tiktoken semantics — see the adapter note above), one

@@ -300,6 +300,118 @@ def train_linear_model(
     return w
 
 
+def class_count_model(
+    docs: DataFrame,
+    id_col: str,
+    text: Column,
+    label: Column,
+    n_features: int = 1 << 18,
+    bigrams: bool = True,
+    hash_family: str = "xxhash64",
+    token_classes: str = "ascii",
+) -> DataFrame:
+    """(class_id, feature_id, weight) — per-class hashed-token counts,
+    the simplest multiclass linear model (a naive-Bayes-shaped count
+    router: the class sharing the most vocabulary mass with a document
+    wins). ``weight`` is the exact int64 Σtf of the feature within the
+    class's documents, so the model — and every routing decision
+    scored from it — reproduces bit-for-bit in any engine (q198's
+    oracle rebuilds it from the same corpus).
+
+    Scale shape: ONE feature explode over one text scan (the
+    ``hashed_token_features`` plan), a map-side-combined groupBy on
+    (class, feature) — at most |classes| x n_features rows out, paid
+    once at model-build time. The label rides the feature frame as a
+    column (labels is a projection of ``docs``, not a separate join
+    against corpus-sized state)."""
+    base = docs.select(
+        F.col(id_col), text.alias("__text"), label.alias("class_id")
+    )
+    feats = hashed_token_features(
+        base,
+        id_col,
+        F.col("__text"),
+        n_features=n_features,
+        bigrams=bigrams,
+        hash_family=hash_family,
+        token_classes=token_classes,
+    )
+    labels = base.select(F.col(id_col), "class_id")
+    return (
+        feats.join(labels, id_col)
+        .groupBy("class_id", "feature_id")
+        .agg(F.sum("tf").cast("long").alias("weight"))
+    )
+
+
+def score_multiclass_model(
+    docs: DataFrame,
+    id_col: str,
+    text: Column,
+    weights: DataFrame,
+    n_features: int = 1 << 18,
+    bigrams: bool = True,
+    hash_family: str = "xxhash64",
+    token_classes: str = "ascii",
+    class_col: str = "class_id",
+    feature_col: str = "feature_id",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Route every document to one of k classes with a broadcast
+    (class, feature, weight) linear model — the fastText-langid shape
+    (k one-vs-all linear scorers sharing one hashed feature space):
+    returns ``docs`` + ``pred_class`` + ``logit`` (the winning class's
+    exact int64 score). Argmax is DETERMINISTIC: highest logit wins,
+    ties go to the smallest ``class_id`` (the row_number ordering is
+    total), so routing is bit-identical across engines and retries —
+    q198 pins it against DuckDB.
+
+    Plan (the q164 scorer widened by a class column — NO per-class
+    corpus scan): ONE feature explode -> broadcast-join the model
+    (a feature may carry several class rows; the join fans out by
+    classes-per-feature, bounded by k) -> one (id, class) sum -> one
+    per-id window for the argmax -> left-join back onto ``docs``.
+    The corpus text is read once; everything after the explode carries
+    (id, class, int64) rows only. Documents none of whose features hit
+    the model (or with no features at all) get NULL pred_class/logit —
+    route-to-fallback is the caller's explicit decision, not a silent
+    default class."""
+    from pyspark.sql import Window
+
+    feats = hashed_token_features(
+        docs.select(id_col, text.alias("__text")),
+        id_col,
+        F.col("__text"),
+        n_features=n_features,
+        bigrams=bigrams,
+        hash_family=hash_family,
+        token_classes=token_classes,
+    )
+    w = weights.select(
+        F.col(class_col).alias("__cls"),
+        F.col(feature_col).alias("feature_id"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    sums = (
+        feats.join(F.broadcast(w), "feature_id")
+        .groupBy(id_col, "__cls")
+        .agg(F.sum(F.col("tf") * F.col("__w")).alias("__logit"))
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("__logit").desc(), F.col("__cls").asc()
+    )
+    best = (
+        sums.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__cls").alias("pred_class"),
+            F.col("__logit").cast("long").alias("logit"),
+        )
+    )
+    return docs.join(best, id_col, "left")
+
+
 def pseudo_weights(
     spark, n_features: int = 1 << 18, spread: int = 1000
 ) -> DataFrame:

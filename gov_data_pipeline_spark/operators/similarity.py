@@ -397,31 +397,34 @@ def cell_cosine_pairs_gemm(
     )
 
 
-def ivf_topk(
+def ivf_cell_assign(
     queries: DataFrame,
     corpus: DataFrame,
     query_id: str,
     corpus_id: str,
     query_vec: str,
     corpus_vec: str,
-    k: int,
     n_centroids: int = 16,
     n_probe: int = 2,
-    exclude_self: bool = True,
-    dim: int | None = None,
-) -> DataFrame:
-    """IVF-style approximate top-k: partition the corpus into Voronoi
-    cells around ``n_centroids`` deterministic centroids (the lowest-id
-    corpus vectors — no training state, reproducible anywhere), then
-    search only the ``n_probe`` cells nearest to each query.
+    with_rank: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF coarse-quantization stage shared by ``ivf_topk`` and
+    the n_probe sweep report (q197): Voronoi cells around
+    ``n_centroids`` deterministic centroids (the lowest-id corpus
+    vectors — no training state, reproducible anywhere). Returns
+    ``(q_cells, c_cells)`` — ``q_cells`` is (``__qid``, cid) with the
+    ``n_probe`` nearest cells per query, ``c_cells`` is
+    (``neighbor_id``, cid) with exactly ONE cell per corpus vector.
+    ``with_rank`` adds the query-side probe rank as ``q_rn`` (1 =
+    nearest cell), letting a sweep run ONE assignment at the widest
+    depth and carve every shallower operating point as a prefix
+    filter.
 
-    Cell assignment is codegen'd end-to-end: vectors posexplode into
+    Assignment is codegen'd end-to-end: vectors posexplode into
     (id, dim, x) rows, join the broadcast centroid-dimension table, and
     one hash-aggregate computes every vector-centroid dot product; the
     distance ranking uses ||v-c||^2 = ||v||^2 - 2<v,c> + ||c||^2 with
-    the ||v||^2 term dropped (constant per vector). Search cost scales
-    with cell occupancy x n_probe, not |corpus|.
-    """
+    the ||v||^2 term dropped (constant per vector)."""
     cents = (
         corpus.orderBy(F.col(corpus_id).asc())
         .limit(n_centroids)
@@ -435,7 +438,10 @@ def ivf_topk(
         F.sum(F.col("__c") * F.col("__c")).alias("c2")
     )
 
-    def assign(df: DataFrame, idc: str, vecc: str, ida: str, probes: int) -> DataFrame:
+    def assign(
+        df: DataFrame, idc: str, vecc: str, ida: str, probes: int,
+        rank: bool = False,
+    ) -> DataFrame:
         ex = df.select(
             F.col(idc).alias(ida), F.posexplode(F.col(vecc)).alias("__d", "__x")
         )
@@ -448,14 +454,51 @@ def ivf_topk(
             "__dist", F.col("c2") - 2 * F.col("dot")
         )
         w = W.partitionBy(ida).orderBy(F.col("__dist").asc(), F.col("cid").asc())
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= probes)
-            .select(ida, "cid")
+        ranked = scored.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= probes
         )
+        if rank:
+            return ranked.select(ida, "cid", F.col("__rn").alias("q_rn"))
+        return ranked.select(ida, "cid")
 
-    q_cells = assign(queries, query_id, query_vec, "__qid", n_probe)
-    c_cells = assign(corpus, corpus_id, corpus_vec, "neighbor_id", 1)
+    return (
+        assign(queries, query_id, query_vec, "__qid", n_probe, rank=with_rank),
+        assign(corpus, corpus_id, corpus_vec, "neighbor_id", 1),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize with
+    ``ivf_cell_assign`` (see its docstring for the plan shape), then
+    score only query-cell co-residents. Search cost scales with cell
+    occupancy x n_probe, not |corpus|.
+
+    Default ``n_probe=4`` is MEASURED, not guessed: the q197 sweep
+    (16 centroids, k=5, 20 queries) recorded recall@5 AND candidate
+    count per n_probe — sf0.1 (50k corpus): 1 probe 0.85 recall at
+    2.5k candidates, 2 -> 0.86 @ 4.9k, 4 -> 0.89 @ 9.9k, 8 -> 0.92 @
+    19.8k; sf0.01 (5k): 0.78/0.81/0.85/0.93 at 0.6k/1.2k/2.4k/5k.
+    Candidates double per step while recall climbs a few points —
+    n_probe=4 buys most of the probing gain at ~1% of the corpus
+    scanned per query. Callers trade recall for cost by overriding
+    (the q55/q188 queries pin their own values); the sweep itself
+    stays registered (q197), so the table re-derives on any fixture."""
+    q_cells, c_cells = ivf_cell_assign(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        n_centroids=n_centroids, n_probe=n_probe,
+    )
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qv"),

@@ -584,8 +584,20 @@ def _pin_one_live(key: str, df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK — spills rather than OOMs when
     the pinned relation outgrows executor storage) and evict the
     PREVIOUS invocation's pin for ``key``. Lazy: no eager
-    materialization (costs ~0.6 s on the sf0.1 bench); the first
-    consumer populates the cache, later consumers hit it."""
+    materialization; the first consumer populates the cache, later
+    consumers hit it.
+
+    Lazy-vs-eager was A/B'd for q181 the same way the streaming sinks
+    were (r12, interleaved best-of-3 at sf0.1): lazy 5.44/4.51/4.23 s
+    vs eager(+count) 4.78/4.25/4.24 s — indistinguishable. Unlike the
+    sinks' _pin_batch (where sibling stages of ONE job race the cache
+    and lazy loses read-once), the pinned relations here are tiny
+    reductions (per-doc profiles, cell assignments) whose recompute
+    cost is dwarfed by the query's own scans, and rdd.persist caching
+    is per-PARTITION at task level — concurrent consumers mostly hit
+    blocks the first finished tasks stored. So lazy keeps the ~0 extra
+    jobs without measurable recompute loss; eager would just add a
+    materialization job of the same total cost."""
     from pyspark import StorageLevel
 
     pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -4053,6 +4065,203 @@ ORDER BY e.vec_id
 
 
 # ---------------------------------------------------------------------------
+# q197 — IVF n_probe SWEEP (r12, verdict item #4): q188 measured one
+# operating point (n_probe=3) and stopped; this report runs the whole
+# recall-vs-cost frontier — n_probe in {1,2,4,8} over the same 16-cell
+# coarse quantizer — and emits, per n_probe, aggregate recall@5
+# against the exact top-k AND the candidate count the probe paid for
+# it. The q190 convention for ANN evidence: recall is an ORACLED
+# REPORT, not a claim, and the measured knee is what justifies
+# ivf_topk's default (operators/similarity.py — n_probe=4). The cell
+# assignment runs ONCE at the widest probe depth (rn <= 8) and each
+# sweep point filters it (rn <= n_probe): one coarse-quantization pass
+# serves all four operating points, on both engines.
+# ---------------------------------------------------------------------------
+
+_Q197_PROBES = (1, 2, 4, 8)
+
+
+def q197_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from gov_data_pipeline_spark.operators.similarity import (
+        _norm,
+        _pair_cosine,
+        ivf_cell_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+    ).select(F.col("vec_id").alias("__eqid"), F.col("neighbor_id").alias("__enid"))
+
+    # ONE assignment at the widest probe depth, carrying the probe
+    # rank (q_rn); every sweep point below is a prefix filter of it —
+    # the oracle's cand_scored CTE mirrors this exactly
+    q_cells, c_cells = ivf_cell_assign(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        n_centroids=16, n_probe=max(_Q197_PROBES), with_rank=True,
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("__qid"),
+        F.col("embedding").alias("__qv"),
+        _norm(F.col("embedding")).alias("__qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("__cid"),
+        F.col("embedding").alias("__cv"),
+        _norm(F.col("embedding")).alias("__cn"),
+    )
+    # score every widest-depth candidate ONCE; each operating point
+    # reuses the scored relation through its q_rn prefix
+    all_scored = (
+        q_cells.join(c_cells, "cid")
+        .filter(F.col("__qid") != F.col("neighbor_id"))
+        .select("__qid", F.col("neighbor_id").alias("__cid"), "q_rn")
+        .join(F.broadcast(qv), "__qid")
+        .join(cv, "__cid")
+        .select(
+            "__qid", "__cid", "q_rn",
+            F.round(
+                _pair_cosine(
+                    F.col("__qv"), F.col("__cv"),
+                    F.col("__qn"), F.col("__cn"),
+                ),
+                4,
+            ).alias("__sim"),
+        )
+    )
+    parts = []
+    for np_ in _Q197_PROBES:
+        cand = all_scored.filter(F.col("q_rn") <= np_)
+        scored = cand.filter(F.col("__sim").isNotNull())
+        wp = W.partitionBy("__qid").orderBy(
+            F.col("__sim").desc(), F.col("__cid").asc()
+        )
+        top = (
+            scored.withColumn("__rk", F.row_number().over(wp))
+            .filter(F.col("__rk") <= 5)
+            .select("__qid", "__cid")
+        )
+        hits = exact.join(
+            top,
+            (F.col("__eqid") == F.col("__qid"))
+            & (F.col("__enid") == F.col("__cid")),
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("k_total"),
+            F.count("__cid").alias("n_hit"),
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+        parts.append(
+            hits.crossJoin(F.broadcast(n_cand)).select(
+                F.lit(np_).cast("int").alias("n_probe"),
+                F.col("k_total").cast("long").alias("k_total"),
+                F.col("n_hit").cast("long").alias("n_hit"),
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("k_total"), 4
+                ).alias("recall"),
+                F.col("n_cand").cast("long").alias("n_cand"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n_probe")
+
+
+def _q197_sql() -> str:
+    """The q188 oracle parametrized over n_probe and unioned — the
+    shared CTE prefix (exact top-k, centroids, corpus cells, query
+    distance ranking) computes once; each sweep point is a prefix
+    filter of the same ranked assignment."""
+    per_probe = "\nUNION ALL\n".join(
+        f"""SELECT {np_} AS n_probe,
+       (SELECT count(*) FROM exact_top) AS k_total,
+       (SELECT count(*) FROM exact_top e
+        JOIN (SELECT vec_id, neighbor_id FROM (
+                SELECT s.qid AS vec_id, s.nid AS neighbor_id,
+                       row_number() OVER (PARTITION BY s.qid
+                                          ORDER BY s.sim DESC, s.nid) AS rk
+                FROM cand_scored s WHERE s.q_rn <= {np_}) WHERE rk <= 5) a
+          ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id)
+         AS n_hit,
+       round((SELECT count(*) FROM exact_top e
+              JOIN (SELECT vec_id, neighbor_id FROM (
+                      SELECT s.qid AS vec_id, s.nid AS neighbor_id,
+                             row_number() OVER (PARTITION BY s.qid
+                                                ORDER BY s.sim DESC, s.nid) AS rk
+                      FROM cand_scored s WHERE s.q_rn <= {np_}) WHERE rk <= 5) a
+                ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+             )::DOUBLE
+             / (SELECT count(*) FROM exact_top), 4) AS recall,
+       (SELECT count(*) FROM cand_scored WHERE q_rn <= {np_}) AS n_cand"""
+        for np_ in _Q197_PROBES
+    )
+    return f"""
+WITH exact_scored AS (
+  SELECT q.vec_id,
+         c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20),
+exact_top AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rk
+    FROM exact_scored) WHERE rk <= 5),
+cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+q_assign AS (
+  SELECT e.vec_id AS qid, c.cid,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           AS dist
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < 20),
+q_cells AS (
+  SELECT qid, cid, rn AS q_rn FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM q_assign)
+  WHERE rn <= {max(_Q197_PROBES)}),
+c_assign AS (
+  SELECT e.vec_id AS nid, c.cid,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           AS dist
+  FROM embeddings e CROSS JOIN cents c),
+c_cells AS (
+  SELECT nid, cid FROM (
+    SELECT nid, cid,
+           row_number() OVER (PARTITION BY nid
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM c_assign)
+  WHERE rn = 1),
+cand_scored AS MATERIALIZED (
+  SELECT q.qid, c.nid, q.q_rn,
+         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ce.embedding AS DOUBLE[])), 4)
+           AS sim
+  FROM q_cells q
+  JOIN c_cells c ON q.cid = c.cid AND q.qid <> c.nid
+  JOIN embeddings qe ON qe.vec_id = q.qid
+  JOIN embeddings ce ON ce.vec_id = c.nid)
+SELECT * FROM ({per_probe})
+ORDER BY n_probe
+"""
+
+
+_Q197_SQL = _q197_sql()
+
+
+# ---------------------------------------------------------------------------
 # q189 — margin-based bitext mining (Artetxe & Schwenk 2019): align
 # two embedding spaces by RATIO margin instead of raw cosine — for
 # each query vector on side A (label-even), its best side-B
@@ -4198,6 +4407,7 @@ QUERIES = {
     "q190_ann_multiprobe_recall": q190_ann_multiprobe_recall,
     "q187_minhash_calibration": q187_minhash_calibration,
     "q188_ivf_recall": q188_ivf_recall,
+    "q197_ivf_probe_sweep": q197_ivf_probe_sweep,
     "q189_margin_mining": q189_margin_mining,
     "q75_corpus_pipeline": q75_corpus_pipeline,
     "q68_bm25": q68_bm25,
@@ -4250,6 +4460,7 @@ ORACLE = {
     "q190_ann_multiprobe_recall": _Q190_SQL,
     "q187_minhash_calibration": _Q187_SQL,
     "q188_ivf_recall": _Q188_SQL,
+    "q197_ivf_probe_sweep": _Q197_SQL,
     "q189_margin_mining": _Q189_SQL,
     "q75_corpus_pipeline": _Q75_SQL,
     "q77_fuzzy_join": _Q77_SQL,

@@ -1038,6 +1038,98 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# q196 — SEEDED DETERMINISTIC TRAINING-EXPORT SHUFFLE (r12, verdict
+# item #3): q152 pinned the jsonl sink's CONTENT; this pins its
+# LAYOUT. write_jsonl(shuffle_by, shuffle_seed) makes shard
+# membership AND within-shard line order pure functions of
+# (seed, doc_id) — key = md5(seed ':' id), shard = int(key[:8]) mod
+# shards, order = (key, id) — so a trainer re-running the export gets
+# byte-identical shard sequences (the q165 md5-rank machinery composed
+# into the sink). The query READS THE FILES BACK (gzip: one partition
+# per file, so line order survives the scan), recovers each row's
+# shard from its directory and its position from a per-file
+# row_number, and the oracle re-derives the full (doc_id, shard, pos)
+# assignment from scratch in DuckDB — the files on disk must agree
+# with closed-form math or the hash fails. Rerun stability (same
+# bytes twice) is additionally pinned in tests/test_sources_files.py.
+# ---------------------------------------------------------------------------
+
+_Q196_SEQ: dict[str, int] = {}
+
+
+def q196_shuffled_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from gov_data_pipeline_spark.sources.files import write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "q196_shuf_%d_%s"
+        % (os.getpid(), sf_dir.strip("/").replace("/", "_")),
+    )
+    seq = _Q196_SEQ.get(base, 0)
+    _Q196_SEQ[base] = seq + 1
+    shutil.rmtree(f"{base}_{seq - 2}", ignore_errors=True)
+    out = f"{base}_{seq}"
+    write_jsonl(
+        docs, out, mode="overwrite", shards=8, compression="gzip",
+        shuffle_by="doc_id", shuffle_seed=7,
+    )
+    from pyspark.sql import Window as W
+
+    # Degenerate-input contract (test_every_query_survives_empty_tables):
+    # an empty corpus writes a layout with no shard directories at all,
+    # so the read-back glob would raise PATH_NOT_FOUND — the local
+    # listing is the honest emptiness probe (the export dir is this
+    # query's own tmp dir, driver-local by construction).
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(out, "shard=*", "part-*")):
+        return spark.createDataFrame(
+            [], "doc_id long, shard int, pos int"
+        )
+    lines = (
+        spark.read.text(os.path.join(out, "shard=*", "part-*"))
+        .select(
+            F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+            F.regexp_extract(
+                F.input_file_name(), r"shard=([0-9]+)", 1
+            ).cast("int").alias("shard"),
+            F.monotonically_increasing_id().alias("__mid"),
+            F.input_file_name().alias("__f"),
+        )
+    )
+    # gzip files are unsplittable — one scan partition per file, so
+    # __mid increases in physical line order within each file and the
+    # per-file row_number is the line's 1-based position in the shard
+    pos = F.row_number().over(
+        W.partitionBy("__f").orderBy(F.col("__mid").asc())
+    )
+    return (
+        lines.select("doc_id", "shard", pos.alias("pos"))
+        .orderBy("shard", "pos")
+    )
+
+
+_Q196_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('7:' || CAST(doc_id AS VARCHAR)) AS key,
+         CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                ::BIGINT % 8 AS INT) AS shard
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY key, doc_id) AS INT) AS pos
+FROM keyed
+ORDER BY shard, pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # q162 — Excel sink round-trip (the driver-checkable oracle row for
 # sources/excel.write_excel, COVERAGE R26/T4-sink): slice lineitem
 # deterministically, write it through the stdlib xlsx writer, read it
@@ -1128,6 +1220,7 @@ QUERIES = {
     "q136_parquet_roundtrip": q136_parquet_roundtrip,
     "q151_compact_roundtrip": q151_compact_roundtrip,
     "q152_jsonl_roundtrip": q152_jsonl_roundtrip,
+    "q196_shuffled_export": q196_shuffled_export,
     "q162_excel_roundtrip": q162_excel_roundtrip,
 }
 
@@ -1147,5 +1240,6 @@ ORACLE = {
     "q136_parquet_roundtrip": _Q136_SQL,
     "q151_compact_roundtrip": _Q151_SQL,
     "q152_jsonl_roundtrip": _Q152_SQL,
+    "q196_shuffled_export": _Q196_SQL,
     "q162_excel_roundtrip": _Q162_SQL,
 }

@@ -868,6 +868,164 @@ ORDER BY d.doc_id
 """.replace("__HAN26__", _HAN26)
 
 
+# ---------------------------------------------------------------------------
+# q198 — MULTICLASS LINEAR ROUTING (r12, verdict item #5): the
+# fastText-langid shape — k one-vs-all linear scorers over ONE shared
+# hashed feature space, deterministic argmax (ties to smallest class
+# id). Corpus and ground truth are q170's derived mixed-script fixture
+# (Cyrillic translate on the even half, CJK+digits suffix on every 7th
+# doc; label = dominant script). The model is built BY the engine from
+# the same corpus (operators/scoring.class_count_model — per-class
+# exact int64 token counts), then every document routes through
+# score_multiclass_model: one feature explode, broadcast model join,
+# one (id, class) sum, one per-id argmax window — no per-class corpus
+# scan (plan-pinned in tests/test_plans.py). The oracle rebuilds
+# model, logits, and argmax from scratch in DuckDB; predicted class
+# and winning logit hash bit-for-bit. Routing accuracy is reported as
+# a per-doc `correct` flag rather than claimed: the Cyrillic half
+# shares no letter features with the Latin half, so the count router
+# should separate them cleanly, and the oracle proves exactly how
+# cleanly.
+# ---------------------------------------------------------------------------
+
+_Q198_N_FEATURES = 1 << 18
+
+
+def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gov_data_pipeline_spark.functions.textstats import (
+        dominant_script_col,
+        script_count_col,
+    )
+    from gov_data_pipeline_spark.operators.scoring import (
+        class_count_model,
+        score_multiclass_model,
+    )
+
+    _LO = "abcdefghijklmnopqrstuvwxyz"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.translate(F.col("text"), _LO, "абвгдежзийклмнопрстуфхцчшщ"),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" 你好 世界 数据 42")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        dominant_script_col(
+            script_count_col(t, "latin"),
+            script_count_col(t, "cyrillic"),
+            script_count_col(t, "han"),
+        ).alias("label"),
+    )
+    model = class_count_model(
+        labeled,
+        "doc_id",
+        F.col("text"),
+        F.col("label"),
+        n_features=_Q198_N_FEATURES,
+        hash_family="md5",
+        token_classes="cjk",
+    )
+    routed = score_multiclass_model(
+        labeled,
+        "doc_id",
+        F.col("text"),
+        model,
+        n_features=_Q198_N_FEATURES,
+        hash_family="md5",
+        token_classes="cjk",
+    )
+    return (
+        routed.select(
+            "doc_id",
+            "label",
+            "pred_class",
+            "logit",
+            (F.col("label") == F.col("pred_class")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q198_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                             'абвгдежзийклмнопрстуфхцчшщ')
+              ELSE text END
+         || CASE WHEN doc_id % 7 = 0 THEN ' 你好 世界 数据 42'
+                 ELSE '' END AS text
+  FROM documents),
+labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_han = 0 THEN 'none'
+              WHEN n_latin >= n_cyrillic AND n_latin >= n_han THEN 'latin'
+              WHEN n_cyrillic >= n_han THEN 'cyrillic'
+              ELSE 'han' END AS label
+  FROM (SELECT doc_id, text,
+               coalesce(len(regexp_extract_all(text, '[A-Za-z]')), 0)
+                 AS n_latin,
+               coalesce(len(regexp_extract_all(text, '\p{Cyrillic}')), 0)
+                 AS n_cyrillic,
+               coalesce(len(regexp_extract_all(text, '\p{Han}')), 0)
+                 AS n_han
+        FROM base)),
+canon AS (
+  SELECT doc_id,
+         translate(
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[^\p{L}\p{N}]+', ' ', 'g'),
+               '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', '\1 ', 'g'),
+             ' +', ' ', 'g')),
+           'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+           'abcdefghijklmnopqrstuvwxyz') AS c
+  FROM labeled),
+ws AS (
+  SELECT doc_id, string_split(c, ' ') AS wlist
+  FROM canon WHERE len(c) > 0),
+grams AS (
+  SELECT doc_id, unnest(wlist) AS g FROM ws
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(wlist)),
+                               i -> wlist[i] || ' ' || wlist[i+1])) AS g
+  FROM ws WHERE len(wlist) >= 2),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 13))::BIGINT % 262144 AS feature_id,
+         count(*) AS tf
+  FROM grams GROUP BY 1, 2),
+model AS (
+  SELECT l.label AS class_id, f.feature_id, sum(f.tf) AS weight
+  FROM feats f JOIN labeled l USING (doc_id)
+  GROUP BY 1, 2),
+sums AS (
+  SELECT f.doc_id, m.class_id, sum(f.tf * m.weight) AS logit
+  FROM feats f JOIN model m ON m.feature_id = f.feature_id
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, class_id, logit FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY logit DESC, class_id ASC) AS rn
+    FROM sums) WHERE rn = 1)
+SELECT l.doc_id, l.label,
+       b.class_id AS pred_class,
+       CAST(b.logit AS BIGINT) AS logit,
+       l.label = b.class_id AS correct
+FROM labeled l LEFT JOIN best b USING (doc_id)
+ORDER BY l.doc_id
+"""
+
+
 _Q166_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS "column",
        count(*) AS n_rows,
@@ -1343,6 +1501,7 @@ QUERIES = {
     "q164_quality_linear": q164_quality_linear,
     "q167_quality_linear_unicode": q167_quality_linear_unicode,
     "q192_quality_linear_cjk": q192_quality_linear_cjk,
+    "q198_multiclass_route": q198_multiclass_route,
     "q168_quality_trained": q168_quality_trained,
     "q173_multilingual_curation": q173_multilingual_curation,
     "q177_dsir_select": q177_dsir_select,
@@ -1360,6 +1519,7 @@ ORACLE = {
     "q164_quality_linear": _Q164_SQL,
     "q167_quality_linear_unicode": _Q167_SQL,
     "q192_quality_linear_cjk": _Q192_SQL,
+    "q198_multiclass_route": _Q198_SQL,
     "q168_quality_trained": _Q168_SQL,
     "q173_multilingual_curation": _Q173_SQL,
     "q177_dsir_select": _Q177_SQL,

@@ -103,6 +103,8 @@ def write_jsonl(
     shards: int | None = None,
     compression: str | None = None,
     partition_by: list[str] | None = None,
+    shuffle_by: str | None = None,
+    shuffle_seed: int | None = None,
 ) -> None:
     """JSONL sink — the training-corpus interchange format (one JSON
     object per line, optionally gzip/zstd-compressed shards).
@@ -112,9 +114,76 @@ def write_jsonl(
     partition count the upstream plan happened to end with. The
     repartition is a round-robin exchange — one extra shuffle, paid
     only when the caller asks for a specific layout. ``partition_by``
-    composes (e.g. partition by language, shard within)."""
+    composes (e.g. partition by language, shard within).
+
+    ``shuffle_by`` + ``shuffle_seed`` (both or neither) switch the
+    layout to a SEEDED DETERMINISTIC GLOBAL SHUFFLE — the
+    training-export contract (r12): round-robin ``repartition`` gives
+    balanced shards but a run-dependent assignment, so two exports of
+    the same corpus feed a trainer different sequences. Here both the
+    shard AND the within-shard order are pure functions of
+    (seed, id): key = md5(seed ':' id), shard = int(key[:8]) mod
+    ``shards``, order = (key asc, id asc) — re-running the export, on
+    any cluster, any partitioning, reproduces every shard file's exact
+    line sequence (q196 oracle + rerun-stability test). Layout:
+    ``path/shard=K/part-*`` — one data file per shard directory (each
+    shard's rows land in exactly one task), written in key order.
+    Requires ``shards``; incompatible with ``partition_by`` (the shard
+    IS the partition dir); the frame must not already have a ``shard``
+    column.
+
+    Scale shape: one hash exchange on the shard id + a per-partition
+    sort — exactly the two costs a reproducible global shuffle
+    requires; nothing touches the driver. Size ``shards`` so one shard
+    (corpus/shards) fits a single task comfortably (0.5-1 GB
+    uncompressed); the md5 key spreads ids uniformly, so shard skew is
+    binomial-tight regardless of id distribution."""
+    from pyspark.sql import functions as F
+
     if shards is not None and shards < 1:
         raise ValueError(f"write_jsonl: shards must be >= 1, got {shards}")
+    if (shuffle_by is None) != (shuffle_seed is None):
+        raise ValueError(
+            "write_jsonl: shuffle_by and shuffle_seed go together"
+        )
+    if shuffle_by is not None:
+        if shards is None:
+            raise ValueError("write_jsonl: seeded shuffle requires shards")
+        if partition_by:
+            raise ValueError(
+                "write_jsonl: seeded shuffle is incompatible with "
+                "partition_by (the shard is the partition directory)"
+            )
+        if "shard" in df.columns:
+            raise ValueError(
+                "write_jsonl: seeded shuffle writes a computed 'shard' "
+                "column; rename the existing one"
+            )
+        key = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(int(shuffle_seed))),
+                F.col(shuffle_by).cast("string"),
+            )
+        )
+        shard = F.pmod(
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+            F.lit(shards),
+        ).cast("int")
+        out = (
+            df.withColumn("__key", key)
+            .withColumn("shard", shard)
+            .repartition(shards, F.col("shard"))
+            .sortWithinPartitions(
+                "shard", "__key", F.col(shuffle_by).cast("string")
+            )
+            .drop("__key")
+        )
+        writer = out.write.mode(mode)
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.partitionBy("shard").json(path)
+        return
     out = df.repartition(shards) if shards is not None else df
     writer = out.write.mode(mode)
     if compression:

@@ -90,6 +90,10 @@ NAMES = [
     "q193_bpe_ranks_count",
     "q194_pii_scrub",
     "q195_bpe_budget_pack",
+    # round-12 additions
+    "q196_shuffled_export",
+    "q197_ivf_probe_sweep",
+    "q198_multiclass_route",
 ]
 
 

@@ -1205,3 +1205,47 @@ class TestCorpusRound6Plans:
             "doc_id" in l and "n_chars" not in l for l in reads
         )
         assert final.count("Exchange hashpartitioning") == 1
+
+
+class TestMulticlassRoutingPlan:
+    @staticmethod
+    def _plan(df) -> str:
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_score_multiclass_one_explode_broadcast_model(
+        self, spark, sf_dir
+    ):
+        """score_multiclass_model (q198's engine): the corpus text is
+        exploded ONCE regardless of class count, the (class, feature,
+        weight) model joins by BROADCAST, and no per-class scan or
+        nested loop appears — routing cost is independent of k except
+        for the bounded classes-per-feature join fan-out."""
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.operators.scoring import (
+            class_count_model,
+            score_multiclass_model,
+        )
+
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", (F.col("doc_id") % 3).alias("label")
+        )
+        model = class_count_model(
+            docs, "doc_id", F.col("text"), F.col("label"), n_features=1 << 10
+        )
+        routed = score_multiclass_model(
+            docs, "doc_id", F.col("text"), model, n_features=1 << 10
+        ).select("doc_id", "pred_class", "logit")
+        plan = self._plan(routed)
+        final = plan.split("Initial Plan")[0]
+        # one Generate per hashed_token_features pass — model build +
+        # scoring share an IDENTICAL feature subtree, so exchange reuse
+        # may collapse them to one physical explode (observed); what
+        # must never appear is a per-class multiplier (3 classes here)
+        n_explodes = final.count("Generate explode")
+        assert 1 <= n_explodes <= 2, n_explodes
+        assert "BroadcastHashJoin" in final  # model-as-table join
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan  # all codegen, no Python

@@ -661,8 +661,11 @@ def test_training_export_example_end_to_end(spark, tmp_path):
     )
     assert counts["packed"] == counts["mixed"]
     assert 0 < counts["packs"] <= counts["packed"]
-    parts = glob.glob(out + "/part-*.gz")
+    # r12: the export is the SEEDED shuffle layout — one gzip data
+    # file per shard=K directory, reproducible byte-for-byte
+    parts = glob.glob(out + "/shard=*/part-*.gz")
     assert len(parts) == 4
+    assert len(glob.glob(out + "/shard=*")) == 4
     back = spark.read.json(out)
     assert back.count() == counts["packed"]
 
@@ -1165,6 +1168,42 @@ def test_mergeable_ranks_file_roundtrip(spark, tmp_path):
     n_mem = df.select(bpe_token_count(F.col("text"), _BPE_RANKS).alias("n")).first()["n"]
     n_file = df.select(bpe_token_count(F.col("text"), loaded).alias("n")).first()["n"]
     assert n_mem == n_file
+
+
+def test_synthetic_mergeable_ranks_shape_and_counts(spark):
+    """synthetic_mergeable_ranks (r12): deterministic across calls,
+    tiktoken-shaped (256 single-byte base ranks first, 2-grams ranked
+    before 3-grams before 4-grams), sized as asked, and dense enough
+    that lowercase words actually cascade in the merge loop — the
+    property that makes throughput measured against it representative
+    of a learned English vocabulary."""
+    from gov_data_pipeline_spark.functions.tokenizer import (
+        bpe_token_count,
+        synthetic_mergeable_ranks,
+    )
+
+    r1 = synthetic_mergeable_ranks(5000)
+    r2 = synthetic_mergeable_ranks(5000)
+    assert r1 == r2 and len(r1) == 5000
+    assert all(r1[bytes([i])] == i for i in range(256))
+    by_len = {}
+    for tok, rank in r1.items():
+        if rank >= 256:
+            by_len.setdefault(len(tok), []).append(rank)
+    # tiers don't interleave: every 2-gram rank < every 3-gram rank
+    assert max(by_len[2]) < min(by_len[3])
+    assert len(by_len[2]) == 676  # all [a-z] digrams present
+    full = synthetic_mergeable_ranks(50304)
+    assert len(full) == 50304 and max(full.values()) == 50303
+    # with all 2/3-grams and sampled 4-grams, short lowercase words
+    # collapse hard: 'hello' -> at most 2 tokens; 'the' -> 1
+    df = spark.createDataFrame(
+        [(1, "the hello data pipeline")], "i long, text string"
+    )
+    n = df.select(
+        bpe_token_count(F.col("text"), full).alias("n")
+    ).first()["n"]
+    assert n <= 8, n  # 4 words, each <= 2 tokens
 
 
 def test_mock_vs_real_budget_drift_on_fixture(spark, sf_dir):

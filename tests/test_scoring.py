@@ -436,3 +436,90 @@ def test_temperature_quota_apportionment_invariants(spark, tmp_path):
     spread_prop = out["big"][0] - out["tiny"][0]
     spread_temp = out["big"][1] - out["tiny"][1]
     assert spread_temp < spread_prop
+
+
+class TestMulticlassModel:
+    def test_routing_matches_hand_computed_counts(self, spark):
+        """class_count_model weights are exact per-class tfs and
+        score_multiclass_model routes by their dot product: docs built
+        from two disjoint vocabularies route to their own class with a
+        hand-computable winning logit."""
+        from gov_data_pipeline_spark.operators.scoring import (
+            class_count_model,
+            score_multiclass_model,
+        )
+
+        rows = [
+            (1, "aa bb aa", "x"),
+            (2, "aa bb", "x"),
+            (3, "cc dd cc", "y"),
+            (4, "dd cc", "y"),
+        ]
+        docs = spark.createDataFrame(rows, "id long, t string, lab string")
+        model = class_count_model(
+            docs, "id", F.col("t"), F.col("lab"),
+            n_features=1 << 16, bigrams=False,
+        )
+        got = {
+            (r.class_id, r.feature_id): r.weight for r in model.collect()
+        }
+        # class x: aa tf=3, bb tf=2; class y: cc tf=3, dd tf=2
+        assert sorted(w for (c, _), w in got.items() if c == "x") == [2, 3]
+        assert sorted(w for (c, _), w in got.items() if c == "y") == [2, 3]
+        routed = {
+            r.id: (r.pred_class, r.logit)
+            for r in score_multiclass_model(
+                docs, "id", F.col("t"), model,
+                n_features=1 << 16, bigrams=False,
+            ).collect()
+        }
+        # doc1: logit_x = 2*3 + 1*2 = 8 (aa tf2, bb tf1); logit_y absent
+        assert routed[1] == ("x", 8)
+        assert routed[3] == ("y", 8)
+        assert routed[2][0] == "x" and routed[4][0] == "y"
+
+    def test_argmax_ties_break_to_smallest_class_id(self, spark):
+        from gov_data_pipeline_spark.operators.scoring import (
+            score_multiclass_model,
+        )
+
+        docs = spark.createDataFrame([(1, "tok")], "id long, t string")
+        # both classes give 'tok' identical weight -> tie -> 'a' wins
+        from gov_data_pipeline_spark.operators.scoring import (
+            hashed_token_features,
+        )
+
+        feats = hashed_token_features(
+            docs, "id", F.col("t"), n_features=1 << 8, bigrams=False
+        )
+        fid = feats.collect()[0].feature_id
+        w = spark.createDataFrame(
+            [("b", fid, 5), ("a", fid, 5)],
+            "class_id string, feature_id long, weight long",
+        )
+        out = score_multiclass_model(
+            docs, "id", F.col("t"), w, n_features=1 << 8, bigrams=False
+        ).collect()[0]
+        assert (out.pred_class, out.logit) == ("a", 5)
+
+    def test_featureless_docs_route_null(self, spark):
+        from gov_data_pipeline_spark.operators.scoring import (
+            score_multiclass_model,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "zz"), (2, None), (3, "   ")], "id long, t string"
+        )
+        w = spark.createDataFrame(
+            [("a", 0, 1)], "class_id string, feature_id long, weight long"
+        )
+        out = {
+            r.id: (r.pred_class, r.logit)
+            for r in score_multiclass_model(
+                docs, "id", F.col("t"), w, n_features=1 << 8, bigrams=False
+            ).collect()
+        }
+        # doc1 has a feature but misses the model; 2/3 have none at all
+        assert out[1] == (None, None)
+        assert out[2] == (None, None)
+        assert out[3] == (None, None)

@@ -407,6 +407,9 @@ def ivf_cell_assign(
     n_centroids: int = 16,
     n_probe: int = 2,
     with_rank: bool = False,
+    centroids: DataFrame | None = None,
+    centroid_id: str = "cid",
+    centroid_vec: str = "centroid",
 ) -> tuple[DataFrame, DataFrame]:
     """The IVF coarse-quantization stage shared by ``ivf_topk`` and
     the n_probe sweep report (q197): Voronoi cells around
@@ -420,19 +423,36 @@ def ivf_cell_assign(
     depth and carve every shallower operating point as a prefix
     filter.
 
+    ``centroids`` (r12): an externally TRAINED centroid table —
+    (``centroid_id``, ``centroid_vec`` array) — replaces the lowest-id
+    default (``n_centroids`` is then ignored; cell count = centroid
+    rows). The production IVF recipe is exactly this: k-means a
+    sampled slice of the corpus once, persist the k centroid vectors,
+    and pass them here — assignment quality then reflects the data's
+    actual cluster structure instead of whichever vectors happened to
+    carry the lowest ids, while the plan (broadcast
+    centroid-dimension table, one hash-aggregate of dot products)
+    is unchanged.
+
     Assignment is codegen'd end-to-end: vectors posexplode into
     (id, dim, x) rows, join the broadcast centroid-dimension table, and
     one hash-aggregate computes every vector-centroid dot product; the
     distance ranking uses ||v-c||^2 = ||v||^2 - 2<v,c> + ||c||^2 with
     the ||v||^2 term dropped (constant per vector)."""
-    cents = (
-        corpus.orderBy(F.col(corpus_id).asc())
-        .limit(n_centroids)
-        .select(
-            F.col(corpus_id).alias("cid"),
-            F.posexplode(F.col(corpus_vec)).alias("__d", "__c"),
+    if centroids is not None:
+        cents = centroids.select(
+            F.col(centroid_id).alias("cid"),
+            F.posexplode(F.col(centroid_vec)).alias("__d", "__c"),
         )
-    )
+    else:
+        cents = (
+            corpus.orderBy(F.col(corpus_id).asc())
+            .limit(n_centroids)
+            .select(
+                F.col(corpus_id).alias("cid"),
+                F.posexplode(F.col(corpus_vec)).alias("__d", "__c"),
+            )
+        )
     cent_dims = cents.select("cid", "__d", F.col("__c").cast("double").alias("__c"))
     cent_norms = cent_dims.groupBy("cid").agg(
         F.sum(F.col("__c") * F.col("__c")).alias("c2")
@@ -479,9 +499,13 @@ def ivf_topk(
     n_probe: int = 4,
     exclude_self: bool = True,
     dim: int | None = None,
+    centroids: DataFrame | None = None,
+    centroid_id: str = "cid",
+    centroid_vec: str = "centroid",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize with
-    ``ivf_cell_assign`` (see its docstring for the plan shape), then
+    ``ivf_cell_assign`` (see its docstring for the plan shape — and
+    for ``centroids``, the externally-trained-centroid hook), then
     score only query-cell co-residents. Search cost scales with cell
     occupancy x n_probe, not |corpus|.
 
@@ -497,7 +521,8 @@ def ivf_topk(
     stays registered (q197), so the table re-derives on any fixture."""
     q_cells, c_cells = ivf_cell_assign(
         queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
-        n_centroids=n_centroids, n_probe=n_probe,
+        n_centroids=n_centroids, n_probe=n_probe, centroids=centroids,
+        centroid_id=centroid_id, centroid_vec=centroid_vec,
     )
     q = queries.select(
         F.col(query_id).alias("__qid"),

@@ -85,6 +85,58 @@ def test_ivf_overlaps_exact_topk(spark, sf_dir):
     assert hit / total > 0.05
 
 
+def test_ivf_external_centroids(spark, sf_dir):
+    """ivf_topk(centroids=...) (r12): passing the 16 lowest-id corpus
+    vectors explicitly reproduces the default's output EXACTLY (same
+    deterministic pipeline, just sourced from a table), and a
+    differently-chosen centroid table still yields k well-formed
+    neighbors per query — the externally-trained-centroid hook is the
+    production IVF recipe (k-means a sample once, persist, reuse)."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.catalog import read_table
+    from gov_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["neighbor_id"], r["cosine_sim"], r["rk"])
+            for r in df.collect()
+        )
+
+    default = ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=3, n_centroids=16, n_probe=2,
+    )
+    explicit_cents = (
+        emb.orderBy(F.col("vec_id").asc()).limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid"))
+    )
+    explicit = ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=3, n_probe=2, centroids=explicit_cents,
+    )
+    assert rows(default) == rows(explicit)
+    # a different (shifted) centroid set: still k rows per query,
+    # ranks 1..k, sims in [-1, 1]
+    other_cents = (
+        emb.filter(F.col("vec_id") >= 100)
+        .orderBy(F.col("vec_id").asc()).limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid"))
+    )
+    got = ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=3, n_probe=2, centroids=other_cents,
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["vec_id"], []).append(r["rk"])
+        assert -1.0 <= r["cosine_sim"] <= 1.0
+    assert per_q and all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
 def test_gemm_neardup_matches_exact(spark, sf_dir):
     from gov_data_pipeline_spark.queries.dedup_sim import (
         q46_cosine_neardup,

@@ -50,14 +50,15 @@ _MODULES = (
 # (after a new CORRECTNESS file lands) and after registering new queries
 # — never trust last round's order.  Tripwire:
 # tests/test_registry.py::test_priority_rotation_is_fresh.
-# Re-derived after r11 + r12 registrations: 3 never-sampled r12 queries
-# (q196-q198) lead, then 41 at r08 (the r09 cohort straddles the sample
+# Re-derived after r11 + r12 registrations: 4 never-sampled r12 queries
+# (q196-q199) lead, then 41 at r08 (the r09 cohort straddles the sample
 # boundary — tie, allowed), then r09/r10/r11 cohorts.
 _PRIORITY: tuple[str, ...] = (
     # never sampled (no driver row)
     "q196_shuffled_export",
     "q197_ivf_probe_sweep",
     "q198_multiclass_route",
+    "q199_pack_manifest",
     # latest green r08
     "q108_time_weighted_avg",
     "q109_session_paths",

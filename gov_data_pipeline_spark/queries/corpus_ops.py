@@ -1896,6 +1896,89 @@ ORDER BY shard, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q199 — PACK MANIFEST with positions + token offsets (r12): q195
+# answers "which bin does each doc land in"; a training DATA LOADER
+# needs one more thing — where inside the packed sequence each
+# document STARTS, to cut attention masks / position-id resets at
+# document boundaries (the packed-SFT contract). The placement order
+# inside a bin is pack_documents_nfd's processing order — (n_tokens
+# desc, doc_id) restricted to the bin's members — so position and
+# byte-exact token offset are pure WINDOW functions over q195's
+# output: pos_in_pack = row_number, tok_offset = running sum minus own
+# size, pack_fill = the bin's total. Cost over q195: ONE (shard, bin)
+# hash exchange of 4 numeric columns (measured in the executed plan —
+# the packer's shard-keyed distribution does not satisfy the finer
+# (shard, bin) clustering); document text never rides it. The oracle
+# chains the same two recursions and adds identical windows.
+# ---------------------------------------------------------------------------
+
+
+def q199_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    packed = q195_bpe_budget_pack(spark, sf_dir)
+    worder = W.partitionBy("shard", "bin").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    wbin = W.partitionBy("shard", "bin")
+    return (
+        packed.select(
+            "shard",
+            "bin",
+            "doc_id",
+            "n_tokens",
+            F.row_number().over(worder).cast("int").alias("pos_in_pack"),
+            (
+                F.sum("n_tokens").over(
+                    worder.rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                - F.col("n_tokens")
+            ).cast("long").alias("tok_offset"),
+            F.sum("n_tokens").over(wbin).cast("long").alias("pack_fill"),
+        )
+        .orderBy("shard", "bin", "pos_in_pack")
+    )
+
+
+_Q199_SQL = rf"""
+WITH RECURSIVE
+{_Q193_COUNT_CTES},
+d AS MATERIALIZED (
+  SELECT dd.doc_id,
+         coalesce(p.n_tokens_bpe, 0) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 2))::INT % 8
+              AS INT) AS shard
+  FROM documents dd
+  LEFT JOIN per_doc p ON p.doc_id = dd.doc_id),
+o AS MATERIALIZED (
+  SELECT *, CAST(row_number() OVER (PARTITION BY shard
+                                    ORDER BY n_tokens DESC, doc_id) AS INT) AS rn
+  FROM d),
+fill(shard, rn, doc_id, n_tokens, bin, used) AS (
+  SELECT shard, rn, doc_id, n_tokens, 1, n_tokens FROM o WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN f.used + t.n_tokens <= 512 THEN f.bin ELSE f.bin + 1 END,
+         CASE WHEN f.used + t.n_tokens <= 512 THEN f.used + t.n_tokens
+              ELSE t.n_tokens END
+  FROM o t JOIN fill f ON t.shard = f.shard AND t.rn = f.rn + 1)
+SELECT shard, CAST(bin AS INT) AS bin, doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(row_number() OVER (PARTITION BY shard, bin
+                               ORDER BY n_tokens DESC, doc_id) AS INT)
+         AS pos_in_pack,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard, bin
+                                ORDER BY n_tokens DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING)
+            - n_tokens AS BIGINT) AS tok_offset,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard, bin) AS BIGINT)
+         AS pack_fill
+FROM fill
+ORDER BY shard, bin, pos_in_pack
+"""
+
+
 QUERIES = {
     "q94_unigram_logprob": q94_unigram_logprob,
     "q171_bigram_logprob": q171_bigram_logprob,
@@ -1905,6 +1988,7 @@ QUERIES = {
     "q185_bpe_encode": q185_bpe_encode,
     "q193_bpe_ranks_count": q193_bpe_ranks_count,
     "q195_bpe_budget_pack": q195_bpe_budget_pack,
+    "q199_pack_manifest": q199_pack_manifest,
     "q165_eval_sample": q165_eval_sample,
     "q139_char_budget_mix": q139_char_budget_mix,
     "q143_distinctive_terms": q143_distinctive_terms,
@@ -1932,6 +2016,7 @@ ORACLE = {
     "q185_bpe_encode": _Q185_SQL,
     "q193_bpe_ranks_count": _Q193_SQL,
     "q195_bpe_budget_pack": _Q195_SQL,
+    "q199_pack_manifest": _Q199_SQL,
     "q165_eval_sample": _Q165_SQL,
     "q139_char_budget_mix": _Q139_SQL,
     "q143_distinctive_terms": _Q143_SQL,

@@ -94,6 +94,7 @@ NAMES = [
     "q196_shuffled_export",
     "q197_ivf_probe_sweep",
     "q198_multiclass_route",
+    "q199_pack_manifest",
 ]
 
 

@@ -13,6 +13,10 @@ Usage::
 
     python scripts/derive_priority.py          # print the tuple body
     python scripts/derive_priority.py --stats  # cohort histogram only
+    python scripts/derive_priority.py --write  # rewrite the _PRIORITY
+                                               # tuple in queries/__init__.py
+                                               # in place (comments above
+                                               # the tuple are preserved)
 """
 
 from __future__ import annotations
@@ -61,14 +65,32 @@ def main() -> None:
         print(f"sample boundary (pos 50): {boundary} (r{greens.get(boundary, 0):02d})")
         return
 
+    lines = []
     prev_rnd = None
     for name in ordered:
         rnd = greens.get(name, 0)
         if rnd != prev_rnd:
             label = "never sampled (no driver row)" if rnd == 0 else f"latest green r{rnd:02d}"
-            print(f"    # {label}")
+            lines.append(f"    # {label}")
             prev_rnd = rnd
-        print(f'    "{name}",')
+        lines.append(f'    "{name}",')
+    body = "\n".join(lines) + "\n"
+
+    if "--write" in sys.argv:
+        path = os.path.join(
+            REPO, "gov_data_pipeline_spark", "queries", "__init__.py"
+        )
+        src = open(path).read()
+        start = src.index("_PRIORITY: tuple[str, ...] = (")
+        end = src.index("\n)\n", start) + len("\n)\n")
+        open(path, "w").write(
+            src[:start] + "_PRIORITY: tuple[str, ...] = (\n" + body + ")\n"
+            + src[end:]
+        )
+        print(f"wrote {len(ordered)} names to {path}")
+        return
+
+    print(body, end="")
 
 
 if __name__ == "__main__":

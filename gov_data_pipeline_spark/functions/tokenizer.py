@@ -139,6 +139,12 @@ def synthetic_mergeable_ranks(n_ranks: int = 50304) -> dict[bytes, int]:
     at sf1.0; SCALE.md records the numbers."""
     import itertools
 
+    if n_ranks < 256:
+        raise ValueError(
+            f"synthetic_mergeable_ranks: n_ranks must be >= 256 (the "
+            f"single-byte base tier every tiktoken-shaped table starts "
+            f"with), got {n_ranks}"
+        )
     ranks: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     rank = 256
     alpha = "abcdefghijklmnopqrstuvwxyz"

@@ -71,8 +71,14 @@ def hashed_token_features(
     bigrams: bool = True,
     hash_family: str = "xxhash64",
     token_classes: str = "ascii",
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """(id, feature_id, tf) hashed bag-of-words rows.
+    """(id, feature_id, tf) hashed bag-of-words rows. ``carry`` names
+    extra ``df`` columns to ride the explode and the tf groupBy (they
+    must be functionally dependent on ``id_col`` — a per-doc label,
+    source, shard); consumers that need per-doc metadata beside the
+    features then avoid a separate corpus-sized join back
+    (class_count_model uses this for its label).
 
     Tokens are the whitespace words of the canonical text
     (``canonical_tokens_col``: ASCII strip-then-lower by default, or
@@ -106,17 +112,19 @@ def hashed_token_features(
             ),
         ).otherwise(empty)
         grams_arr = F.concat(uni, bi)
+    extra = list(carry or [])
     grams = df.select(
-        F.col(id_col), F.explode(grams_arr).alias("__g")
+        F.col(id_col), *extra, F.explode(grams_arr).alias("__g")
     )
     return (
         grams.select(
             id_col,
+            *extra,
             _feature_hash(F.col("__g"), n_features, hash_family).alias(
                 "feature_id"
             ),
         )
-        .groupBy(id_col, "feature_id")
+        .groupBy(id_col, *extra, "feature_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
@@ -319,11 +327,12 @@ def class_count_model(
     oracle rebuilds it from the same corpus).
 
     Scale shape: ONE feature explode over one text scan (the
-    ``hashed_token_features`` plan), a map-side-combined groupBy on
-    (class, feature) — at most |classes| x n_features rows out, paid
-    once at model-build time. The label rides the feature frame as a
-    column (labels is a projection of ``docs``, not a separate join
-    against corpus-sized state)."""
+    ``hashed_token_features`` plan with the label CARRIED through the
+    explode and the tf groupBy — review-caught r12: the first cut
+    joined the feature frame back against a corpus-sized (id, label)
+    projection; the carry column removes that join entirely), then a
+    map-side-combined groupBy on (class, feature) — at most
+    |classes| x n_features rows out, paid once at model-build time."""
     base = docs.select(
         F.col(id_col), text.alias("__text"), label.alias("class_id")
     )
@@ -335,11 +344,10 @@ def class_count_model(
         bigrams=bigrams,
         hash_family=hash_family,
         token_classes=token_classes,
+        carry=["class_id"],
     )
-    labels = base.select(F.col(id_col), "class_id")
     return (
-        feats.join(labels, id_col)
-        .groupBy("class_id", "feature_id")
+        feats.groupBy("class_id", "feature_id")
         .agg(F.sum("tf").cast("long").alias("weight"))
     )
 

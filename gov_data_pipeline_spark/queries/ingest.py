@@ -1057,7 +1057,24 @@ ORDER BY lang
 _Q196_SEQ: dict[str, int] = {}
 
 
+def _q196_reap_at_exit() -> None:
+    """Remove every export dir this PROCESS created (review-caught
+    r12: the two-generation in-run rotation reaps older generations
+    but the pid-scoped base means the LAST one-two generations — a
+    full gzip corpus at larger SFs — outlived the process and
+    accumulated across driver/bench runs until the tmp cleaner ran).
+    Registered once, on first use; a SIGKILLed process still leaks its
+    final generation — the documented residue of any tmp-dir
+    protocol."""
+    import shutil
+
+    for base, seq in _Q196_SEQ.items():
+        for s in range(max(0, seq - 2), seq):
+            shutil.rmtree(f"{base}_{s}", ignore_errors=True)
+
+
 def q196_shuffled_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import os
     import shutil
     import tempfile
@@ -1070,6 +1087,8 @@ def q196_shuffled_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q196_shuf_%d_%s"
         % (os.getpid(), sf_dir.strip("/").replace("/", "_")),
     )
+    if not _Q196_SEQ:
+        atexit.register(_q196_reap_at_exit)
     seq = _Q196_SEQ.get(base, 0)
     _Q196_SEQ[base] = seq + 1
     shutil.rmtree(f"{base}_{seq - 2}", ignore_errors=True)

@@ -154,11 +154,12 @@ def write_jsonl(
                 "write_jsonl: seeded shuffle is incompatible with "
                 "partition_by (the shard is the partition directory)"
             )
-        if "shard" in df.columns:
-            raise ValueError(
-                "write_jsonl: seeded shuffle writes a computed 'shard' "
-                "column; rename the existing one"
-            )
+        for taken in ("shard", "__key"):
+            if taken in df.columns:
+                raise ValueError(
+                    f"write_jsonl: seeded shuffle computes a {taken!r} "
+                    "column internally; rename the existing one"
+                )
         key = F.md5(
             F.concat_ws(
                 ":",

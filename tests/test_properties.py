@@ -1182,6 +1182,10 @@ def test_synthetic_mergeable_ranks_shape_and_counts(spark):
         synthetic_mergeable_ranks,
     )
 
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 256"):
+        synthetic_mergeable_ranks(100)  # below the single-byte base tier
     r1 = synthetic_mergeable_ranks(5000)
     r2 = synthetic_mergeable_ranks(5000)
     assert r1 == r2 and len(r1) == 5000

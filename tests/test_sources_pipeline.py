@@ -613,6 +613,11 @@ def test_write_jsonl_seeded_shuffle_deterministic(spark, tmp_path):
             df.withColumnRenamed("text", "shard"), str(tmp_path / "x3"),
             shards=2, shuffle_by="doc_id", shuffle_seed=1,
         )
+    with _pytest.raises(ValueError):  # internal key column collision
+        write_jsonl(
+            df.withColumnRenamed("text", "__key"), str(tmp_path / "x4"),
+            shards=2, shuffle_by="doc_id", shuffle_seed=1,
+        )
 
 
 class TestFetchPost:

@@ -326,13 +326,21 @@ def class_count_model(
     scored from it — reproduces bit-for-bit in any engine (q198's
     oracle rebuilds it from the same corpus).
 
-    Scale shape: ONE feature explode over one text scan (the
-    ``hashed_token_features`` plan with the label CARRIED through the
-    explode and the tf groupBy — review-caught r12: the first cut
-    joined the feature frame back against a corpus-sized (id, label)
-    projection; the carry column removes that join entirely), then a
-    map-side-combined groupBy on (class, feature) — at most
-    |classes| x n_features rows out, paid once at model-build time."""
+    Scale shape — MEASURED both ways (r12): the feature frame joins
+    back against the narrow (id, class_id) projection of ``docs``
+    before the (class, feature) aggregate. That join is a real
+    per-doc shuffle, but it keeps this feature subtree IDENTICAL to
+    the one ``score_multiclass_model`` builds — so when model build
+    and scoring share a job (the q198 shape, and any route-then-score
+    diagnostic), Spark's exchange reuse collapses the two corpus
+    explodes into ONE physical pass. Carrying the label through the
+    explode instead (``hashed_token_features(carry=["class_id"])``)
+    removes the join but breaks that reuse, and measured 9.8 s vs
+    5.9 s for q198 at sf0.1 — the join form wins whenever the
+    feature subtree is shared. A standalone model build (train once,
+    score elsewhere — no reuse to lose) can use the carry form
+    directly. Output is at most |classes| x n_features rows,
+    map-side-combined."""
     base = docs.select(
         F.col(id_col), text.alias("__text"), label.alias("class_id")
     )
@@ -344,10 +352,11 @@ def class_count_model(
         bigrams=bigrams,
         hash_family=hash_family,
         token_classes=token_classes,
-        carry=["class_id"],
     )
+    labels = base.select(F.col(id_col), "class_id")
     return (
-        feats.groupBy("class_id", "feature_id")
+        feats.join(labels, id_col)
+        .groupBy("class_id", "feature_id")
         .agg(F.sum("tf").cast("long").alias("weight"))
     )
 

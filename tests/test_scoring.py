@@ -478,6 +478,35 @@ class TestMulticlassModel:
         assert routed[3] == ("y", 8)
         assert routed[2][0] == "x" and routed[4][0] == "y"
 
+    def test_hashed_features_carry_column(self, spark):
+        """hashed_token_features(carry=[...]): per-doc columns ride
+        the explode and the tf groupBy unchanged, and the (feature,
+        tf) multiset is identical to the carry-free call. (The carry
+        form is the standalone-model-build path; class_count_model
+        itself keeps the join form for exchange reuse — measured in
+        its docstring.)"""
+        from gov_data_pipeline_spark.operators.scoring import (
+            hashed_token_features,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aa bb aa", "x"), (2, "cc", "y")],
+            "id long, t string, lab string",
+        )
+        plain = hashed_token_features(
+            docs, "id", F.col("t"), n_features=1 << 10, bigrams=False
+        )
+        carried = hashed_token_features(
+            docs, "id", F.col("t"), n_features=1 << 10, bigrams=False,
+            carry=["lab"],
+        )
+        want_lab = {1: "x", 2: "y"}
+        rows = carried.collect()
+        assert all(r.lab == want_lab[r.id] for r in rows)
+        assert sorted((r.id, r.feature_id, r.tf) for r in rows) == sorted(
+            (r.id, r.feature_id, r.tf) for r in plain.collect()
+        )
+
     def test_argmax_ties_break_to_smallest_class_id(self, spark):
         from gov_data_pipeline_spark.operators.scoring import (
             score_multiclass_model,

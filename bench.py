@@ -215,28 +215,37 @@ def main() -> None:
     errors.update(sink_errors)
     load_after = _loadavg()
 
+    # Key order matters: the driver records only a 2000-char stdout
+    # TAIL of this JSON line, so the bulky diagnostic records (raw
+    # runs, the discarded retry attempt) go FIRST and the headline
+    # numbers (value, value_r02_comparable, per-query medians) go
+    # LAST so they always survive truncation (r12 verdict: the kept
+    # headline was cut off at the head and unrecoverable).
     out = {
         "metric": "headline_queries_wall_clock",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "value_r02_comparable": round(
-            sum(v for n, v in timings.items() if n in _R02_COMPARABLE), 3
-        ),
-        "queries": timings,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
         "query_runs": runs,
         "query_spread": {
             n: round(max(s) - min(s), 3) for n, s in runs.items()
         },
-        "loadavg_before": load_before,
-        "loadavg_after": load_after,
-        "streaming_sinks_wall_clock": round(sum(sink_timings.values()), 3),
-        "streaming_sinks": sink_timings,
-        "sf": sf,
     }
     if retry_info is not None:
         out["retry"] = retry_info
     if errors:
         out["errors"] = errors
+    out["queries"] = timings
+    out["query_medians"] = {
+        n: round(sorted(s)[len(s) // 2], 3) for n, s in runs.items()
+    }
+    out["streaming_sinks"] = sink_timings
+    out["streaming_sinks_wall_clock"] = round(sum(sink_timings.values()), 3)
+    out["sf"] = sf
+    out["value_r02_comparable"] = round(
+        sum(v for n, v in timings.items() if n in _R02_COMPARABLE), 3
+    )
+    out["value"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
     if errors:
         sys.exit(1)

@@ -95,6 +95,14 @@ def hashed_token_features(
     doubling the dominant cost at 100 TB); the term explosion is the
     only row amplification and it is linear in corpus tokens.
     """
+    for taken in (id_col, "feature_id", "tf", "__g"):
+        if taken in (carry or []):
+            raise ValueError(
+                f"hashed_token_features: carry column {taken!r} collides "
+                "with a generated/id column — the explode+groupBy would "
+                "produce a duplicate or ambiguous column and silently "
+                "wrong tf counts; rename it in df first"
+            )
     empty = F.array().cast("array<string>")
     canon = canonical_tokens_col(text, token_classes)
     ws = F.split(canon, " ")

@@ -30,6 +30,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def green_row(row: dict) -> bool:
+    """THE green predicate — single source of truth, imported by
+    tests/test_registry.py::test_priority_rotation_is_fresh so the
+    derivation and the tripwire can never disagree (round-12 advice:
+    the two previously diverged on explicit ``"hash_match": null`` and
+    empty-string ``err`` rows).  Green means: value-hash match, or —
+    for queries with no oracle SQL (the driver emits no hash there) —
+    a rows-only match with no error recorded."""
+    return row.get("hash_match") is True or (
+        row.get("hash_match") is None
+        and row.get("rows_match") is True
+        and not row.get("err")
+    )
+
+
 def latest_green_rounds() -> dict[str, int]:
     """query name -> latest driver round with a hash-green row."""
     latest: dict[str, int] = {}
@@ -38,9 +53,7 @@ def latest_green_rounds() -> dict[str, int]:
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            if row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") is None and "hash_match" not in row
-            ):
+            if green_row(row):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 

@@ -56,20 +56,19 @@ def test_priority_rotation_is_fresh():
     import re as _re
 
     import os
+    import sys
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "scripts"))
+    from derive_priority import green_row  # shared predicate — one truth
+
     latest_green: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
     assert files, "no CORRECTNESS files — driver layout changed?"
     for f in files:
         rnd = int(_re.search(r"r(\d+)", f).group(1))
         for q, row in json.load(open(f)).items():
-            green = row.get("hash_match") is True or (
-                row.get("hash_match") is None
-                and row.get("rows_match") is True
-                and not row.get("err")
-            )
-            if green:
+            if green_row(row):
                 latest_green[q] = max(latest_green.get(q, -1), rnd)
     names = list(all_queries())
     key = lambda q: latest_green.get(q, -1)  # noqa: E731

@@ -507,6 +507,26 @@ class TestMulticlassModel:
             (r.id, r.feature_id, r.tf) for r in plain.collect()
         )
 
+    def test_hashed_features_carry_collision_raises(self, spark):
+        """carry names that collide with the id or a generated column
+        ('feature_id', 'tf', '__g') must raise instead of silently
+        producing duplicate/ambiguous columns and wrong tf counts —
+        mirrors write_jsonl's taken-name guard (round-12 advice)."""
+        import pytest as _pytest
+
+        from gov_data_pipeline_spark.operators.scoring import (
+            hashed_token_features,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aa bb", 7)], "id long, t string, feature_id long"
+        )
+        for bad in ("id", "feature_id", "tf", "__g"):
+            with _pytest.raises(ValueError, match=bad):
+                hashed_token_features(
+                    docs, "id", F.col("t"), n_features=64, carry=[bad]
+                )
+
     def test_argmax_ties_break_to_smallest_class_id(self, spark):
         from gov_data_pipeline_spark.operators.scoring import (
             score_multiclass_model,

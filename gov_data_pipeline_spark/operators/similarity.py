@@ -92,6 +92,62 @@ def embedding_dim(df: DataFrame, vec_col: str) -> int | None:
     return len(row[0]) if row is not None and row[0] is not None else None
 
 
+def _int8_vec_side(df: DataFrame, idc: str, vecc: str, ida: str,
+                   veca: str, norma: str) -> DataFrame:
+    """The int8-QUANTIZED per-vector side for candidate scoring — the
+    search half of q118's storage quantizer, bit-for-bit the same
+    scheme (symmetric per-vector max-abs scale, ``floor(x·127/scale +
+    0.5)``; zero-scale vectors quantize to zeros). Returns (id, int8
+    codes as a long array, L2 norm of the CODES): per-vector scales
+    cancel in cosine, so ranking candidates by ``dot(qa, qb) /
+    (|qa|·|qb|)`` over the integer codes needs no dequantization and
+    no stored scale — the 100 TB ANN memory win (1 byte/dim in the
+    serving index vs 4) with the recall cost measured by q202, not
+    asserted. The integer self-dot is exact (≤ dim·127² ≪ 2^53), so
+    the only floats are one sqrt per vector and one divide per pair.
+    Malformed vectors: null/ragged elements null-poison the fold →
+    null norm → null cosine, dropped at the ranking filter like the
+    float path."""
+    xd = F.transform(F.col(vecc), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(idc).alias(ida),
+        xd.alias("__xd"),
+        F.array_max(F.transform(xd, lambda x: F.abs(x))).alias("__sc"),
+    )
+    qv = F.transform(
+        F.col("__xd"),
+        lambda x: F.when(F.col("__sc") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x * 127 / F.col("__sc") + 0.5)
+        ),
+    )
+    quant = base.select(F.col(ida), qv.alias(veca))
+    return quant.select(
+        F.col(ida),
+        F.col(veca),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(veca), lambda e: e * e),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e,
+            ).cast("double")
+        ).alias(norma),
+    )
+
+
+def _int8_pair_cosine(qa: Column, qb: Column, a_norm: Column,
+                      b_norm: Column) -> Column:
+    """Cosine over int8 codes from ``_int8_vec_side``: exact integer
+    dot (long accumulate — no overflow below ~5·10^8 dims), one float
+    divide against the precomputed code norms. ``try_divide`` so a
+    zero-norm (all-zero) vector yields null and drops at ranking."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    return F.try_divide(dot.cast("double"), a_norm * b_norm)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -502,12 +558,21 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     centroid_id: str = "cid",
     centroid_vec: str = "centroid",
+    int8: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize with
     ``ivf_cell_assign`` (see its docstring for the plan shape — and
     for ``centroids``, the externally-trained-centroid hook), then
     score only query-cell co-residents. Search cost scales with cell
     occupancy x n_probe, not |corpus|.
+
+    ``int8=True`` is the IVF-SQ8 shape (FAISS's workhorse index at
+    corpus scale): cell ASSIGNMENT stays float against the float
+    centroids, but candidate SCORING runs over int8-quantized codes
+    (``_int8_vec_side`` — q118's quantizer; integer dots, scales
+    cancel in cosine), so the serving index stores 1 byte/dim. The
+    recall cost of the quantized tier is measured by q202 (the
+    q186/q197 honesty pattern), not asserted.
 
     Default ``n_probe=4`` is MEASURED, not guessed: the q197 sweep
     (16 centroids, k=5, 20 queries) recorded recall@5 AND candidate
@@ -524,16 +589,26 @@ def ivf_topk(
         n_centroids=n_centroids, n_probe=n_probe, centroids=centroids,
         centroid_id=centroid_id, centroid_vec=centroid_vec,
     )
-    q = queries.select(
-        F.col(query_id).alias("__qid"),
-        F.col(query_vec).alias("__qv"),
-        _norm(F.col(query_vec), dim).alias("__qn"),
-    ).join(q_cells, "__qid")
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cv"),
-        _norm(F.col(corpus_vec), dim).alias("__cn"),
-    ).join(c_cells, "neighbor_id")
+    if int8:
+        q_side = _int8_vec_side(
+            queries, query_id, query_vec, "__qid", "__qv", "__qn"
+        )
+        c_side = _int8_vec_side(
+            corpus, corpus_id, corpus_vec, "neighbor_id", "__cv", "__cn"
+        )
+    else:
+        q_side = queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_vec).alias("__qv"),
+            _norm(F.col(query_vec), dim).alias("__qn"),
+        )
+        c_side = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+            _norm(F.col(corpus_vec), dim).alias("__cn"),
+        )
+    q = q_side.join(q_cells, "__qid")
+    c = c_side.join(c_cells, "neighbor_id")
     joined = c.join(q, "cid")
     if exclude_self:
         joined = joined.filter(F.col("__qid") != F.col("neighbor_id"))
@@ -544,14 +619,17 @@ def ivf_topk(
     cand = joined.select(
         "__qid", "__qv", "__qn", "neighbor_id", "__cv", "__cn"
     )
+    pair_sim = (
+        _int8_pair_cosine(F.col("__qv"), F.col("__cv"),
+                          F.col("__qn"), F.col("__cn"))
+        if int8
+        else _pair_cosine(F.col("__qv"), F.col("__cv"),
+                          F.col("__qn"), F.col("__cn"), dim)
+    )
     scored = cand.select(
         F.col("__qid").alias(query_id),
         "neighbor_id",
-        F.round(
-            _pair_cosine(F.col("__qv"), F.col("__cv"),
-                         F.col("__qn"), F.col("__cn"), dim),
-            4,
-        ).alias("cosine_sim"),
+        F.round(pair_sim, 4).alias("cosine_sim"),
     )
     # A malformed vector (ragged row, zero norm) yields a NULL
     # cosine_sim; without a threshold stage NULLs would otherwise rank
@@ -789,8 +867,15 @@ def ann_topk(
     dim: int | None = None,
     probe_flips: int | None = None,
     probe_radius: int = 1,
+    int8: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket candidates.
+
+    ``int8=True``: bucket assignment stays float (the hyperplane
+    signatures are sign bits of float dots — quantization would only
+    perturb them), but candidate SCORING runs over int8-quantized
+    codes (``_int8_vec_side``) — 1 byte/dim in the scoring index;
+    recall cost measured by q202.
 
     Multi-table LSH: ``tables`` independent plane sets; a candidate is
     any corpus vector sharing a bucket with the query in >=1 table
@@ -854,19 +939,29 @@ def ann_topk(
         queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
         bits, tables, hash_family, dim, exclude_self, probe_masks=masks,
     )
-    qv = _vec_side(queries, query_id, query_vec, "__qid", "__qv", "__qn", dim)
-    cv = _vec_side(corpus, corpus_id, corpus_vec, "__cid", "__cv", "__cn", dim)
+    if int8:
+        qv = _int8_vec_side(queries, query_id, query_vec,
+                            "__qid", "__qv", "__qn")
+        cv = _int8_vec_side(corpus, corpus_id, corpus_vec,
+                            "__cid", "__cv", "__cn")
+        pair_sim = _int8_pair_cosine(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        )
+    else:
+        qv = _vec_side(queries, query_id, query_vec,
+                       "__qid", "__qv", "__qn", dim)
+        cv = _vec_side(corpus, corpus_id, corpus_vec,
+                       "__cid", "__cv", "__cn", dim)
+        pair_sim = _pair_cosine(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim
+        )
     scored = (
         cand.join(qv, "__qid")
         .join(cv, "__cid")
         .select(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias("neighbor_id"),
-            F.round(
-                _pair_cosine(F.col("__qv"), F.col("__cv"),
-                             F.col("__qn"), F.col("__cn"), dim),
-                4,
-            ).alias("cosine_sim"),
+            F.round(pair_sim, 4).alias("cosine_sim"),
         )
     )
     # A malformed vector (ragged row, zero norm) yields a NULL

@@ -50,63 +50,16 @@ _MODULES = (
 # (after a new CORRECTNESS file lands) and after registering new queries
 # — never trust last round's order.  Tripwire:
 # tests/test_registry.py::test_priority_rotation_is_fresh.
-# Re-derived after r11 + r12 registrations: 4 never-sampled r12 queries
-# (q196-q199) lead, then 41 at r08 (the r09 cohort straddles the sample
-# boundary — tie, allowed), then r09/r10/r11 cohorts.
+# Re-derived after the r12 records landed (r13): the 45-query r09
+# cohort leads, the sample boundary falls inside the r10 cohort (tie,
+# allowed), then r11/r12 cohorts.  New r13 registrations (q200+) are
+# never-sampled and therefore enumerate first.
 _PRIORITY: tuple[str, ...] = (
     # never sampled (no driver row)
-    "q196_shuffled_export",
-    "q197_ivf_probe_sweep",
-    "q198_multiclass_route",
-    "q199_pack_manifest",
-    # latest green r08
-    "q108_time_weighted_avg",
-    "q109_session_paths",
-    "q110_value_histogram",
-    "q111_grouped_percentiles",
-    "q112_correlation",
-    "q113_kmeans",
-    "q11_window_lag",
-    "q13_sessionize",
-    "q151_compact_roundtrip",
-    "q152_jsonl_roundtrip",
-    "q153_token_budget_pack",
-    "q154_decontaminate_bloom",
-    "q155_sparse_cosine_topk",
-    "q156_interval_overlap",
-    "q157_capped_sessions",
-    "q158_containment_pairs",
-    "q159_normalized_dedup",
-    "q160_asof_nearest",
-    "q161_token_bucket",
-    "q17_pivot",
-    "q27_sql_api",
-    "q29_salted_agg",
-    "q34_json",
-    "q36_map",
-    "q60_tumbling",
-    "q61_sliding",
-    "q62_session_window",
-    "q63_stream_dedup",
-    "q64_gapfill",
-    "q66_cumulative_alerts",
-    "q71_range_window",
-    "q76_stream_join",
-    "q79_ntile",
-    "q80_semantic_clusters_lsh",
-    "q81_xlsx_image_extract",
-    "q82_docx_ingest",
-    "q83_row_index_ingest",
-    "q84_frame_sample",
-    "q85_chunk_documents",
-    "q86_sequence_pack",
-    "q87_decontaminate",
+    "q200_passage_miss_rate",
+    "q201_corpus_vacuum",
+    "q202_int8_recall",
     # latest green r09
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_semi_join",
-    "q114_psi_drift",
-    "q117_ohlc_bars",
     "q118_embed_quantize",
     "q119_trend_regression",
     "q121_zipf_slope",
@@ -254,6 +207,57 @@ _PRIORITY: tuple[str, ...] = (
     "q72_upsert_latest",
     "q73_salted_join",
     "q78_grouping_sets",
+    # latest green r12
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_semi_join",
+    "q108_time_weighted_avg",
+    "q109_session_paths",
+    "q110_value_histogram",
+    "q111_grouped_percentiles",
+    "q112_correlation",
+    "q113_kmeans",
+    "q114_psi_drift",
+    "q117_ohlc_bars",
+    "q11_window_lag",
+    "q13_sessionize",
+    "q151_compact_roundtrip",
+    "q152_jsonl_roundtrip",
+    "q153_token_budget_pack",
+    "q154_decontaminate_bloom",
+    "q155_sparse_cosine_topk",
+    "q156_interval_overlap",
+    "q157_capped_sessions",
+    "q158_containment_pairs",
+    "q159_normalized_dedup",
+    "q160_asof_nearest",
+    "q161_token_bucket",
+    "q17_pivot",
+    "q196_shuffled_export",
+    "q197_ivf_probe_sweep",
+    "q198_multiclass_route",
+    "q199_pack_manifest",
+    "q27_sql_api",
+    "q29_salted_agg",
+    "q34_json",
+    "q36_map",
+    "q60_tumbling",
+    "q61_sliding",
+    "q62_session_window",
+    "q63_stream_dedup",
+    "q64_gapfill",
+    "q66_cumulative_alerts",
+    "q71_range_window",
+    "q76_stream_join",
+    "q79_ntile",
+    "q80_semantic_clusters_lsh",
+    "q81_xlsx_image_extract",
+    "q82_docx_ingest",
+    "q83_row_index_ingest",
+    "q84_frame_sample",
+    "q85_chunk_documents",
+    "q86_sequence_pack",
+    "q87_decontaminate",
 )
 
 

@@ -1237,6 +1237,192 @@ ORDER BY doc_id
 """
 
 
+def q201_corpus_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot corpus maintenance — the VACUUM report a weekly
+    re-scrape pipeline runs before deciding what to rewrite (reference
+    ancestor: ``main.py:38-51`` writes a fresh unified file per run
+    with no notion of what changed; this is the op that makes that
+    incremental). Composes q105's digest diff with the exact-dedup
+    index semantics of ``streaming/ingest.incremental_dedup_sink``:
+    snapshot B is synthesized from A exactly as q105 (every 97th doc
+    deleted, every 101st modified, every 103rd re-added under a fresh
+    id), and the report emits, PER SOURCE:
+
+    - ``n_old`` / ``n_new`` — snapshot sizes,
+    - ``n_added`` / ``n_removed`` / ``n_changed`` — the digest diff,
+    - ``n_redup`` — added docs whose content digest ALREADY exists in
+      snapshot A: exactly the rows the incremental exact-dedup sink's
+      digest sidecar would reject on ingest (the even-id re-adds are
+      byte-identical re-scrapes, the odd-id re-adds carry new content
+      — n_redup strictly partitions n_added; the sink equivalence is
+      pinned by the integration test in tests/test_streaming_ingest.py),
+    - ``chars_new`` — post-vacuum corpus payload,
+    - ``n_target_files`` — q151's byte-target compaction rule applied
+      per source (``ceil(chars_new / 64 KiB)``, floor 1 — the fixture-
+      scale stand-in for 256 MiB target files),
+    - ``vacuum_rewrite`` — rewrite decision: churn (removed+changed)
+      of >= 20% of the old snapshot marks the source for compaction
+      (below that, appending deltas beats rewriting the partition).
+
+    Scale shape: both sides reduce to (id, source, sha256, length)
+    BEFORE any join — the full-outer diff join and the redup digest
+    join shuffle 32-byte hashes, never document bytes; the report is
+    one tiny per-source hash-aggregate. All outputs are
+    integers/booleans — no float-ordering hazard.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    old = docs.select(
+        "doc_id",
+        F.col("source").alias("__src_old"),
+        F.sha2(F.col("text"), 256).alias("h_old"),
+    )
+    base = docs.filter(F.col("doc_id") % 97 != 0)
+    changed = base.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 101 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    off = docs.agg((F.max("doc_id") + 1).alias("__off"))
+    # Half the re-adds are byte-identical re-scrapes (the sink rejects
+    # them); the odd-id half carry genuinely new content — so n_redup
+    # strictly partitions n_added instead of trivially equalling it.
+    added = (
+        docs.filter(F.col("doc_id") % 103 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("__off")).alias("doc_id"),
+            "source",
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.concat(F.col("text"), F.lit(" [rescrape]")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    new = changed.unionByName(added).select(
+        "doc_id",
+        F.col("source").alias("__src_new"),
+        F.sha2(F.col("text"), 256).alias("h_new"),
+        F.length("text").alias("__chars_new"),
+    )
+    a_digests = (
+        old.select(F.col("h_old").alias("h_new")).distinct()
+        .withColumn("__in_a", F.lit(1))
+    )
+    j = (
+        old.join(new, "doc_id", "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .join(a_digests, "h_new", "left")
+        .select(
+            F.coalesce(F.col("__src_new"), F.col("__src_old")).alias(
+                "source"
+            ),
+            "status",
+            (
+                (F.col("status") == "added") & F.col("__in_a").isNotNull()
+            ).alias("__redup"),
+            F.coalesce(F.col("__chars_new"), F.lit(0)).alias("__chars"),
+        )
+    )
+    agg = j.groupBy("source").agg(
+        F.sum(F.when(F.col("status") != "added", 1).otherwise(0)).alias(
+            "n_old"
+        ),
+        F.sum(F.when(F.col("status") != "removed", 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).alias(
+            "n_added"
+        ),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0)).alias(
+            "n_removed"
+        ),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+        F.sum(F.when(F.col("__redup"), 1).otherwise(0)).alias("n_redup"),
+        F.sum("__chars").alias("chars_new"),
+    )
+    return agg.select(
+        "source",
+        "n_old",
+        "n_new",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_redup",
+        F.col("chars_new").cast("long").alias("chars_new"),
+        F.greatest(
+            F.lit(1), F.ceil(F.col("chars_new") / F.lit(65536))
+        ).cast("long").alias("n_target_files"),
+        (
+            (F.col("n_removed") + F.col("n_changed")) * 5 >= F.col("n_old")
+        ).alias("vacuum_rewrite"),
+    ).orderBy("source")
+
+
+_Q201_SQL = """
+WITH old AS (
+  SELECT doc_id, source AS src_old, sha256(text) AS h_old FROM documents),
+changed AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 101 = 0 THEN text || ' [v2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0),
+added AS (
+  SELECT orig_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+         source, text
+  FROM (SELECT doc_id AS orig_id, source,
+               CASE WHEN doc_id % 2 = 1 THEN text || ' [rescrape]'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 103 = 0)),
+new AS (
+  SELECT doc_id, source AS src_new, sha256(text) AS h_new,
+         length(text) AS chars_new
+  FROM (SELECT * FROM changed UNION ALL SELECT * FROM added)),
+a_dig AS (SELECT DISTINCT h_old AS h_new, 1 AS in_a FROM old),
+j AS (
+  SELECT coalesce(n.src_new, o.src_old) AS source,
+         CASE WHEN o.h_old IS NULL THEN 'added'
+              WHEN n.h_new IS NULL THEN 'removed'
+              WHEN o.h_old <> n.h_new THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         (o.h_old IS NULL AND a.in_a IS NOT NULL) AS redup,
+         coalesce(n.chars_new, 0) AS chars
+  FROM old o
+  FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+  LEFT JOIN a_dig a ON a.h_new = n.h_new),
+agg AS (
+  SELECT source,
+         sum(CASE WHEN status <> 'added' THEN 1 ELSE 0 END) AS n_old,
+         sum(CASE WHEN status <> 'removed' THEN 1 ELSE 0 END) AS n_new,
+         sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+         sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+         sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+         sum(CASE WHEN redup THEN 1 ELSE 0 END) AS n_redup,
+         sum(chars) AS chars_new
+  FROM j GROUP BY source)
+SELECT source,
+       CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_added AS BIGINT) AS n_added,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_changed AS BIGINT) AS n_changed,
+       CAST(n_redup AS BIGINT) AS n_redup,
+       CAST(chars_new AS BIGINT) AS chars_new,
+       CAST(greatest(1, ceil(chars_new / 65536.0)) AS BIGINT)
+         AS n_target_files,
+       (n_removed + n_changed) * 5 >= n_old AS vacuum_rewrite
+FROM agg ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # q107 — deterministic negative sampling for contrastive pairs.
 # ---------------------------------------------------------------------------
@@ -2005,6 +2191,7 @@ QUERIES = {
     "q104_embed_topk": q104_embed_topk,
     "q105_corpus_diff": q105_corpus_diff,
     "q107_negative_sampling": q107_negative_sampling,
+    "q201_corpus_vacuum": q201_corpus_vacuum,
 }
 
 ORACLE = {
@@ -2033,4 +2220,5 @@ ORACLE = {
     "q104_embed_topk": _Q104_SQL,
     "q105_corpus_diff": _Q105_SQL,
     "q107_negative_sampling": _Q107_SQL,
+    "q201_corpus_vacuum": _Q201_SQL,
 }

@@ -2559,6 +2559,384 @@ ORDER BY u.doc_id
 """
 
 
+def q200_passage_miss_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED miss-rate of the fixed-width substring dedup
+    (q144/q176's positional 5-gram, ``min_grams=3`` operator) — the
+    honesty report the approximate tiers all carry (q186/q190/q197
+    pattern): what does the fixed window actually miss?
+
+    Protocol: plant duplicated passages of KNOWN lengths (3, 5, 7, 9,
+    15 words — the first L words of every 5th sufficiently-long
+    document) into two fresh host rows each, wrapped in host-unique
+    sentinel words so no n-gram can straddle the passage boundary and
+    still be duplicated. Run ``duplicate_passage_spans`` over corpus +
+    planted rows and report, per planted length: how many planted
+    hosts were detected, the detection fraction, the total span grams
+    recovered, and the theoretical interior-gram budget ``max(0,
+    L - n + 1) = L - 4`` per host. The structural result this pins:
+    lengths below
+    ``min_grams + n - 1 = 7`` words are INVISIBLE to the operator
+    (detect_frac 0.0 for L=3 and L=5, 1.0 from L=7 up) — a
+    quantified boundary, not a claim, and re-derived on any fixture.
+
+    Scale shape: the planted rows are a corpus-fraction projection
+    (two small rows per donor); the detection pass is
+    ``duplicate_passage_spans`` itself (fixed-width hashed grams
+    across exchanges, see q144); the report is a tiny groupBy on L.
+    Determinism: detection depends only on planted-gram geometry —
+    natural cross-doc duplicates cannot extend a run past the
+    sentinel words, and passage-interior grams are already
+    >= 2-doc duplicated by construction (donor + both hosts).
+    """
+    from gov_data_pipeline_spark.operators.dedup import (
+        duplicate_passage_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    donors = (
+        docs.select("doc_id", ws.alias("__ws"))
+        .filter((F.size("__ws") >= 20) & (F.col("doc_id") % 5 == 0))
+        .select(
+            "doc_id",
+            F.element_at(
+                F.array(*[F.lit(x) for x in (3, 5, 7, 9, 15)]),
+                (F.expr("pmod(doc_id div 5, 5)") + 1).cast("int"),
+            ).alias("L"),
+            "__ws",
+        )
+    )
+    planted = (
+        donors.select(
+            "doc_id",
+            "L",
+            F.explode(F.array(F.lit("a"), F.lit("b"))).alias("side"),
+            F.array_join(F.slice(F.col("__ws"), 1, F.col("L")), " ").alias(
+                "__p"
+            ),
+        )
+        .select(
+            (
+                F.col("doc_id")
+                + F.when(F.col("side") == "a", 10_000_000).otherwise(
+                    20_000_000
+                )
+            ).alias("nid"),
+            "side",
+            "L",
+            "__p",
+        )
+        .select(
+            F.col("nid").alias("doc_id"),
+            "L",
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("px"), F.col("side"), F.col("nid")),
+                F.col("__p"),
+                F.concat(F.lit("sx"), F.col("side"), F.col("nid")),
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(planted.select("doc_id", "text"))
+    spans = duplicate_passage_spans(
+        corpus, "doc_id", F.col("text"), n=5, min_grams=3
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__ns"), F.sum("n_grams").alias("__g")
+    )
+    per = planted.select("doc_id", "L").join(per_doc, "doc_id", "left")
+    return (
+        per.groupBy("L")
+        .agg(
+            F.count(F.lit(1)).alias("n_planted"),
+            F.sum(
+                F.when(F.coalesce(F.col("__ns"), F.lit(0)) > 0, 1).otherwise(
+                    0
+                )
+            ).alias("n_detected"),
+            F.sum(F.coalesce(F.col("__g"), F.lit(0))).alias(
+                "sum_span_grams"
+            ),
+        )
+        .select(
+            F.col("L").cast("int").alias("planted_len"),
+            "n_planted",
+            "n_detected",
+            F.round(F.col("n_detected") / F.col("n_planted"), 6).alias(
+                "detect_frac"
+            ),
+            F.col("sum_span_grams").cast("long").alias("sum_span_grams"),
+            F.greatest(F.lit(0), F.col("L") - 4)
+            .cast("long")
+            .alias("window_grams"),
+        )
+        .orderBy("planted_len")
+    )
+
+
+_Q200_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+don AS (
+  SELECT doc_id, ws,
+         ([3, 5, 7, 9, 15])[CAST((doc_id // 5) % 5 AS INT) + 1] AS L
+  FROM w WHERE len(ws) >= 20 AND doc_id % 5 = 0),
+planted AS (
+  SELECT doc_id + 10000000 AS doc_id, L,
+         'pxa' || (doc_id + 10000000) || ' ' ||
+         array_to_string(ws[1:L], ' ') ||
+         ' sxa' || (doc_id + 10000000) AS text
+  FROM don
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, L,
+         'pxb' || (doc_id + 20000000) || ' ' ||
+         array_to_string(ws[1:L], ' ') ||
+         ' sxb' || (doc_id + 20000000) AS text
+  FROM don),
+u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM planted),
+wu AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM u),
+g AS (
+  SELECT doc_id, pos, md5(array_to_string(ws[pos:pos+4], ' ')) AS h
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS pos
+        FROM wu WHERE len(ws) >= 5)),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM d),
+sp AS (
+  SELECT doc_id, count(*) AS n_grams
+  FROM isl GROUP BY doc_id, i HAVING count(*) >= 3),
+per_doc AS (
+  SELECT doc_id, count(*) AS ns, sum(n_grams) AS g
+  FROM sp GROUP BY doc_id),
+per AS (
+  SELECT p.doc_id, p.L, coalesce(s.ns, 0) AS ns, coalesce(s.g, 0) AS g
+  FROM planted p LEFT JOIN per_doc s ON s.doc_id = p.doc_id)
+SELECT CAST(L AS INT) AS planted_len,
+       count(*) AS n_planted,
+       CAST(sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_detected,
+       round(CAST(sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS detect_frac,
+       CAST(sum(g) AS BIGINT) AS sum_span_grams,
+       CAST(greatest(0, L - 4) AS BIGINT) AS window_grams
+FROM per GROUP BY L ORDER BY planted_len
+"""
+
+
+def q202_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall report for the INT8-QUANTIZED search tier (r12 verdict
+    item #6: q118 quantizes for storage but every ANN tier searched
+    float — this closes the loop, in the q186/q197 honesty pattern):
+    per query, recall@5 against the float brute-force truth for BOTH
+
+    - ``recall_int8`` — brute-force search over int8 codes (pure
+      quantization effect: candidate set identical to the truth's, so
+      any miss is the 1-byte/dim representation, nothing else), and
+    - ``recall_ivf8`` — ``ivf_topk(int8=True)`` (IVF-SQ8: float cell
+      assignment, 16 cells / 3 probes exactly like q188's float tier,
+      int8 candidate scoring) — the production operating point, whose
+      misses compound coarse-cell pruning with quantization.
+
+    Reading q188's float-IVF recall beside this query's two columns
+    separates the three loss sources (cells, codes, both) on any
+    fixture. Cross-engine determinism: the quantizer is q118's
+    bit-for-bit (``floor(x·127/scale+0.5)``, zero-scale → zeros);
+    integer dots are exact in both engines (long fold in Spark, sums
+    < 2^53 in DuckDB); the only floats are one sqrt per vector and
+    one divide per pair, rounded to 4 before ranking with
+    neighbor-id tiebreaks — q186-family convention.
+
+    Scale shape: the brute-int8 arm broadcasts the 20 quantized query
+    rows (the deliberate ground-truth pattern of q46/q186); the IVF
+    arm is ``ivf_topk``'s plan — corpus-side one (cell) row per
+    vector, scoring bounded by cell occupancy × n_probe.
+    """
+    from gov_data_pipeline_spark.operators.similarity import (
+        _int8_pair_cosine,
+        _int8_vec_side,
+    )
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+    ).select("vec_id", "neighbor_id")
+
+    q8 = _int8_vec_side(queries, "vec_id", "embedding", "__qid", "__qv", "__qn")
+    c8 = _int8_vec_side(emb, "vec_id", "embedding", "__cid", "__cv", "__cn")
+    brute8 = (
+        c8.crossJoin(F.broadcast(q8))
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select(
+            "__qid",
+            "__cid",
+            F.round(
+                _int8_pair_cosine(
+                    F.col("__qv"), F.col("__cv"),
+                    F.col("__qn"), F.col("__cn"),
+                ),
+                4,
+            ).alias("__sim"),
+        )
+        .filter(F.col("__sim").isNotNull())
+    )
+    w8 = W.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    brute8_top = (
+        brute8.withColumn("__rk", F.row_number().over(w8))
+        .filter(F.col("__rk") <= 5)
+        .select(F.col("__qid").alias("__b8q"), F.col("__cid").alias("__b8n"))
+    )
+    ivf8_top = ivf_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, n_centroids=16, n_probe=3, int8=True,
+    ).select(F.col("vec_id").alias("__i8q"), F.col("neighbor_id").alias("__i8n"))
+
+    return (
+        exact.join(
+            brute8_top,
+            (exact.vec_id == F.col("__b8q"))
+            & (exact.neighbor_id == F.col("__b8n")),
+            "left",
+        )
+        .join(
+            ivf8_top,
+            (exact.vec_id == F.col("__i8q"))
+            & (exact.neighbor_id == F.col("__i8n")),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("__b8n").alias("n_hit_int8"),
+            F.round(
+                F.count("__b8n").cast("double") / F.count(F.lit(1)), 4
+            ).alias("recall_int8"),
+            F.count("__i8n").alias("n_hit_ivf8"),
+            F.round(
+                F.count("__i8n").cast("double") / F.count(F.lit(1)), 4
+            ).alias("recall_ivf8"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q202_SQL = """
+WITH exact_scored AS (
+  SELECT q.vec_id,
+         c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20),
+exact_top AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rk
+    FROM exact_scored) WHERE rk <= 5),
+xd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings),
+q8 AS (
+  SELECT vec_id,
+         list_transform(xd, x -> CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(x * 127 / sc + 0.5) AS BIGINT) END) AS qv
+  FROM (SELECT vec_id, xd,
+               list_aggregate(list_transform(xd, y -> abs(y)), 'max') AS sc
+        FROM xd)),
+n8 AS (
+  SELECT vec_id, qv,
+         sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+           AS nrm
+  FROM q8),
+int8_scored AS (
+  SELECT q.vec_id, c.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(
+                 range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i]))
+               AS DOUBLE) / nullif(q.nrm * c.nrm, 0), 4) AS sim
+  FROM n8 q JOIN n8 c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20),
+int8_top AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, neighbor_id) AS rk
+    FROM int8_scored WHERE sim IS NOT NULL) WHERE rk <= 5),
+cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+q_assign AS (
+  SELECT e.vec_id AS qid, c.cid,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           AS dist
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < 20),
+q_cells AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM q_assign)
+  WHERE rn <= 3),
+c_assign AS (
+  SELECT e.vec_id AS nid, c.cid,
+         list_inner_product(c.cv, c.cv)
+           - 2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+           AS dist
+  FROM embeddings e CROSS JOIN cents c),
+c_cells AS (
+  SELECT nid, cid FROM (
+    SELECT nid, cid,
+           row_number() OVER (PARTITION BY nid
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM c_assign)
+  WHERE rn = 1),
+cand AS (
+  SELECT DISTINCT q.qid, c.nid
+  FROM q_cells q JOIN c_cells c ON q.cid = c.cid
+  WHERE q.qid <> c.nid),
+ivf8_scored AS (
+  SELECT cand.qid AS vec_id, cand.nid AS neighbor_id,
+         round(CAST(list_sum(list_transform(
+                 range(1, len(qn.qv) + 1), i -> qn.qv[i] * cn.qv[i]))
+               AS DOUBLE) / nullif(qn.nrm * cn.nrm, 0), 4) AS sim
+  FROM cand
+  JOIN n8 qn ON qn.vec_id = cand.qid
+  JOIN n8 cn ON cn.vec_id = cand.nid),
+ivf8_top AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, neighbor_id) AS rk
+    FROM ivf8_scored WHERE sim IS NOT NULL) WHERE rk <= 5)
+SELECT e.vec_id,
+       count(*) AS k,
+       CAST(count(b.neighbor_id) AS BIGINT) AS n_hit_int8,
+       round(CAST(count(b.neighbor_id) AS DOUBLE) / count(*), 4)
+         AS recall_int8,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit_ivf8,
+       round(CAST(count(i.neighbor_id) AS DOUBLE) / count(*), 4)
+         AS recall_ivf8
+FROM exact_top e
+LEFT JOIN int8_top b
+  ON b.vec_id = e.vec_id AND b.neighbor_id = e.neighbor_id
+LEFT JOIN ivf8_top i
+  ON i.vec_id = e.vec_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 def q88_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition gate: fraction of
     duplicate 3-grams per document. Deliberately EXPRESSION-level
@@ -4396,6 +4774,8 @@ QUERIES = {
     "q170_script_profile": q170_script_profile,
     "q172_top_ngram_fraction": q172_top_ngram_fraction,
     "q176_passage_removal": q176_passage_removal,
+    "q200_passage_miss_rate": q200_passage_miss_rate,
+    "q202_int8_recall": q202_int8_recall,
     "q67_dedup_clusters": q67_dedup_clusters,
     "q77_fuzzy_join": q77_fuzzy_join,
     "q74_semantic_clusters": q74_semantic_clusters,
@@ -4485,6 +4865,8 @@ ORACLE = {
     "q170_script_profile": _Q170_SQL,
     "q172_top_ngram_fraction": _Q172_SQL,
     "q176_passage_removal": _Q176_SQL,
+    "q200_passage_miss_rate": _Q200_SQL,
+    "q202_int8_recall": _Q202_SQL,
     "q41_jaccard_pairs": _Q41_SQL,
     "q158_containment_pairs": _Q158_SQL,
     "q163_containment_dedup": _Q163_SQL,

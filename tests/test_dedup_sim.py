@@ -1202,3 +1202,78 @@ def test_lsh_semantic_clusters_refine_exact_baseline(spark, sf_dir):
     ns_lsh = {v for v, (c, _) in lsh.items() if cb[c] > 1}
     assert ns_exact, "fixture lost its planted mutants"
     assert len(ns_lsh & ns_exact) / len(ns_exact) >= 0.95
+
+
+class TestInt8Tier:
+    """int8-quantized search scoring (_int8_vec_side / ivf_topk(int8=
+    True) / ann_topk(int8=True)) — r13 closure of the q118 storage ↔
+    search gap."""
+
+    def test_quantizer_matches_q118_formula(self, spark):
+        import math
+
+        from gov_data_pipeline_spark.operators.similarity import (
+            _int8_vec_side,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "vid long, v array<double>",
+        )
+        rows = {
+            r["i"]: r
+            for r in _int8_vec_side(df, "vid", "v", "i", "q", "n").collect()
+        }
+        # scale = 1.0: floor(0.5*127+0.5)=64, floor(-127+0.5)=-127,
+        # floor(0.25*127+0.5)=floor(32.25)=32
+        assert rows[1]["q"] == [64, -127, 32]
+        assert rows[1]["n"] == math.sqrt(64 * 64 + 127 * 127 + 32 * 32)
+        # zero-scale vector quantizes to zeros with zero norm
+        assert rows[2]["q"] == [0, 0, 0] and rows[2]["n"] == 0.0
+
+    def test_int8_topk_tracks_float_topk(self, spark, sf_dir):
+        """On the fixture embeddings, the int8 brute ranking agrees
+        with the float ranking for >= 90% of top-5 slots (q202 measures
+        the exact number; this is the floor), and the zero-norm guard
+        drops nothing real."""
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.operators.similarity import (
+            ann_topk,
+            cosine_topk,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        flt = cosine_topk(
+            queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+        ).select("vec_id", "neighbor_id")
+        # full-probe LSH so the candidate sets are near-exhaustive and
+        # the comparison isolates the quantized SCORING
+        i8 = ann_topk(
+            queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=5, bits=4, tables=8, int8=True,
+        ).select("vec_id", "neighbor_id")
+        n_truth = flt.count()
+        n_hit = flt.intersect(i8).count()
+        assert n_truth == 50
+        assert n_hit / n_truth >= 0.9, f"{n_hit}/{n_truth}"
+
+    def test_ivf_int8_stays_jvm_side(self, spark, sf_dir):
+        """The quantized tier must not fall out of codegen into Python:
+        no BatchEvalPython / PythonUDF in the executed plan."""
+        from pyspark.sql import functions as F
+
+        from gov_data_pipeline_spark.catalog import read_table
+        from gov_data_pipeline_spark.operators.similarity import ivf_topk
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        df = ivf_topk(
+            queries, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=3, int8=True,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "PythonUDF" not in plan

@@ -300,6 +300,88 @@ def test_incremental_dedup_sink_grows_corpus_without_duplicates(spark, tmp_path)
     assert spark.read.parquet(corpus).count() == 4
 
 
+def test_corpus_vacuum_redup_matches_dedup_sink_rejections(
+    spark, tmp_path, sf_dir
+):
+    """q201's n_redup IS the incremental exact-dedup sink's rejection
+    count: snapshot A streams into the sink, then snapshot B's added
+    docs (q201's synthesis: every 103rd doc re-added under a fresh id,
+    odd ids with new content) stream as a second batch — the rows the
+    sink refuses to append must be exactly the report's re-duplicated
+    rows, and the corpus must grow by n_added - n_redup."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.catalog import read_table
+    from gov_data_pipeline_spark.queries.corpus_ops import q201_corpus_vacuum
+    from gov_data_pipeline_spark.streaming import incremental_dedup_sink
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_a = docs.count()
+    off = docs.agg(F.max("doc_id") + 1).collect()[0][0]
+    added = docs.filter(F.col("doc_id") % 103 == 0).select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.col("text"), F.lit(" [rescrape]")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    n_added = added.count()
+    assert n_added > 0, "fixture too small for the 103-modulus synthesis"
+
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    t0 = time.time()
+    first_files = set()
+    for root, _, files in os.walk(src):
+        for f in files:
+            p = os.path.join(root, f)
+            os.utime(p, (t0, t0))
+            first_files.add(p)
+    added.coalesce(1).write.mode("append").parquet(src)
+    for root, _, files in os.walk(src):
+        for f in files:
+            p = os.path.join(root, f)
+            if p not in first_files:
+                os.utime(p, (t0 + 10, t0 + 10))
+
+    corpus = str(tmp_path / "corpus")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_dedup_sink(
+            stream, corpus, ["text"], "doc_id", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    report = q201_corpus_vacuum(spark, sf_dir)
+    tot = report.agg(
+        F.sum("n_added").alias("a"), F.sum("n_redup").alias("r")
+    ).collect()[0]
+    assert tot["a"] == n_added
+    got = spark.read.parquet(corpus).count()
+    assert got == n_a + tot["a"] - tot["r"], (
+        f"sink kept {got - n_a} of {n_added} added docs; vacuum report "
+        f"says {tot['a'] - tot['r']} are genuinely new"
+    )
+    # the survivors are exactly the mutated (odd-original-id) re-adds
+    kept_added = (
+        spark.read.parquet(corpus)
+        .filter(F.col("doc_id") >= off)
+        .select("doc_id")
+        .collect()
+    )
+    assert all((r["doc_id"] - off) % 2 == 1 for r in kept_added)
+
+
 def test_exact_dedup_sink_digest_sidecar_same_result_and_heals(spark, tmp_path):
     """digest_sidecar=True must keep the exact-dedup contract (one row
     per distinct content, smallest-id-first winners), persist one

@@ -666,6 +666,20 @@ def _with_lsh_buckets(
     dot-products in a single hash-aggregate. With ``norma``, the
     vector's L2 norm rides along from this per-vector projection so the
     downstream pair stage never recomputes it per candidate.
+
+    The plane dots are computed in INTEGER fixed-point (elements
+    quantized ``floor(x·10^6 + 0.5)`` before the ±1 multiply, long
+    accumulate) — r13, after the sf1.0 sweep caught the float form's
+    boundary: a vector whose plane dot is within float-summation noise
+    of zero gets a bucket bit that depends on ACCUMULATION ORDER,
+    which neither Spark's hash-aggregate nor DuckDB's group sum pins —
+    the planted q80 mutant pair collided in one engine and not the
+    other. The integer sum is exact and order-free in both engines
+    (|dot| ≤ dims·10^6·max|x| ≪ 2^63), so the sign — hence every
+    bucket, candidate set, and downstream cluster — is deterministic.
+    The 10^-6 quantization is far below any embedding's meaningful
+    precision; it only REDEFINES the hash family (any deterministic
+    sign rule is a valid LSH), it does not approximate it.
     """
     cols = [F.col(idc).alias(ida), F.col(vecc).alias(veca)]
     if norma is not None:
@@ -697,8 +711,8 @@ def _with_lsh_buckets(
                 .cast("int")
                 .bitwiseAND(F.lit(1))
                 == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
         )
         if dim is not None:
             # Vector width known: the dimension domain is 0..dim-1 by
@@ -711,19 +725,24 @@ def _with_lsh_buckets(
             dims_df = ex.select("__d").distinct()
         dim_signs = dims_df.select("__d", signs.alias("__sg"))
         ex = ex.join(F.broadcast(dim_signs), "__d")
+        qx = F.floor(
+            F.col("__x").cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        )
         aggs = [
-            F.sum(
-                F.col("__x").cast("double") * F.element_at(F.col("__sg"), p + 1)
-            ).alias(f"__p{p}")
+            F.sum(qx * F.element_at(F.col("__sg"), p + 1)).alias(f"__p{p}")
             for p in range(total)
         ]
     elif hash_family == "xxhash64":
+        qx = F.floor(
+            F.col("__x").cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        )
         aggs = [
             F.sum(
-                F.col("__x").cast("double")
+                qx
                 * F.when(
-                    F.xxhash64(F.lit(p), F.col("__d")).bitwiseAND(F.lit(1)) == 1, 1.0
-                ).otherwise(-1.0)
+                    F.xxhash64(F.lit(p), F.col("__d")).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
             ).alias(f"__p{p}")
             for p in range(total)
         ]

@@ -1439,8 +1439,15 @@ def q107_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one tiny count broadcast, a projection computing candidate
     ids, and one equi-join against the (id)-projected corpus — linear,
-    shuffle-on-id. (The multiplier bounds: ids up to ~2^30 stay inside
-    int64 before the mod; beyond that, densified ids keep it safe.)
+    shuffle-on-id. Overflow posture (r13, caught by the sf1.0 sweep —
+    raw ``doc_id * 2654435761`` wraps int64 once ids pass ~3.5e9, and
+    under ANSI mode that is a job-killing ARITHMETIC_OVERFLOW, not a
+    silent wrap): both factors are reduced mod N BEFORE the multiply —
+    identical output by modular arithmetic wherever the raw form
+    didn't overflow (q131's id-squaring fix, same rule), and safe for
+    any id magnitude as long as the corpus itself has < 2^31 rows
+    (residues < N ⇒ product < N² < 2^62); a larger corpus densifies
+    ids first (q83) which also re-bounds N.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.agg(F.count(F.lit(1)).alias("n"))
@@ -1455,7 +1462,11 @@ def q107_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "j",
             F.pmod(
-                F.col("doc_id") * F.lit(2654435761) + F.col("j") + 1, F.col("n")
+                F.pmod(F.col("doc_id"), F.col("n"))
+                * F.pmod(F.lit(2654435761), F.col("n"))
+                + F.col("j")
+                + 1,
+                F.col("n"),
             ).alias("neg_id"),
         )
         .filter(F.col("neg_id") != F.col("doc_id"))
@@ -1470,7 +1481,8 @@ _Q107_SQL = """
 WITH n AS (SELECT count(*) AS n FROM documents),
 cands AS (
   SELECT d.doc_id, j.j,
-         ((d.doc_id * 2654435761 + j.j + 1) % n.n + n.n) % n.n AS neg_id
+         (((d.doc_id % n.n) * (2654435761 % n.n) + j.j + 1) % n.n + n.n)
+           % n.n AS neg_id
   FROM documents d CROSS JOIN n CROSS JOIN range(3) j(j)),
 flt AS (SELECT * FROM cands WHERE neg_id <> doc_id)
 SELECT f.doc_id, f.j, f.neg_id

@@ -850,10 +850,11 @@ planes AS (
   SELECT dims.d, p.p AS p,
          CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
                                    1, 1))::INT & 1 = 1
-              THEN 1.0 ELSE -1.0 END AS sign
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sign
   FROM dims CROSS JOIN range(36) p(p)),
 dots AS (
-  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  SELECT e.vec_id, pl.p,
+         sum(CAST(floor(e.x * 1000000 + 0.5) AS BIGINT) * pl.sign) AS dot
   FROM ex e JOIN planes pl ON pl.d = e.d
   GROUP BY e.vec_id, pl.p),
 buckets AS (
@@ -2288,10 +2289,11 @@ planes AS (
   SELECT dims.d, p.p AS p,
          CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
                                    1, 1))::INT & 1 = 1
-              THEN 1.0 ELSE -1.0 END AS sign
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sign
   FROM dims CROSS JOIN range(36) p(p)),
 dots AS (
-  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  SELECT e.vec_id, pl.p,
+         sum(CAST(floor(e.x * 1000000 + 0.5) AS BIGINT) * pl.sign) AS dot
   FROM ex e JOIN planes pl ON pl.d = e.d
   GROUP BY e.vec_id, pl.p),
 buckets AS (
@@ -3310,10 +3312,11 @@ planes AS (
   SELECT dims.d, p.p AS p,
          CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
                                    1, 1))::INT & 1 = 1
-              THEN 1.0 ELSE -1.0 END AS sign
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sign
   FROM dims CROSS JOIN range(36) p(p)),
 dots AS (
-  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  SELECT e.vec_id, pl.p,
+         sum(CAST(floor(e.x * 1000000 + 0.5) AS BIGINT) * pl.sign) AS dot
   FROM ex e JOIN planes pl ON pl.d = e.d
   GROUP BY e.vec_id, pl.p),
 buckets AS (
@@ -3321,10 +3324,15 @@ buckets AS (
          sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 6)) ELSE 0 END)::BIGINT AS b
   FROM dots GROUP BY vec_id, (p // 6)::INT),
 cand AS (
+  -- membership JOINS, not an id-threshold: "mutant" means "row of the
+  -- mutants CTE" — the old >= {_MUT_OFFSET} test misclassified the
+  -- sf1.0 replica ids (>= 1e9), silently dropping true candidates
+  -- (caught by the r13 full-registry sf1.0 sweep)
   SELECT DISTINCT q.vec_id AS a_id, c.vec_id AS b_id
   FROM buckets q
+  JOIN mutants mq ON mq.vec_id = q.vec_id
   JOIN buckets c ON q.t = c.t AND q.b = c.b
-  WHERE q.vec_id >= {_MUT_OFFSET} AND c.vec_id < {_MUT_OFFSET}),
+  JOIN embeddings oc ON oc.vec_id = c.vec_id),
 pairs AS (
   SELECT cand.a_id, cand.b_id
   FROM cand
@@ -3889,10 +3897,11 @@ planes AS (
   SELECT dims.d, p.p AS p,
          CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
                                    1, 1))::INT & 1 = 1
-              THEN 1.0 ELSE -1.0 END AS sign
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sign
   FROM dims CROSS JOIN range(36) p(p)),
 dots AS (
-  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  SELECT e.vec_id, pl.p,
+         sum(CAST(floor(e.x * 1000000 + 0.5) AS BIGINT) * pl.sign) AS dot
   FROM ex e JOIN planes pl ON pl.d = e.d
   GROUP BY e.vec_id, pl.p),
 buckets AS (
@@ -4098,10 +4107,11 @@ planes AS (
   SELECT dims.d, p.p AS p,
          CASE WHEN ('0x' || substr(md5(dims.d::VARCHAR || ',' || p.p::VARCHAR),
                                    1, 1))::INT & 1 = 1
-              THEN 1.0 ELSE -1.0 END AS sign
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sign
   FROM dims CROSS JOIN range(36) p(p)),
 dots AS (
-  SELECT e.vec_id, pl.p, sum(e.x * pl.sign) AS dot
+  SELECT e.vec_id, pl.p,
+         sum(CAST(floor(e.x * 1000000 + 0.5) AS BIGINT) * pl.sign) AS dot
   FROM ex e JOIN planes pl ON pl.d = e.d
   GROUP BY e.vec_id, pl.p),
 buckets AS (

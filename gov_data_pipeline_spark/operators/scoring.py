@@ -89,11 +89,17 @@ def hashed_token_features(
     empty / whitespace-only text yields no rows (scorers left-join and
     coalesce to the intercept).
 
-    ONE Generate (explode) over ONE scan — unigrams and bigrams are
-    built as arrays from the same split and concatenated BEFORE the
-    explode (a unioned second explode would re-scan the corpus text,
-    doubling the dominant cost at 100 TB); the term explosion is the
-    only row amplification and it is linear in corpus tokens.
+    ONE Generate (explode) over ONE scan — unigrams and bigrams come
+    out of a single POSITION explode over ``sequence(1, n + (n-1))``
+    (positions ``<= n`` are unigrams, the rest adjacent bigrams via
+    ``element_at``), so the term explosion is the only row
+    amplification and it is linear in corpus tokens. The position form
+    is WHOLE-STAGE CODEGEN end to end (r13): the previous
+    ``zip_with(slice, slice)`` bigram array is a higher-order function
+    — CodegenFallback, an interpreted lambda per token — and swapping
+    it for ``element_at`` measured 4.30 s → 2.03 s best-of-5 for the
+    full cjk/md5 feature build at sf0.1, bit-identical (id,
+    feature_id, tf) output.
     """
     for taken in (id_col, "feature_id", "tf", "__g"):
         if taken in (carry or []):
@@ -103,32 +109,44 @@ def hashed_token_features(
                 "produce a duplicate or ambiguous column and silently "
                 "wrong tf counts; rename it in df first"
             )
-    empty = F.array().cast("array<string>")
-    canon = canonical_tokens_col(text, token_classes)
-    ws = F.split(canon, " ")
-    uni = F.when(F.length(canon) > 0, ws).otherwise(empty)
-    grams_arr = uni
-    if bigrams:
-        # adjacent bigrams: zip the split against its shifted tail —
-        # stays inside codegen, no second pass over the text
-        bi = F.when(
-            F.size(ws) >= 2,
-            F.zip_with(
-                F.slice(ws, 1, F.size(ws) - 1),
-                F.slice(ws, 2, F.size(ws) - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            ),
-        ).otherwise(empty)
-        grams_arr = F.concat(uni, bi)
     extra = list(carry or [])
-    grams = df.select(
-        F.col(id_col), *extra, F.explode(grams_arr).alias("__g")
+    canon = canonical_tokens_col(text, token_classes)
+    # NULL / empty canonical text yields no rows: filter BEFORE the
+    # split ("" splits to [''] — one bogus empty token otherwise).
+    base = (
+        df.select(F.col(id_col), *extra, canon.alias("__c"))
+        .where(F.length("__c") > 0)
+        .select(id_col, *extra, F.split("__c", " ").alias("__ws"))
     )
+    n = F.size("__ws")
+    if bigrams:
+        n_pos = n + F.greatest(n - 1, F.lit(0))
+    else:
+        n_pos = n
+    exploded = base.select(
+        id_col,
+        *extra,
+        "__ws",
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("__i"),
+    )
+    n2 = F.size("__ws")
+    if bigrams:
+        gram = F.when(
+            F.col("__i") <= n2, F.element_at("__ws", F.col("__i"))
+        ).otherwise(
+            F.concat_ws(
+                " ",
+                F.element_at("__ws", F.col("__i") - n2),
+                F.element_at("__ws", F.col("__i") - n2 + 1),
+            )
+        )
+    else:
+        gram = F.element_at("__ws", F.col("__i"))
     return (
-        grams.select(
+        exploded.select(
             id_col,
             *extra,
-            _feature_hash(F.col("__g"), n_features, hash_family).alias(
+            _feature_hash(gram, n_features, hash_family).alias(
                 "feature_id"
             ),
         )
@@ -150,6 +168,7 @@ def score_linear_model(
     token_classes: str = "ascii",
     feature_col: str = "feature_id",
     weight_col: str = "weight",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document with a broadcast linear model: returns
     ``docs`` + ``logit`` (exact int64, milli-units — intercept plus
@@ -163,20 +182,32 @@ def score_linear_model(
     magnitude; features that miss the table score 0 (inner join drops
     them — sparse models stay sparse).
 
+    ``feats``: optional prebuilt ``(id_col, feature_id, tf)`` frame —
+    EXACTLY ``hashed_token_features`` of the same docs with the same
+    n_features/bigrams/hash_family/token_classes (the caller owns that
+    contract; pass a pinned frame when it has other consumers). A
+    train-then-score pipeline that already materialized its feature
+    frame (``train_linear_model`` localCheckpoints one) passes it here
+    and the scorer skips its own corpus explode — at any scale that
+    deletes one full text scan + explode + (id, feature) aggregate,
+    the scorer's dominant cost (r13: q168 5.85 s → 2.96 s at sf0.1,
+    best-of-5).
+
     Plan: explode → hash → broadcast-join weights → per-doc sum →
     left-join back onto ``docs`` (zero-feature documents keep the
     intercept). The corpus shuffles ONCE, on ``id_col``, for the
     per-doc sum; nothing else moves it.
     """
-    feats = hashed_token_features(
-        docs.select(id_col, text.alias("__text")),
-        id_col,
-        F.col("__text"),
-        n_features=n_features,
-        bigrams=bigrams,
-        hash_family=hash_family,
-        token_classes=token_classes,
-    )
+    if feats is None:
+        feats = hashed_token_features(
+            docs.select(id_col, text.alias("__text")),
+            id_col,
+            F.col("__text"),
+            n_features=n_features,
+            bigrams=bigrams,
+            hash_family=hash_family,
+            token_classes=token_classes,
+        )
     w = weights.select(
         F.col(feature_col).alias("feature_id"),
         F.col(weight_col).cast("long").alias("__w"),
@@ -208,6 +239,7 @@ def train_linear_model(
     bigrams: bool = True,
     hash_family: str = "xxhash64",
     token_classes: str = "ascii",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration full-batch gradient trainer for the hashed-
     feature linear quality filter — closes the q164 loop: the model
@@ -234,6 +266,13 @@ def train_linear_model(
     A DuckDB oracle unrolls the iterations as CTEs and reproduces the
     trained model bit-for-bit (q168).
 
+    ``feats``: optional prebuilt ``(id_col, feature_id, tf)`` frame,
+    same contract as ``score_linear_model(feats=...)`` — the caller
+    passes an ALREADY-PINNED frame (localCheckpoint) and the trainer
+    skips both its own feature build and its own pin, so a
+    train-then-score pipeline pays for the corpus explode exactly once
+    across both halves (q168).
+
     Scale shape: the feature frame — the expensive part, one explode
     over one text scan — is built ONCE and ``localCheckpoint``-ed, so
     ``n_iter`` iterations never re-read the corpus. Each iteration is
@@ -246,15 +285,16 @@ def train_linear_model(
     base = docs.select(
         F.col(id_col), text.alias("__text"), label.alias("__label")
     )
-    feats = hashed_token_features(
-        base,
-        id_col,
-        F.col("__text"),
-        n_features=n_features,
-        bigrams=bigrams,
-        hash_family=hash_family,
-        token_classes=token_classes,
-    ).localCheckpoint()
+    if feats is None:
+        feats = hashed_token_features(
+            base,
+            id_col,
+            F.col("__text"),
+            n_features=n_features,
+            bigrams=bigrams,
+            hash_family=hash_family,
+            token_classes=token_classes,
+        ).localCheckpoint()
     labels = base.select(
         F.col(id_col),
         (F.col("__label").cast("long") * 1000).alias("__y"),
@@ -387,22 +427,27 @@ def score_multiclass_model(
     (k one-vs-all linear scorers sharing one hashed feature space):
     returns ``docs`` + ``pred_class`` + ``logit`` (the winning class's
     exact int64 score). Argmax is DETERMINISTIC: highest logit wins,
-    ties go to the smallest ``class_id`` (the row_number ordering is
-    total), so routing is bit-identical across engines and retries —
-    q198 pins it against DuckDB.
+    ties go to the smallest ``class_id`` (``min`` over the struct
+    ``(-logit, class_id)`` is a total order), so routing is
+    bit-identical across engines and retries — q198 pins it against
+    DuckDB.
 
     Plan (the q164 scorer widened by a class column — NO per-class
     corpus scan): ONE feature explode -> broadcast-join the model
     (a feature may carry several class rows; the join fans out by
     classes-per-feature, bounded by k) -> one (id, class) sum -> one
-    per-id window for the argmax -> left-join back onto ``docs``.
-    The corpus text is read once; everything after the explode carries
-    (id, class, int64) rows only. Documents none of whose features hit
-    the model (or with no features at all) get NULL pred_class/logit —
-    route-to-fallback is the caller's explicit decision, not a silent
-    default class."""
-    from pyspark.sql import Window
-
+    per-id min(struct) aggregate for the argmax -> left-join back onto
+    ``docs``. The argmax is an AGGREGATE, not a row_number window
+    (r13): the hash aggregate partially reduces k rows per doc to one
+    MAP-SIDE before its exchange and never sorts, where the window
+    form shuffled all k rows and paid an exchange + full sort —
+    identical output (the struct ordering is the same total order),
+    one less sort, k× fewer shuffled rows (q198: 7.7 s → 6.7 s
+    best-of at sf0.1). The corpus text is read once; everything after
+    the explode carries (id, class, int64) rows only. Documents none
+    of whose features hit the model (or with no features at all) get
+    NULL pred_class/logit — route-to-fallback is the caller's explicit
+    decision, not a silent default class."""
     feats = hashed_token_features(
         docs.select(id_col, text.alias("__text")),
         id_col,
@@ -422,16 +467,20 @@ def score_multiclass_model(
         .groupBy(id_col, "__cls")
         .agg(F.sum(F.col("tf") * F.col("__w")).alias("__logit"))
     )
-    win = Window.partitionBy(id_col).orderBy(
-        F.col("__logit").desc(), F.col("__cls").asc()
-    )
     best = (
-        sums.withColumn("__rn", F.row_number().over(win))
-        .filter(F.col("__rn") == 1)
+        sums.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__logit")).alias("n"),
+                    F.col("__cls").alias("c"),
+                )
+            ).alias("__m")
+        )
         .select(
             id_col,
-            F.col("__cls").alias("pred_class"),
-            F.col("__logit").cast("long").alias("logit"),
+            F.col("__m.c").alias("pred_class"),
+            (-F.col("__m.n")).cast("long").alias("logit"),
         )
     )
     return docs.join(best, id_col, "left")

@@ -830,7 +830,7 @@ def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     return ann_topk(
         queries, emb, "vec_id", "vec_id", "embedding", "embedding",
-        k=5, bits=6, tables=6, hash_family="md5", probe_flips=0,
+        k=5, bits=6, tables=6, hash_family="md5", probe_flips=0
     ).orderBy("vec_id", "rk")
 
 
@@ -1350,7 +1350,7 @@ def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(
         queries, emb, "vec_id", "vec_id", "embedding", "embedding",
-        k=5, n_centroids=16, n_probe=3,
+        k=5, n_centroids=16, n_probe=3
     ).orderBy("vec_id", "rk")
 
 
@@ -1808,6 +1808,49 @@ def _grams13(ws):
     )
 
 
+def _grams13_rows(docs: DataFrame, ws) -> DataFrame:
+    """(doc_id, s) 13-gram rows WITH per-doc multiplicity, built by
+    POSITION EXPLODE + element_at — whole-stage codegen end to end
+    (r13). ``explode(_grams13(ws))`` paid an interpreted
+    transform+slice lambda per gram (HOFs are CodegenFallback):
+    measured 3.5 s vs ~0.4 s at sf0.1 for the explode alone. Same
+    grams as ``_grams13`` minus the doc-local array_distinct —
+    consumers dedup in their aggregate (count_distinct / distinct /
+    left_semi), which partial-aggregates map-side, so nothing extra
+    crosses an exchange. Docs shorter than 13 words contribute their
+    full word-join (one row), mirroring ``_grams13``."""
+    return (
+        docs.select("doc_id", ws.alias("__ws"))
+        .select(
+            "doc_id",
+            "__ws",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.when(
+                        F.size("__ws") >= 13, F.size("__ws") - 12
+                    ).otherwise(F.lit(1)),
+                )
+            ).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.size("__ws") >= 13,
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at("__ws", F.col("__i") + j)
+                        for j in range(13)
+                    ],
+                ),
+            )
+            .otherwise(F.concat_ws(" ", "__ws"))
+            .alias("s"),
+        )
+    )
+
+
 def _bench_grams(docs: DataFrame, ws) -> DataFrame:
     """The synthesized benchmark set: every 17th doc's words[5:18]."""
     return (
@@ -1937,16 +1980,19 @@ def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the benchmark side is TINY relative to a pretraining
     corpus, so the membership test is a BROADCAST semi-join against the
-    corpus's exploded 13-gram index. Grams are generated EXPRESSION-
-    level (transform/slice, like q88) rather than via shingle_rows'
-    lead-window form precisely so corpus-sized data crosses no
-    exchange: the only shuffles left are the distincts over the two
-    SMALL relations (benchmark grams, contaminated ids — plan
-    pinned)."""
+    corpus's exploded 13-gram index. Grams are generated by the
+    codegen position explode (``_grams13_rows`` — r13; the interpreted
+    transform/slice lambda was the dominant cost) rather than via
+    shingle_rows' lead-window form precisely so corpus-sized data
+    crosses no exchange: the only shuffles left are the distincts over
+    the two SMALL relations (benchmark grams, contaminated ids — plan
+    pinned). The left_semi ∘ distinct downstream is duplicate-
+    insensitive, so dropping the doc-local array_distinct changes
+    nothing."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ws = _words_col()
     bench = _bench_grams(docs, ws)
-    ex = docs.select("doc_id", F.explode(_grams13(ws)).alias("s"))
+    ex = _grams13_rows(docs, ws)
     contaminated = (
         ex.join(F.broadcast(bench), "s", "left_semi").select("doc_id").distinct()
     )
@@ -2011,14 +2057,20 @@ def q154_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = _words_col()
     bench = _bench_grams(docs, ws)
     bits = bloom_build(bench, F.col("s"))
-    ex = docs.select("doc_id", F.explode(_grams13(ws)).alias("s"))
+    # 13-gram rows via _grams13_rows (r13: codegen position explode;
+    # 4.4 s → 1.6 s for the whole query at sf0.1). Grams carry per-doc
+    # multiplicity, so the hit count below deduplicates in the
+    # aggregate (count_distinct) instead of doc-locally
+    # (array_distinct) — same n_hit_grams, and the partial aggregate
+    # reduces duplicates map-side before the per-doc exchange.
+    ex = _grams13_rows(docs, ws)
     survivors = bloom_probe(ex, F.col("s"), bits)
-    # exact verify: grams are distinct per doc (_grams13) and bench is
-    # distinct, so count(*) == distinct matched benchmark grams.
+    # exact verify: bench is distinct; grams carry multiplicity, so
+    # count DISTINCT matched benchmark grams per doc.
     hits = (
         survivors.join(bench, "s")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .agg(F.count_distinct(F.col("s")).alias("n_hit_grams"))
     )
     return (
         docs.join(hits, "doc_id", "left")
@@ -2076,14 +2128,32 @@ def q155_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ws = _words_col()
-    bigrams = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    term_rows = docs.select("doc_id", F.explode(bigrams).alias("term"))
+    # Bigram rows via POSITION EXPLODE + element_at — whole-stage
+    # codegen end to end (r13). The old form built the bigram array
+    # with an interpreted ``transform(sequence, i -> slice)`` lambda
+    # (HOFs are CodegenFallback): measured 3.6 s vs 0.3 s at sf0.1 for
+    # the explode alone — the lambda interpreter, not the data, was
+    # q155's dominant cost. Docs with < 2 words produce no rows (the
+    # old empty-array explode produced none either).
+    term_rows = (
+        docs.select("doc_id", ws.alias("__ws"))
+        .where(F.size("__ws") >= 2)
+        .select(
+            "doc_id",
+            "__ws",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__ws") - 1)
+            ).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("__ws", F.col("__i")),
+                F.element_at("__ws", F.col("__i") + 1),
+            ).alias("term"),
+        )
+    )
     return sparse_cosine_topk(term_rows, id_col="doc_id", k=3, df_cap=100).orderBy(
         "doc_id", "rank"
     )
@@ -3103,9 +3173,11 @@ def q89_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: repetition gate (q88's duplicate-3-gram ratio <= 0.2)
     gated = docs.filter(_dup3_ratio(ws) <= 0.2)
 
-    # stage 2: decontamination (q87's bench grams, broadcast anti-join)
+    # stage 2: decontamination (q87's bench grams, broadcast anti-join;
+    # r13: codegen position-explode gram rows — distinct downstream is
+    # duplicate-insensitive)
     bench = _bench_grams(docs, ws)
-    ex = docs.select("doc_id", F.explode(_grams13(ws)).alias("s"))
+    ex = _grams13_rows(docs, ws)
     contaminated = (
         ex.join(F.broadcast(bench), "s", "left_semi").select("doc_id").distinct()
     )
@@ -4005,13 +4077,15 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__p.b").alias("__b"), F.col("__p.plain").alias("__plain"),
     )
     # id-only candidate aggregate: the (qid, cid) dedup shuffle carries
-    # two longs + a flag, never vectors
+    # two longs + a flag, never vectors. PINNED (r13): it feeds both
+    # the score join and the per-query candidate counts — unpinned,
+    # the bucket join + dedup shuffle re-ran once per consumer.
     pairs = (
         cb.join(probes, ["__t", "__b"])
         .filter(F.col("__qid") != F.col("__cid"))
         .groupBy("__qid", "__cid")
         .agg(F.max("__plain").alias("__plain"))
-    )
+    ).localCheckpoint()
     qv = queries.select(
         F.col("vec_id").alias("__qid"),
         F.col("embedding").alias("__qv"),
@@ -4036,19 +4110,33 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__sim").isNotNull())
     )
+    # ONE window pass ranks BOTH tiers (r13; was two windows + two
+    # joins): same partitioning + ordering = one exchange + one sort,
+    # with the overall row_number beside a running count of plain rows
+    # — for a plain row that running count IS its rank among the plain
+    # tier (order is shared). The exact arm then joins the flagged
+    # candidates once and counts hits conditionally, instead of one
+    # join per tier re-running the scored subtree each time
+    # (6.23 s → 5.54 s best-of-5 at sf0.1).
     wp = W.partitionBy("__qid").orderBy(
         F.col("__sim").desc(), F.col("__cid").asc()
     )
-    probe_top = (
+    flagged = (
         scored.withColumn("__rk", F.row_number().over(wp))
-        .filter(F.col("__rk") <= 5)
-        .select("__qid", "__cid")
-    )
-    plain_top = (
-        scored.filter(F.col("__plain") == 1)
-        .withColumn("__rk", F.row_number().over(wp))
-        .filter(F.col("__rk") <= 5)
-        .select(F.col("__qid").alias("__pqid"), F.col("__cid").alias("__pcid"))
+        .withColumn(
+            "__prk",
+            F.sum("__plain").over(
+                wp.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .select(
+            "__qid",
+            "__cid",
+            (F.col("__rk") <= 5).alias("__in_probe"),
+            ((F.col("__plain") == 1) & (F.col("__prk") <= 5)).alias(
+                "__in_plain"
+            ),
+        )
     )
     cand_counts = pairs.groupBy("__qid").agg(
         F.count(F.lit(1)).alias("n_cand_probe"),
@@ -4056,22 +4144,20 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         exact.join(
-            probe_top,
+            flagged,
             (exact.vec_id == F.col("__qid"))
             & (F.col("__enid") == F.col("__cid")),
-            "left",
-        )
-        .join(
-            plain_top,
-            (exact.vec_id == F.col("__pqid"))
-            & (F.col("__enid") == F.col("__pcid")),
             "left",
         )
         .groupBy("vec_id")
         .agg(
             F.count(F.lit(1)).alias("k"),
-            F.count("__pcid").alias("n_hit_plain"),
-            F.count("__cid").alias("n_hit_probe"),
+            F.sum(F.when(F.col("__in_plain"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit_plain"),
+            F.sum(F.when(F.col("__in_probe"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit_probe"),
         )
     )
     return (

@@ -388,11 +388,25 @@ ORDER BY d.doc_id
 
 def q168_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_data_pipeline_spark.operators.scoring import (
+        hashed_token_features,
         score_linear_model,
         train_linear_model,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE corpus explode for train AND score (r13): build the hashed
+    # feature frame once, pin it, and hand it to both halves — the old
+    # shape re-exploded the corpus for the scorer even though the
+    # trainer had just localCheckpointed the identical frame (measured
+    # 5.85 s → 2.96 s best-of-5 at sf0.1; at 100 TB this is one full
+    # text scan + explode + (id, feature) aggregate deleted).
+    feats = hashed_token_features(
+        docs,
+        "doc_id",
+        F.col("text"),
+        n_features=_Q164_N_FEATURES,
+        hash_family="md5",
+    ).localCheckpoint()
     w = train_linear_model(
         docs,
         "doc_id",
@@ -402,6 +416,7 @@ def q168_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=2,
         lr_den=1000,
         hash_family="md5",
+        feats=feats,
     )
     return (
         score_linear_model(
@@ -411,6 +426,7 @@ def q168_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             w,
             n_features=_Q164_N_FEATURES,
             hash_family="md5",
+            feats=feats,
         )
         .select("doc_id", "logit", "kept")
         .orderBy("doc_id")

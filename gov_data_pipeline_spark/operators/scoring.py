@@ -365,6 +365,7 @@ def class_count_model(
     bigrams: bool = True,
     hash_family: str = "xxhash64",
     token_classes: str = "ascii",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(class_id, feature_id, weight) — per-class hashed-token counts,
     the simplest multiclass linear model (a naive-Bayes-shaped count
@@ -388,19 +389,33 @@ def class_count_model(
     feature subtree is shared. A standalone model build (train once,
     score elsewhere — no reuse to lose) can use the carry form
     directly. Output is at most |classes| x n_features rows,
-    map-side-combined."""
+    map-side-combined.
+
+    ``feats``: optional prebuilt ``(id_col, feature_id, tf)`` frame,
+    same contract as ``score_linear_model(feats=...)``. Exchange
+    reuse turned out to be FRAGILE in practice — the r13 plan audit
+    found the q198 build+score job running the corpus explode twice
+    anyway (the two subtrees stop being identical once the small
+    model side broadcasts; plans/r13/q198_multiclass_route_after.txt
+    as of the argmax change still shows 2 Generates / 8 scans) — so a
+    build-then-route pipeline should build the feature frame once,
+    pin it (localCheckpoint), and pass it to BOTH this and
+    ``score_multiclass_model``; that makes the one-explode property
+    structural instead of optimizer-dependent (q198: 4.63 s → see
+    OPTIMIZATION_r13.md)."""
     base = docs.select(
         F.col(id_col), text.alias("__text"), label.alias("class_id")
     )
-    feats = hashed_token_features(
-        base,
-        id_col,
-        F.col("__text"),
-        n_features=n_features,
-        bigrams=bigrams,
-        hash_family=hash_family,
-        token_classes=token_classes,
-    )
+    if feats is None:
+        feats = hashed_token_features(
+            base,
+            id_col,
+            F.col("__text"),
+            n_features=n_features,
+            bigrams=bigrams,
+            hash_family=hash_family,
+            token_classes=token_classes,
+        )
     labels = base.select(F.col(id_col), "class_id")
     return (
         feats.join(labels, id_col)
@@ -421,6 +436,7 @@ def score_multiclass_model(
     class_col: str = "class_id",
     feature_col: str = "feature_id",
     weight_col: str = "weight",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Route every document to one of k classes with a broadcast
     (class, feature, weight) linear model — the fastText-langid shape
@@ -447,16 +463,24 @@ def score_multiclass_model(
     the explode carries (id, class, int64) rows only. Documents none
     of whose features hit the model (or with no features at all) get
     NULL pred_class/logit — route-to-fallback is the caller's explicit
-    decision, not a silent default class."""
-    feats = hashed_token_features(
-        docs.select(id_col, text.alias("__text")),
-        id_col,
-        F.col("__text"),
-        n_features=n_features,
-        bigrams=bigrams,
-        hash_family=hash_family,
-        token_classes=token_classes,
-    )
+    decision, not a silent default class.
+
+    ``feats``: optional prebuilt ``(id_col, feature_id, tf)`` frame —
+    same contract as ``score_linear_model(feats=...)`` (the caller
+    owns hash-parameter agreement and passes a pinned frame); a
+    build-then-route pipeline (``class_count_model`` + this) passes
+    the SAME pinned frame to both so the corpus explodes once for the
+    whole job."""
+    if feats is None:
+        feats = hashed_token_features(
+            docs.select(id_col, text.alias("__text")),
+            id_col,
+            F.col("__text"),
+            n_features=n_features,
+            bigrams=bigrams,
+            hash_family=hash_family,
+            token_classes=token_classes,
+        )
     w = weights.select(
         F.col(class_col).alias("__cls"),
         F.col(feature_col).alias("feature_id"),

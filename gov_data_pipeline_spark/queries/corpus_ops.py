@@ -110,22 +110,40 @@ def q171_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than two words have no bigrams and produce no row — q94's
     convention.
 
-    Bigrams are built from one split with the zip-against-shifted-tail
-    trick (scoring.py's): one Generate, no second text scan. Log is
-    float with round-4 before output — the q94 convention the sweep
-    accepts (both engines compute ln of the identical rational).
+    Bigrams are built by POSITION EXPLODE + two ``element_at``s —
+    whole-stage codegen end to end (r13; the previous
+    zip-against-shifted-tail ``zip_with(slice, slice)`` array build is
+    a higher-order function, i.e. an interpreted CodegenFallback
+    lambda per token). The bigram relation is ``localCheckpoint``-ed
+    because it has THREE consumers (model aggregate, context counts
+    via the model, the scoring join) whose subtrees Catalyst cannot
+    exchange-reuse once the small model side broadcasts: the r13
+    before-plan showed FOUR separate corpus scans each paying the
+    interpreted gram build (plans/r13/q171_bigram_logprob_before.txt);
+    pinned, the corpus text is scanned twice total (bigrams + the
+    deliberate standalone V pass) and exploded once. Log is float
+    with round-4 before output — the q94 convention the sweep accepts
+    (both engines compute ln of the identical rational).
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    bi = F.when(
-        F.size(ws) >= 2,
-        F.zip_with(
-            F.slice(ws, 1, F.size(ws) - 1),
-            F.slice(ws, 2, F.size(ws) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = docs.select("doc_id", F.explode(bi).alias("bg"))
+    bg = (
+        docs.select("doc_id", ws.alias("__ws"))
+        .where(F.size("__ws") >= 2)
+        .select(
+            "doc_id",
+            "__ws",
+            F.explode(F.sequence(F.lit(1), F.size("__ws") - 1)).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("__ws", F.col("__i")),
+                F.element_at("__ws", F.col("__i") + 1),
+            ).alias("bg"),
+        )
+    ).localCheckpoint()
     model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     ctx = (
         model.groupBy(F.substring_index("bg", " ", 1).alias("__w1"))

@@ -4048,16 +4048,60 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    exact = cosine_topk(
-        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
-    ).select("vec_id", F.col("neighbor_id").alias("__enid"))
+    # ONE cosine pass scores BOTH arms (r13): the exact arm needs every
+    # (query, corpus) pair anyway, and the candidate pairs are a subset
+    # of those — so the 20-query broadcast cross join is scored ONCE
+    # (identical expression to cosine_topk: precomputed norms, round-4,
+    # NULL-dropped), pinned, and the exact top-5 AND the candidate
+    # scores both derive from it. Before, the candidate arm re-joined
+    # vectors onto the deduped pairs and re-computed ~20k pair cosines
+    # the exact arm had already paid for.
+    qv = queries.select(
+        F.col("vec_id").alias("__qid"),
+        F.col("embedding").alias("__qv"),
+        _norm(F.col("embedding")).alias("__qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("__cid"),
+        F.col("embedding").alias("__cv"),
+        _norm(F.col("embedding")).alias("__cn"),
+    )
+    scored_all = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select(
+            "__qid",
+            "__cid",
+            F.round(
+                _pair_cosine(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ).alias("__sim"),
+        )
+        .filter(F.col("__sim").isNotNull())
+    ).localCheckpoint()
+    we = W.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    exact = (
+        scored_all.withColumn("__erk", F.row_number().over(we))
+        .filter(F.col("__erk") <= 5)
+        .select(F.col("__qid").alias("vec_id"), F.col("__cid").alias("__enid"))
+    )
 
     bits, tables = 6, 6
+    # dim passed (r13): _with_lsh_buckets builds its (dim -> signs)
+    # broadcast table from range(dim) instead of distinct-scanning the
+    # exploded (rows x dims) relation — one less aggregate per side.
+    dim = _emb_dim(spark, sf_dir)
     qb = _with_lsh_buckets(
-        queries, "vec_id", "embedding", "__qid", "__qv", bits, tables, "md5"
+        queries, "vec_id", "embedding", "__qid", "__qv", bits, tables, "md5",
+        dim=dim,
     ).select("__qid", "__t", "__b")
     cb = _with_lsh_buckets(
-        emb, "vec_id", "embedding", "__cid", "__cv", bits, tables, "md5"
+        emb, "vec_id", "embedding", "__cid", "__cv", bits, tables, "md5",
+        dim=dim,
     ).select("__cid", "__t", "__b")
     masks = [0] + [1 << i for i in range(bits)]
     probes = qb.select(
@@ -4086,29 +4130,12 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__qid", "__cid")
         .agg(F.max("__plain").alias("__plain"))
     ).localCheckpoint()
-    qv = queries.select(
-        F.col("vec_id").alias("__qid"),
-        F.col("embedding").alias("__qv"),
-        _norm(F.col("embedding")).alias("__qn"),
-    )
-    cv = emb.select(
-        F.col("vec_id").alias("__cid"),
-        F.col("embedding").alias("__cv"),
-        _norm(F.col("embedding")).alias("__cn"),
-    )
-    scored = (
-        pairs.join(F.broadcast(qv), "__qid")
-        .join(cv, "__cid")
-        .select(
-            "__qid", "__cid", "__plain",
-            F.round(
-                _pair_cosine(
-                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
-                ),
-                4,
-            ).alias("__sim"),
-        )
-        .filter(F.col("__sim").isNotNull())
+    # candidate scores come FROM the pinned scored_all (r13): an
+    # id-keyed join against 3-column rows, no vector joins, no second
+    # cosine evaluation. Inner join == the old isNotNull filter
+    # (scored_all already dropped NULL sims).
+    scored = pairs.join(scored_all, ["__qid", "__cid"]).select(
+        "__qid", "__cid", "__plain", "__sim"
     )
     # ONE window pass ranks BOTH tiers (r13; was two windows + two
     # joins): same partitioning + ordering = one exchange + one sort,

@@ -914,6 +914,7 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from gov_data_pipeline_spark.operators.scoring import (
         class_count_model,
+        hashed_token_features,
         score_multiclass_model,
     )
 
@@ -931,6 +932,12 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     t = F.col("text")
+    # labeled is PINNED (r13): it feeds the model's label join, both
+    # halves' feature subtrees, and the scorer's final doc join — four
+    # consumers, each of which otherwise recomputes translate+concat
+    # and THREE script counts over the full corpus text (the r13 plan
+    # audit counted 8 parquet scans / 2 feature explodes; exchange
+    # reuse never fired once the model side broadcast).
     labeled = docs.select(
         "doc_id",
         "text",
@@ -939,7 +946,18 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             script_count_col(t, "cyrillic"),
             script_count_col(t, "han"),
         ).alias("label"),
-    )
+    ).localCheckpoint()
+    # ONE corpus explode for build AND route (r13): the hashed feature
+    # frame is built once from the pinned labeled frame and handed to
+    # both halves — the q168 feats= pattern.
+    feats = hashed_token_features(
+        labeled,
+        "doc_id",
+        F.col("text"),
+        n_features=_Q198_N_FEATURES,
+        hash_family="md5",
+        token_classes="cjk",
+    ).localCheckpoint()
     model = class_count_model(
         labeled,
         "doc_id",
@@ -948,6 +966,7 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_features=_Q198_N_FEATURES,
         hash_family="md5",
         token_classes="cjk",
+        feats=feats,
     )
     routed = score_multiclass_model(
         labeled,
@@ -957,6 +976,7 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_features=_Q198_N_FEATURES,
         hash_family="md5",
         token_classes="cjk",
+        feats=feats,
     )
     return (
         routed.select(

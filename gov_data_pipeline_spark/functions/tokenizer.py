@@ -187,29 +187,43 @@ def bpe_token_count(col: Column, ranks: dict[bytes, int]) -> Column:
         import re as _re
 
         word_re = _re.compile(r"[^ \t\n\f\r]+")
+        # Per-batch DISTINCT-WORD memo (r13, guide §4.2): the merge
+        # loop is the kernel's only O(len²·merges) cost and natural
+        # text repeats words heavily, so each distinct word pays the
+        # loop once per Arrow batch and every repeat is a dict hit.
+        # Bounded by the batch's distinct-word count; identical counts
+        # (the loop is a pure function of the word bytes).
+        memo: dict = {}
+
+        def word_count(wb):
+            n = memo.get(wb)
+            if n is not None:
+                return n
+            parts = [wb[i:i + 1] for i in range(len(wb))]
+            while len(parts) >= 2:
+                best_rank = None
+                best_i = -1
+                for i in range(len(parts) - 1):
+                    r = ranks.get(parts[i] + parts[i + 1])
+                    if r is not None and (
+                        best_rank is None or r < best_rank
+                    ):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                parts[best_i:best_i + 2] = [
+                    parts[best_i] + parts[best_i + 1]
+                ]
+            n = len(parts)
+            memo[wb] = n
+            return n
 
         def count_one(text):
             if text is None:
                 return 0
             n = 0
             for w in word_re.findall(text):
-                wb = w.encode("utf-8")
-                parts = [wb[i:i + 1] for i in range(len(wb))]
-                while len(parts) >= 2:
-                    best_rank = None
-                    best_i = -1
-                    for i in range(len(parts) - 1):
-                        r = ranks.get(parts[i] + parts[i + 1])
-                        if r is not None and (
-                            best_rank is None or r < best_rank
-                        ):
-                            best_rank, best_i = r, i
-                    if best_rank is None:
-                        break
-                    parts[best_i:best_i + 2] = [
-                        parts[best_i] + parts[best_i + 1]
-                    ]
-                n += len(parts)
+                n += word_count(w.encode("utf-8"))
             return n
 
         return s.map(count_one).astype("int64")
@@ -250,14 +264,21 @@ def mock_bpe_token_count(col: Column) -> Column:
             import re as _re
 
             word_re = _re.compile(r"[^ \t\n\f\r]+")
+            # per-batch distinct-word memo (r13) — same rationale as
+            # bpe_token_count's: one md5 per distinct word per batch
+            memo: dict = {}
 
             def count_one(text):
                 if text is None:
                     return 0
                 n = 0
                 for w in word_re.findall(text):
-                    h = _hl.md5(w.encode("utf-8")).hexdigest()
-                    n += 1 if h[0] in "0123" else _m.ceil(len(w) / 4)
+                    c = memo.get(w)
+                    if c is None:
+                        h = _hl.md5(w.encode("utf-8")).hexdigest()
+                        c = 1 if h[0] in "0123" else _m.ceil(len(w) / 4)
+                        memo[w] = c
+                    n += c
                 return n
 
             return s.map(count_one).astype("int64")

@@ -322,6 +322,35 @@ ORDER BY source
 # ---------------------------------------------------------------------------
 
 
+def _adjacent_pair_counts(df: DataFrame) -> DataFrame:
+    """(pair, cnt) counts of adjacent token pairs of the space-joined
+    ``t`` column — the pair-counting half of the q175/q185 BPE merge
+    round. Pairs come from a POSITION explode + two ``element_at``s
+    (whole-stage codegen, r13); the previous ``zip_with(slice, slice)``
+    array build was an interpreted higher-order lambda per token, paid
+    once per merge round per query. Docs with fewer than two tokens
+    contribute no pairs (the old empty-array explode produced none
+    either)."""
+    ws = F.split(F.trim(F.col("t")), " ")
+    return (
+        df.select(ws.alias("__ws"))
+        .where(F.size("__ws") >= 2)
+        .select(
+            "__ws",
+            F.explode(F.sequence(F.lit(1), F.size("__ws") - 1)).alias("__i"),
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at("__ws", F.col("__i")),
+                F.element_at("__ws", F.col("__i") + 1),
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q175_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Induce the first TWO merge rules of a BPE-style phrase
     vocabulary over the corpus — the tokenizer-training loop run at
@@ -361,21 +390,7 @@ def q175_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def pair_counts(df: DataFrame) -> DataFrame:
-        ws = F.split(F.trim(F.col("t")), " ")
-        pairs = F.when(
-            F.size(ws) >= 2,
-            F.zip_with(
-                F.slice(ws, 1, F.size(ws) - 1),
-                F.slice(ws, 2, F.size(ws) - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return (
-            df.select(F.explode(pairs).alias("pair"))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+    pair_counts = _adjacent_pair_counts
 
     rows = []
     cur = base
@@ -1822,21 +1837,7 @@ def q185_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def pair_counts(df: DataFrame) -> DataFrame:
-        ws = F.split(F.trim(F.col("t")), " ")
-        pairs = F.when(
-            F.size(ws) >= 2,
-            F.zip_with(
-                F.slice(ws, 1, F.size(ws) - 1),
-                F.slice(ws, 2, F.size(ws) - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return (
-            df.select(F.explode(pairs).alias("pair"))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+    pair_counts = _adjacent_pair_counts
 
     cur = base
     for _ in (1, 2):

@@ -502,9 +502,12 @@ def q09_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.concat_ws(
                 ",",
-                F.transform(
-                    F.array_sort(F.collect_list("l_linenumber")),
-                    lambda x: x.cast("string"),
+                # numeric sort, then one NATIVE array<string> cast —
+                # the element-wise transform(x -> cast) lambda is a
+                # higher-order function (interpreted CodegenFallback,
+                # r13); the array cast emits identical strings
+                F.array_sort(F.collect_list("l_linenumber")).cast(
+                    "array<string>"
                 ),
             ).alias("linenumbers"),
             F.count(F.lit(1)).alias("n_items"),

@@ -662,9 +662,10 @@ def q95_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "df")
         .agg(
             F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
+                # native array<string> cast (r13) — the element-wise
+                # cast lambda was an interpreted higher-order function
+                F.sort_array(F.collect_list("doc_id")).cast(
+                    "array<string>"
                 ),
                 ",",
             ).alias("postings")

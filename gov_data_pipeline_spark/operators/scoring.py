@@ -366,6 +366,7 @@ def class_count_model(
     hash_family: str = "xxhash64",
     token_classes: str = "ascii",
     feats: DataFrame | None = None,
+    feats_class_col: str | None = None,
 ) -> DataFrame:
     """(class_id, feature_id, weight) — per-class hashed-token counts,
     the simplest multiclass linear model (a naive-Bayes-shaped count
@@ -403,6 +404,21 @@ def class_count_model(
     ``score_multiclass_model``; that makes the one-explode property
     structural instead of optimizer-dependent (q198: 4.63 s → see
     OPTIMIZATION_r13.md)."""
+    if feats is not None and feats_class_col is not None:
+        # ``feats`` already carries the label
+        # (``hashed_token_features(carry=[...])``): aggregate directly —
+        # no per-doc labels join, so the feature relation crosses ONE
+        # exchange (the class/feature aggregate) instead of two. With a
+        # PINNED feats frame this is strictly better than the join form
+        # (the r12 "carry breaks exchange reuse" objection only applied
+        # when the two halves shared a live subtree); measured 1.06 s →
+        # 0.48 s for the q198 model build at sf0.1. Guide §2.4.
+        return (
+            feats.groupBy(
+                F.col(feats_class_col).alias("class_id"), "feature_id"
+            )
+            .agg(F.sum("tf").cast("long").alias("weight"))
+        )
     base = docs.select(
         F.col(id_col), text.alias("__text"), label.alias("class_id")
     )
@@ -487,7 +503,11 @@ def score_multiclass_model(
         F.col(weight_col).cast("long").alias("__w"),
     )
     sums = (
-        feats.join(F.broadcast(w), "feature_id")
+        # project to the contract columns: a caller-provided feats frame
+        # may carry extra per-doc columns (labels), which must not ride
+        # the model join + (id, class) exchange (guide §2.3).
+        feats.select(id_col, "feature_id", "tf")
+        .join(F.broadcast(w), "feature_id")
         .groupBy(id_col, "__cls")
         .agg(F.sum(F.col("tf") * F.col("__w")).alias("__logit"))
     )

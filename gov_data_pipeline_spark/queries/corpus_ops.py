@@ -1606,10 +1606,14 @@ def q121_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gov_data_pipeline_spark.functions.textstats import term_rows
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    toks = term_rows(docs, "doc_id", F.col("text")).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    # The vocabulary only needs (lang, term): tokenize keyed by lang
+    # directly (term_rows takes any id column) instead of exploding by
+    # doc_id and joining lang back on — that join probed every token
+    # row and re-scanned documents; carrying lang through the explode
+    # deletes both (guide §1.2/§2.4; same device as q97's by-source
+    # call). Identical (lang, term) multiset, so vocab is unchanged.
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    toks = term_rows(docs, "lang", F.col("text"))
     vocab = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
     w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
     ranked = vocab.withColumn("rk", F.row_number().over(w)).filter(

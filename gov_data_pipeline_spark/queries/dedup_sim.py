@@ -4038,6 +4038,8 @@ ORDER BY e.vec_id
 
 
 def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window as W
 
     from gov_data_pipeline_spark.operators.similarity import (
@@ -4066,21 +4068,54 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__cv"),
         _norm(F.col("embedding")).alias("__cn"),
     )
-    scored_all = (
-        cv.crossJoin(F.broadcast(qv))
-        .filter(F.col("__qid") != F.col("__cid"))
-        .select(
-            "__qid",
-            "__cid",
-            F.round(
-                _pair_cosine(
-                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
-                ),
-                4,
-            ).alias("__sim"),
-        )
-        .filter(F.col("__sim").isNotNull())
-    ).localCheckpoint()
+
+    bits, tables = 6, 6
+    # dim passed (r13): _with_lsh_buckets builds its (dim -> signs)
+    # broadcast table from range(dim) instead of distinct-scanning the
+    # exploded (rows x dims) relation — one less aggregate per side.
+    dim = _emb_dim(spark, sf_dir)
+
+    def _build_scored() -> DataFrame:
+        return (
+            cv.crossJoin(F.broadcast(qv))
+            .filter(F.col("__qid") != F.col("__cid"))
+            .select(
+                "__qid",
+                "__cid",
+                F.round(
+                    _pair_cosine(
+                        F.col("__qv"),
+                        F.col("__cv"),
+                        F.col("__qn"),
+                        F.col("__cn"),
+                    ),
+                    4,
+                ).alias("__sim"),
+            )
+            .filter(F.col("__sim").isNotNull())
+        ).localCheckpoint()
+
+    def _build_buckets() -> DataFrame:
+        # ONE bucket relation for both sides (r13 second pass): the
+        # query set is a filter of the corpus and a vector's (t, b)
+        # bucket is a pure per-row function, so the corpus bucket rows
+        # ARE the query bucket rows for vec_id < 20 — bucketing the
+        # 20-row query side separately re-ran the whole explode +
+        # sign-join + 36-sum-aggregate subtree a second time. Pinned:
+        # it feeds the corpus join side AND the probe fan-out.
+        return _with_lsh_buckets(
+            emb, "vec_id", "embedding", "__cid", "__cv", bits, tables,
+            "md5", dim=dim,
+        ).select("__cid", "__t", "__b").localCheckpoint()
+
+    # The two pins are independent jobs — overlap them (guide §2.6) so
+    # construction wall-clock is max(), not sum(), of the two.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_scored = pool.submit(_build_scored)
+        f_buckets = pool.submit(_build_buckets)
+        scored_all = f_scored.result()
+        cb = f_buckets.result()
+
     we = W.partitionBy("__qid").orderBy(
         F.col("__sim").desc(), F.col("__cid").asc()
     )
@@ -4090,19 +4125,9 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("__qid").alias("vec_id"), F.col("__cid").alias("__enid"))
     )
 
-    bits, tables = 6, 6
-    # dim passed (r13): _with_lsh_buckets builds its (dim -> signs)
-    # broadcast table from range(dim) instead of distinct-scanning the
-    # exploded (rows x dims) relation — one less aggregate per side.
-    dim = _emb_dim(spark, sf_dir)
-    qb = _with_lsh_buckets(
-        queries, "vec_id", "embedding", "__qid", "__qv", bits, tables, "md5",
-        dim=dim,
-    ).select("__qid", "__t", "__b")
-    cb = _with_lsh_buckets(
-        emb, "vec_id", "embedding", "__cid", "__cv", bits, tables, "md5",
-        dim=dim,
-    ).select("__cid", "__t", "__b")
+    qb = cb.filter(F.col("__cid") < 20).select(
+        F.col("__cid").alias("__qid"), "__t", "__b"
+    )
     masks = [0] + [1 << i for i in range(bits)]
     probes = qb.select(
         "__qid",

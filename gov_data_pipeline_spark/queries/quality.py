@@ -949,7 +949,11 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     # ONE corpus explode for build AND route (r13): the hashed feature
     # frame is built once from the pinned labeled frame and handed to
-    # both halves — the q168 feats= pattern.
+    # both halves — the q168 feats= pattern. The label RIDES the
+    # explode (carry=) so the model build aggregates the pinned frame
+    # directly — no per-doc labels join, one less full shuffle of the
+    # feature relation (measured 1.06 s → 0.48 s for the model build;
+    # the scorer projects the label away before its own join).
     feats = hashed_token_features(
         labeled,
         "doc_id",
@@ -957,6 +961,7 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_features=_Q198_N_FEATURES,
         hash_family="md5",
         token_classes="cjk",
+        carry=["label"],
     ).localCheckpoint()
     model = class_count_model(
         labeled,
@@ -967,6 +972,7 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_family="md5",
         token_classes="cjk",
         feats=feats,
+        feats_class_col="label",
     )
     routed = score_multiclass_model(
         labeled,

@@ -57,6 +57,21 @@ def get_spark(
             "true",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold, and let AQE rewrite SMJ->SHJ at runtime
+        # when every post-shuffle partition is under 64 MiB (guide §3.1
+        # both knobs, §9 baseline): most engine joins key id-only
+        # relations whose per-partition hash table is tiny, and SHJ
+        # skips both sort passes. Size-gated, not local-tuned: on a
+        # cluster the same bound caps the build side per task (64 MiB
+        # is far under executor memory), and joins above it stay
+        # sort-merge. Measured -8% on the join-heavy headline subset
+        # at sf0.1 (interleaved best-of-6, OPTIMIZATION_r13.md).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # --- python <-> jvm ------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

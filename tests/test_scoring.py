@@ -482,9 +482,9 @@ class TestMulticlassModel:
         """hashed_token_features(carry=[...]): per-doc columns ride
         the explode and the tf groupBy unchanged, and the (feature,
         tf) multiset is identical to the carry-free call. (The carry
-        form is the standalone-model-build path; class_count_model
-        itself keeps the join form for exchange reuse — measured in
-        its docstring.)"""
+        form feeds class_count_model(feats_class_col=...) when the
+        frame is pinned — r13; the join form remains for callers
+        without a prebuilt frame.)"""
         from gov_data_pipeline_spark.operators.scoring import (
             hashed_token_features,
         )
@@ -505,6 +505,48 @@ class TestMulticlassModel:
         assert all(r.lab == want_lab[r.id] for r in rows)
         assert sorted((r.id, r.feature_id, r.tf) for r in rows) == sorted(
             (r.id, r.feature_id, r.tf) for r in plain.collect()
+        )
+
+    def test_class_count_model_carry_equals_join_form(self, spark):
+        """class_count_model(feats=..., feats_class_col=...) — the r13
+        no-join aggregate over a label-carrying feature frame — must
+        produce exactly the (class_id, feature_id, weight) rows of the
+        join form: every feats row carries exactly one label, so
+        grouping by the carried label is grouping by the joined one."""
+        from gov_data_pipeline_spark.operators.scoring import (
+            class_count_model,
+            hashed_token_features,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aa bb aa", "x"),
+                (2, "cc bb", "y"),
+                (3, "aa cc", "x"),
+            ],
+            "id long, t string, lab string",
+        )
+        joined = class_count_model(
+            docs, "id", F.col("t"), F.col("lab"), n_features=1 << 10
+        )
+        carried_feats = hashed_token_features(
+            docs, "id", F.col("t"), n_features=1 << 10, carry=["lab"]
+        )
+        carried = class_count_model(
+            docs,
+            "id",
+            F.col("t"),
+            F.col("lab"),
+            n_features=1 << 10,
+            feats=carried_feats,
+            feats_class_col="lab",
+        )
+        assert sorted(map(tuple, carried.collect())) == sorted(
+            map(tuple, joined.collect())
+        )
+        # the carry path must not plan a per-doc join at all
+        assert "Join" not in carried._sc._jvm.PythonSQLUtils.explainString(
+            carried._jdf.queryExecution(), "formatted"
         )
 
     def test_hashed_features_carry_collision_raises(self, spark):

@@ -1108,8 +1108,9 @@ class TestCorpusRound6Plans:
         assert "CartesianProduct" not in plan
         # codegen spans print as "*(n)" in executedPlan().toString()
         assert "*(" in plan
-        # the gram stage fused scan->split->explode->md5 (no separate
-        # interpreted-HOF projection): element_at assembly visible
+        # the gram stage fused scan->split->explode->xxhash64 (no
+        # separate interpreted-HOF projection): element_at assembly
+        # visible
         assert "element_at" in plan
 
     def test_cluster_split_adds_no_shuffle_over_q67(self, spark, sf_dir):

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from gov_data_pipeline_spark.operators.dedup import md5_h1h2
+from gov_data_pipeline_spark.util import pin_partitioned
 
 def _feature_hash(token: Column, n_features: int, hash_family: str) -> Column:
     if hash_family == "md5":
@@ -286,19 +287,33 @@ def train_linear_model(
         F.col(id_col), text.alias("__text"), label.alias("__label")
     )
     if feats is None:
-        feats = hashed_token_features(
-            base,
-            id_col,
-            F.col("__text"),
-            n_features=n_features,
-            bigrams=bigrams,
-            hash_family=hash_family,
-            token_classes=token_classes,
-        ).localCheckpoint()
-    labels = base.select(
-        F.col(id_col),
-        (F.col("__label").cast("long") * 1000).alias("__y"),
-    ).localCheckpoint()
+        # Co-partitioned pin (r14, guide §2.4): repartition the docs by
+        # id BEFORE the explode so the tf groupBy reuses that exchange,
+        # and capture hash(id) into the checkpoint — every
+        # per-iteration doc-keyed join/aggregate below then plans
+        # without re-shuffling the feature relation.
+        feats = pin_partitioned(
+            hashed_token_features(
+                base.repartition(F.col(id_col)),
+                id_col,
+                F.col("__text"),
+                n_features=n_features,
+                bigrams=bigrams,
+                hash_family=hash_family,
+                token_classes=token_classes,
+            )
+        )
+    # labels ride the same hash(id) layout so the per-iteration
+    # labels⋈sums and feats⋈errs joins are co-partitioned (zero
+    # exchanges; sums/errs inherit hash(id) from feats through the
+    # broadcast joins and doc-id aggregates).
+    labels = pin_partitioned(
+        base.select(
+            F.col(id_col),
+            (F.col("__label").cast("long") * 1000).alias("__y"),
+        ),
+        id_col,
+    )
 
     w: DataFrame | None = None  # all-zero model: empty weight table
     for _ in range(n_iter):
@@ -403,7 +418,18 @@ def class_count_model(
     pin it (localCheckpoint), and pass it to BOTH this and
     ``score_multiclass_model``; that makes the one-explode property
     structural instead of optimizer-dependent (q198: 4.63 s → see
-    OPTIMIZATION_r13.md)."""
+    OPTIMIZATION_r13.md).
+
+    NOTE (ADVICE r13): when BOTH ``feats`` and ``feats_class_col`` are
+    given, every other argument (``docs``/``text``/``label``/
+    ``n_features``/``bigrams``/``hash_family``/``token_classes``) is
+    IGNORED — the model aggregates the provided frame as-is. The
+    caller owns two contracts on that path: the frame was built with
+    the hash parameters the scorer will use, and ``feats_class_col``
+    is per-document-constant (functionally dependent on ``id_col``,
+    e.g. via ``hashed_token_features(carry=[...])`` of a per-doc
+    label); a class column that varies within a document would split
+    its tf mass across classes with no error raised."""
     if feats is not None and feats_class_col is not None:
         # ``feats`` already carries the label
         # (``hashed_token_features(carry=[...])``): aggregate directly —

@@ -42,11 +42,49 @@ _MODULES = (
     stream_queries, quality, corpus_ops, events_analytics, stats_ml,
 )
 
+# Queries whose IMPLEMENTATION was restructured in an optimization
+# round AFTER their latest driver-green correctness row: a green row
+# from before the restructure verified a plan that no longer exists,
+# so for rotation purposes these count as stalest of all (the r13
+# verdict's item 1b — the rotation must put the restructured-but-
+# unsampled queries in front of the driver's oracle before anything
+# else rotates in).  ``derive_priority.py`` and the rotation tripwire
+# (tests/test_registry.py::test_priority_rotation_is_fresh) both key
+# off this list; REMOVE a name once a post-restructure driver round
+# records it hash-green, and ADD every query a future optimization
+# round restructures.
+#
+# r13 restructures lacking a post-change driver row (VERDICT.md
+# "Residual risk"), plus the BPE-memo kernel family (q149/q153/q195/
+# q199 share q193's memoized merge loop) and q42 (runs under the r13
+# session-wide SHJ config and r14's narrowed profile projection):
+VERIFICATION_DEBT: tuple[str, ...] = (
+    "q09_group_concat",
+    "q42_minhash_lsh",
+    "q87_decontaminate",
+    "q144_duplicate_passages",
+    "q149_doc_pack_nfd",
+    "q153_token_budget_pack",
+    "q154_decontaminate_bloom",
+    "q155_sparse_cosine_topk",
+    "q168_quality_trained",
+    "q171_bigram_logprob",
+    "q175_phrase_merges",
+    "q176_passage_removal",
+    "q185_bpe_encode",
+    "q190_ann_multiprobe_recall",
+    "q193_bpe_ranks_count",
+    "q195_bpe_budget_pack",
+    "q198_multiclass_route",
+    "q199_pack_manifest",
+)
+
 # The driver's per-round correctness run samples the FIRST 50 entries of
-# ``queries()`` (insertion order).  Invariant for this tuple: queries with
-# no driver-green row yet enumerate first, then greens from stalest round
-# to freshest; ties across the sample boundary are allowed.  Re-derive
-# with ``python scripts/derive_priority.py`` at the start of EVERY round
+# ``queries()`` (insertion order).  Invariant for this tuple: queries
+# carrying VERIFICATION_DEBT and queries with no driver-green row yet
+# enumerate first, then greens from stalest round to freshest; ties
+# across the sample boundary are allowed.  Re-derive with
+# ``python scripts/derive_priority.py`` at the start of EVERY round
 # (after a new CORRECTNESS file lands) and after registering new queries
 # — never trust last round's order.  Tripwire:
 # tests/test_registry.py::test_priority_rotation_is_fresh.
@@ -56,61 +94,27 @@ _MODULES = (
 # never-sampled and therefore enumerate first.
 _PRIORITY: tuple[str, ...] = (
     # never sampled (no driver row)
-    "q200_passage_miss_rate",
-    "q201_corpus_vacuum",
-    "q202_int8_recall",
-    # latest green r09
-    "q118_embed_quantize",
-    "q119_trend_regression",
-    "q121_zipf_slope",
-    "q123_markov_transitions",
-    "q124_ab_welch",
-    "q125_heavy_hitters",
-    "q126_hourly_percentile_bands",
-    "q127_time_to_convert",
-    "q129_html_extract",
-    "q130_url_normalize",
-    "q131_pagerank",
-    "q132_sitemap_extract",
-    "q133_robots_gate",
-    "q134_image_dims",
-    "q135_media_meta",
-    "q136_parquet_roundtrip",
-    "q162_excel_roundtrip",
-    "q163_containment_dedup",
-    "q164_quality_linear",
-    "q165_eval_sample",
-    "q166_column_profile",
-    "q20_clean_text",
-    "q21_reg_num",
-    "q22_exclusion",
-    "q23_clean_cell",
-    "q24_merge_continuation",
-    "q26_approx_agg",
-    "q33_math",
-    "q35_array",
-    "q37_base64",
-    "q40_exact_dedup",
-    "q41_jaccard_pairs",
-    "q44_cosine_topk",
-    "q88_repetition_filter",
-    "q89_curation_pipeline",
-    "q90_pii_redact",
-    "q91_scd2_history",
-    "q92_bucketed_join",
-    "q93_outlier_zscore",
-    "q94_unigram_logprob",
-    "q95_inverted_index",
-    "q96_winsorize",
-    "q97_time_rollup",
-    "q98_point_in_time_join",
-    "q99_hybrid_retrieval",
+    "q09_group_concat",
+    "q144_duplicate_passages",
+    "q149_doc_pack_nfd",
+    "q153_token_budget_pack",
+    "q154_decontaminate_bloom",
+    "q155_sparse_cosine_topk",
+    "q168_quality_trained",
+    "q171_bigram_logprob",
+    "q175_phrase_merges",
+    "q176_passage_removal",
+    "q185_bpe_encode",
+    "q190_ann_multiprobe_recall",
+    "q193_bpe_ranks_count",
+    "q195_bpe_budget_pack",
+    "q198_multiclass_route",
+    "q199_pack_manifest",
+    "q42_minhash_lsh",
+    "q87_decontaminate",
     # latest green r10
-    "q04_anti_join",
-    "q05_band_join",
     "q07_rollup",
     "q08_cube",
-    "q09_group_concat",
     "q10_window_rank",
     "q115_weighted_sample",
     "q116_mad_outliers",
@@ -122,15 +126,11 @@ _PRIORITY: tuple[str, ...] = (
     "q138_semantic_decontaminate",
     "q139_char_budget_mix",
     "q167_quality_linear_unicode",
-    "q168_quality_trained",
     "q169_unicode_normalized_dedup",
     "q170_script_profile",
-    "q171_bigram_logprob",
     "q172_top_ngram_fraction",
     "q173_multilingual_curation",
     "q174_temperature_quota",
-    "q175_phrase_merges",
-    "q176_passage_removal",
     "q177_dsir_select",
     "q178_boilerplate_lines",
     "q179_pr_curve",
@@ -139,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "q182_contamination_fraction",
     "q183_dup_lines",
     "q184_mixture_materialize",
-    "q185_bpe_encode",
     "q186_ann_recall",
     "q187_minhash_calibration",
     "q188_ivf_recall",
@@ -170,30 +169,24 @@ _PRIORITY: tuple[str, ...] = (
     "q141_jpeg_dims",
     "q142_source_overlap",
     "q143_distinctive_terms",
-    "q144_duplicate_passages",
     "q145_cluster_split",
     "q146_epoch_mixture",
     "q147_data_card",
     "q148_event_throttle",
-    "q149_doc_pack_nfd",
     "q14_topk_orders",
     "q150_stream_throttle",
     "q15_intersect",
     "q16_except",
     "q18_row_index",
-    "q190_ann_multiprobe_recall",
     "q191_cjk_normalized_dedup",
     "q192_quality_linear_cjk",
-    "q193_bpe_ranks_count",
     "q194_pii_scrub",
-    "q195_bpe_budget_pack",
     "q19_count_distinct",
     "q25_header_promotion",
     "q28_redact",
     "q30_string_funcs",
     "q31_regex",
     "q32_dates",
-    "q42_minhash_lsh",
     "q43_simhash",
     "q45_ann_lsh",
     "q50_llm_enrich",
@@ -223,9 +216,6 @@ _PRIORITY: tuple[str, ...] = (
     "q13_sessionize",
     "q151_compact_roundtrip",
     "q152_jsonl_roundtrip",
-    "q153_token_budget_pack",
-    "q154_decontaminate_bloom",
-    "q155_sparse_cosine_topk",
     "q156_interval_overlap",
     "q157_capped_sessions",
     "q158_containment_pairs",
@@ -235,8 +225,6 @@ _PRIORITY: tuple[str, ...] = (
     "q17_pivot",
     "q196_shuffled_export",
     "q197_ivf_probe_sweep",
-    "q198_multiclass_route",
-    "q199_pack_manifest",
     "q27_sql_api",
     "q29_salted_agg",
     "q34_json",
@@ -257,7 +245,57 @@ _PRIORITY: tuple[str, ...] = (
     "q84_frame_sample",
     "q85_chunk_documents",
     "q86_sequence_pack",
-    "q87_decontaminate",
+    # latest green r13
+    "q04_anti_join",
+    "q05_band_join",
+    "q118_embed_quantize",
+    "q119_trend_regression",
+    "q121_zipf_slope",
+    "q123_markov_transitions",
+    "q124_ab_welch",
+    "q125_heavy_hitters",
+    "q126_hourly_percentile_bands",
+    "q127_time_to_convert",
+    "q129_html_extract",
+    "q130_url_normalize",
+    "q131_pagerank",
+    "q132_sitemap_extract",
+    "q133_robots_gate",
+    "q134_image_dims",
+    "q135_media_meta",
+    "q136_parquet_roundtrip",
+    "q162_excel_roundtrip",
+    "q163_containment_dedup",
+    "q164_quality_linear",
+    "q165_eval_sample",
+    "q166_column_profile",
+    "q200_passage_miss_rate",
+    "q201_corpus_vacuum",
+    "q202_int8_recall",
+    "q20_clean_text",
+    "q21_reg_num",
+    "q22_exclusion",
+    "q23_clean_cell",
+    "q24_merge_continuation",
+    "q26_approx_agg",
+    "q33_math",
+    "q35_array",
+    "q37_base64",
+    "q40_exact_dedup",
+    "q41_jaccard_pairs",
+    "q44_cosine_topk",
+    "q88_repetition_filter",
+    "q89_curation_pipeline",
+    "q90_pii_redact",
+    "q91_scd2_history",
+    "q92_bucketed_join",
+    "q93_outlier_zscore",
+    "q94_unigram_logprob",
+    "q95_inverted_index",
+    "q96_winsorize",
+    "q97_time_rollup",
+    "q98_point_in_time_join",
+    "q99_hybrid_retrieval",
 )
 
 

@@ -4037,6 +4037,9 @@ ORDER BY e.vec_id
 # ---------------------------------------------------------------------------
 
 
+_Q190_N_QUERIES = 20
+
+
 def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
@@ -4049,7 +4052,11 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
+    # ONE query-set predicate (ADVICE r13): the same constant drives
+    # both the exact arm's query vectors and the bucket relation's
+    # query-side filter below, so the two arms can never silently
+    # diverge if the query-set definition changes.
+    queries = emb.filter(F.col("vec_id") < _Q190_N_QUERIES)
     # ONE cosine pass scores BOTH arms (r13): the exact arm needs every
     # (query, corpus) pair anyway, and the candidate pairs are a subset
     # of those — so the 20-query broadcast cross join is scored ONCE
@@ -4076,6 +4083,10 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _emb_dim(spark, sf_dir)
 
     def _build_scored() -> DataFrame:
+        # Job descriptions are thread-local (guide §1.5/§2.6): set one
+        # per thread body so the two overlapped pin jobs stay
+        # attributable in the UI.
+        spark.sparkContext.setJobDescription("q190: pin scored_all")
         return (
             cv.crossJoin(F.broadcast(qv))
             .filter(F.col("__qid") != F.col("__cid"))
@@ -4103,6 +4114,7 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 20-row query side separately re-ran the whole explode +
         # sign-join + 36-sum-aggregate subtree a second time. Pinned:
         # it feeds the corpus join side AND the probe fan-out.
+        spark.sparkContext.setJobDescription("q190: pin buckets")
         return _with_lsh_buckets(
             emb, "vec_id", "embedding", "__cid", "__cv", bits, tables,
             "md5", dim=dim,
@@ -4115,6 +4127,7 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_buckets = pool.submit(_build_buckets)
         scored_all = f_scored.result()
         cb = f_buckets.result()
+    spark.sparkContext.setJobDescription(None)
 
     we = W.partitionBy("__qid").orderBy(
         F.col("__sim").desc(), F.col("__cid").asc()
@@ -4125,7 +4138,7 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("__qid").alias("vec_id"), F.col("__cid").alias("__enid"))
     )
 
-    qb = cb.filter(F.col("__cid") < 20).select(
+    qb = cb.filter(F.col("__cid") < _Q190_N_QUERIES).select(
         F.col("__cid").alias("__qid"), "__t", "__b"
     )
     masks = [0] + [1 << i for i in range(bits)]

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gov_data_pipeline_spark.catalog import read_table as _t
 from gov_data_pipeline_spark.functions.pii import pii_count_col, pii_redact_col
+from gov_data_pipeline_spark.util import pin_partitioned
 
 
 # ---------------------------------------------------------------------------
@@ -400,13 +401,27 @@ def q168_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trainer had just localCheckpointed the identical frame (measured
     # 5.85 s → 2.96 s best-of-5 at sf0.1; at 100 TB this is one full
     # text scan + explode + (id, feature) aggregate deleted).
-    feats = hashed_token_features(
-        docs,
-        "doc_id",
-        F.col("text"),
-        n_features=_Q164_N_FEATURES,
-        hash_family="md5",
-    ).localCheckpoint()
+    #
+    # CO-PARTITIONED pin (r14, guide §2.4): the docs are repartitioned
+    # by doc_id BEFORE the feature build, so (a) the tf groupBy reuses
+    # that one exchange (hash(doc_id) satisfies the (doc_id,
+    # feature_id) clustering) — the pin job moves raw text bytes
+    # across ONE exchange and gram rows across none — and (b)
+    # pin_partitioned captures hash(doc_id) into the checkpoint, so
+    # every per-iteration doc-keyed join/aggregate in the trainer and
+    # the scorer's doc-id sum plan with ZERO exchanges over the
+    # feature relation (the r13 shape re-shuffled it by doc_id four
+    # times: iter-1 gradient join, iter-2 z-sum, iter-2 gradient
+    # join, scorer sum).
+    feats = pin_partitioned(
+        hashed_token_features(
+            docs.repartition(F.col("doc_id")),
+            "doc_id",
+            F.col("text"),
+            n_features=_Q164_N_FEATURES,
+            hash_family="md5",
+        )
+    )
     w = train_linear_model(
         docs,
         "doc_id",
@@ -938,15 +953,26 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and THREE script counts over the full corpus text (the r13 plan
     # audit counted 8 parquet scans / 2 feature explodes; exchange
     # reuse never fired once the model side broadcast).
-    labeled = docs.select(
+    # CO-PARTITIONED by doc_id (r14, guide §2.4): the labeled pin is
+    # hash(doc_id)-partitioned and pin_partitioned captures that
+    # layout, so (a) the feature build's tf groupBy (doc_id, label,
+    # feature_id) runs with ZERO exchanges on top of it, (b) the feats
+    # pin inherits the same hash(doc_id) layout, and (c) the scorer's
+    # (id, class) sum, per-id argmax, and final labeled⋈best join all
+    # plan exchange-free — the r13 final DAG re-shuffled the feature
+    # relation by doc_id twice and the doc join once.
+    labeled = pin_partitioned(
+        docs.select(
+            "doc_id",
+            "text",
+            dominant_script_col(
+                script_count_col(t, "latin"),
+                script_count_col(t, "cyrillic"),
+                script_count_col(t, "han"),
+            ).alias("label"),
+        ),
         "doc_id",
-        "text",
-        dominant_script_col(
-            script_count_col(t, "latin"),
-            script_count_col(t, "cyrillic"),
-            script_count_col(t, "han"),
-        ).alias("label"),
-    ).localCheckpoint()
+    )
     # ONE corpus explode for build AND route (r13): the hashed feature
     # frame is built once from the pinned labeled frame and handed to
     # both halves — the q168 feats= pattern. The label RIDES the
@@ -954,15 +980,17 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directly — no per-doc labels join, one less full shuffle of the
     # feature relation (measured 1.06 s → 0.48 s for the model build;
     # the scorer projects the label away before its own join).
-    feats = hashed_token_features(
-        labeled,
-        "doc_id",
-        F.col("text"),
-        n_features=_Q198_N_FEATURES,
-        hash_family="md5",
-        token_classes="cjk",
-        carry=["label"],
-    ).localCheckpoint()
+    feats = pin_partitioned(
+        hashed_token_features(
+            labeled,
+            "doc_id",
+            F.col("text"),
+            n_features=_Q198_N_FEATURES,
+            hash_family="md5",
+            token_classes="cjk",
+            carry=["label"],
+        )
+    )
     model = class_count_model(
         labeled,
         "doc_id",

@@ -57,16 +57,23 @@ def get_spark(
             "true",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Let the planner pick shuffled-hash over sort-merge when its
-        # size conditions hold, and let AQE rewrite SMJ->SHJ at runtime
-        # when every post-shuffle partition is under 64 MiB (guide §3.1
-        # both knobs, §9 baseline): most engine joins key id-only
+        # Let the planner pick shuffled-hash over sort-merge (guide
+        # §3.1 both knobs, §9 baseline): most engine joins key id-only
         # relations whose per-partition hash table is tiny, and SHJ
-        # skips both sort passes. Size-gated, not local-tuned: on a
-        # cluster the same bound caps the build side per task (64 MiB
-        # is far under executor memory), and joins above it stay
-        # sort-merge. Measured -8% on the join-heavy headline subset
-        # at sf0.1 (interleaved best-of-6, OPTIMIZATION_r13.md).
+        # skips both sort passes. Two gates with DIFFERENT guarantees
+        # (ADVICE r13): the AQE SMJ->SHJ rewrite is bounded by REAL
+        # runtime partition sizes (every post-shuffle partition under
+        # 64 MiB); the static preferSortMergeJoin=false path is only
+        # ESTIMATE-gated (canBuildLocalHashMap: estimated plan size
+        # under threshold x numShufflePartitions), so a badly
+        # underestimated build side could in principle hand SHJ a
+        # partition it must hold fully in memory. In this engine the
+        # static picks come from localCheckpointed inputs whose sizes
+        # are KNOWN (q168/q198 pins), not estimated, and everything
+        # else resolves at runtime under AQE; joins above the bounds
+        # stay sort-merge (spill-safe). Measured -8% on the join-heavy
+        # headline subset at sf0.1 (interleaved best-of-6,
+        # OPTIMIZATION_r13.md; re-confirmed on q02's shape in r14).
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

@@ -46,7 +46,12 @@ def green_row(row: dict) -> bool:
 
 
 def latest_green_rounds() -> dict[str, int]:
-    """query name -> latest driver round with a hash-green row."""
+    """query name -> latest driver round with a hash-green row.
+
+    Queries listed in ``queries.VERIFICATION_DEBT`` (implementation
+    restructured after their latest green — the old green verified a
+    plan that no longer exists) are reset to 0, i.e. stalest, so the
+    next sample re-verifies them first (r13 verdict item 1b)."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
@@ -55,6 +60,11 @@ def latest_green_rounds() -> dict[str, int]:
         for name, row in rows.items():
             if green_row(row):
                 latest[name] = max(latest.get(name, 0), rnd)
+    sys.path.insert(0, REPO)
+    from gov_data_pipeline_spark.queries import VERIFICATION_DEBT
+
+    for name in VERIFICATION_DEBT:
+        latest.pop(name, None)
     return latest
 
 

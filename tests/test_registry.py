@@ -62,6 +62,8 @@ def test_priority_rotation_is_fresh():
     sys.path.insert(0, os.path.join(repo_root, "scripts"))
     from derive_priority import green_row  # shared predicate — one truth
 
+    from gov_data_pipeline_spark.queries import VERIFICATION_DEBT
+
     latest_green: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
     assert files, "no CORRECTNESS files — driver layout changed?"
@@ -70,6 +72,11 @@ def test_priority_rotation_is_fresh():
         for q, row in json.load(open(f)).items():
             if green_row(row):
                 latest_green[q] = max(latest_green.get(q, -1), rnd)
+    # A restructured query's pre-restructure green verified a plan that
+    # no longer exists — rotation treats it as stalest (r13 verdict 1b;
+    # same override derive_priority.latest_green_rounds applies).
+    for q in VERIFICATION_DEBT:
+        latest_green.pop(q, None)
     names = list(all_queries())
     key = lambda q: latest_green.get(q, -1)  # noqa: E731
     sample, rest = names[:50], names[50:]
@@ -169,12 +176,27 @@ def test_registered_schemas_are_sortable_scalars(spark):
         T.DecimalType, T.DateType, T.TimestampType, T.TimestampNTZType,
         T.BinaryType,
     )
-    bad: list[str] = []
-    for name, fn in all_queries().items():
+
+    # Thread-pooled over the registry (r14): the per-query cost here is
+    # driver-side analysis (py4j releases the GIL) plus small jobs the
+    # scheduler happily overlaps — identical assertions, ~4x less
+    # wall-clock, which is what keeps the full suite inside the
+    # harness's pytest budget (VERDICT r13 item 1a).
+    def _schema_bad(item) -> list[str]:
+        name, fn = item
         df = fn(spark, "/root/testdata/sf0.001")
-        for f in df.schema.fields:
-            if not isinstance(f.dataType, scalar_ok):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+        return [
+            f"{name}.{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if not isinstance(f.dataType, scalar_ok)
+        ]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        bad = sorted(
+            b for bs in pool.map(_schema_bad, all_queries().items()) for b in bs
+        )
     assert not bad, f"non-scalar output columns break the driver hash: {bad}"
 
 
@@ -203,16 +225,28 @@ def test_every_query_survives_empty_tables(spark, tmp_path_factory, sf_dir):
         read_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(base / f"{t}.parquet"))
-    failures: list[str] = []
-    for name, fn in all_queries().items():
-        if name == "q25_header_promotion":
-            with _pytest.raises(ValueError, match="no row with index 0"):
-                fn(spark, str(base)).count()
-            continue
+    with _pytest.raises(ValueError, match="no row with index 0"):
+        all_queries()["q25_header_promotion"](spark, str(base)).count()
+
+    # Thread-pooled (r14): same failure collection, ~4x less wall-clock
+    # — concurrent Spark jobs are the scheduler's job (guide §2.6) and
+    # the suite must fit the harness pytest budget (VERDICT r13 1a).
+    def _run(item) -> str | None:
+        name, fn = item
         try:
             fn(spark, str(base)).count()
+            return None
         except Exception as ex:  # noqa: BLE001 - collecting all failures
-            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+            return f"{name}: {type(ex).__name__}: {ex}"
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = [
+        (n, f) for n, f in all_queries().items()
+        if n != "q25_header_promotion"
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = sorted(r for r in pool.map(_run, items) if r)
     assert not failures, failures
 
 
@@ -241,12 +275,22 @@ def test_every_query_survives_null_and_blank_text(
         .when(F.col("doc_id") % 11 == 2, F.lit("   \t  "))
         .otherwise(F.col("text")),
     ).write.parquet(str(base / "documents.parquet"))
-    failures: list[str] = []
-    for name, fn in all_queries().items():
+    # Thread-pooled (r14): same failure collection, ~4x less wall-clock
+    # (see test_every_query_survives_empty_tables).
+    def _run(item) -> str | None:
+        name, fn = item
         try:
             fn(spark, str(base)).count()
+            return None
         except Exception as ex:  # noqa: BLE001 - collecting all failures
-            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+            return f"{name}: {type(ex).__name__}: {ex}"
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = sorted(
+            r for r in pool.map(_run, all_queries().items()) if r
+        )
     assert not failures, failures
 
 
@@ -326,18 +370,27 @@ def test_text_queries_hold_oracle_parity_on_adversarial_unicode(
     assert not missing, f"sweep list out of date: {missing}"
     from tests.oracle import canonicalize
 
-    bad = []
-    for name in must_match:
+    # Thread-pooled (r14): the Spark arm parallelizes across the
+    # scheduler; each thread gets its own DuckDB cursor (cursors are
+    # the documented per-thread handle over one connection). Identical
+    # comparisons, ~3x less wall-clock (suite-budget work, VERDICT 1a).
+    def _check(name) -> str | None:
         spdf = Q[name](spark, str(base)).toPandas()
-        dudf = run_oracle(con, O[name])
+        dudf = run_oracle(con.cursor(), O[name])
         r = compare(spdf, dudf)
         if not r["hash_match"]:
             sa, sb = set(canonicalize(spdf)), set(canonicalize(dudf))
-            bad.append(
+            return (
                 f"{name}: rows={r['rows']} "
                 f"only_spark={sorted(sa - sb)[:3]} "
                 f"only_duck={sorted(sb - sa)[:3]}"
             )
+        return None
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        bad = sorted(r for r in pool.map(_check, must_match) if r)
     assert not bad, f"unicode parity broke: {bad}"
     for name in ("q20_clean_text",):
         r = compare(Q[name](spark, str(base)).toPandas(), run_oracle(con, O[name]))

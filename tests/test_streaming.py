@@ -1181,12 +1181,25 @@ def test_stateful_restart_fuzz_matches_batch(spark, sf_dir):
     }
     assert all(want.values())
 
+    # Draw EVERY iteration's parameters first, in the original rng
+    # order, so the fuzz cases are bit-identical to the sequential
+    # form — then run the (fully independent: own source/out/ckpt
+    # dirs) iterations from a thread pool. Concurrent streaming
+    # queries on one session are a supported Spark shape; this is
+    # pure wall-clock (suite must fit the harness pytest budget,
+    # VERDICT r13 item 1a): ~147 s -> ~40 s.
     rng = random.Random(0xC83F1E)
+    cases = []
     for it in range(20):
         name = list(ops)[it % len(ops)]
-        op, needs_sentinel = ops[name]
         k = rng.randint(2, 5)
         fracs = sorted(rng.uniform(0.02, 0.98) for _ in range(k - 1))
+        restart_after = rng.randint(1, k - 1)
+        cases.append((it, name, k, fracs, restart_after))
+
+    def run_case(case) -> str | None:
+        it, name, k, fracs, restart_after = case
+        op, needs_sentinel = ops[name]
         cuts = [lo + span * f for f in fracs]
         bounds = [None, *cuts, None]
         parts = []
@@ -1199,7 +1212,6 @@ def test_stateful_restart_fuzz_matches_batch(spark, sf_dir):
             parts.append(events.filter(cond))
         if needs_sentinel:
             parts.append(sentinel)
-        restart_after = rng.randint(1, k - 1)
 
         d = tempfile.mkdtemp(prefix=f"fuzz_{name}_{it}_src_")
         out = tempfile.mkdtemp(prefix=f"fuzz_{name}_{it}_out_")
@@ -1224,7 +1236,7 @@ def test_stateful_restart_fuzz_matches_batch(spark, sf_dir):
                     .trigger(availableNow=True)
                     .start()
                 )
-                assert q.awaitTermination(120), "streaming query hung"
+                assert q.awaitTermination(240), "streaming query hung"
 
             for i in range(restart_after):
                 write_part(i)
@@ -1239,15 +1251,22 @@ def test_stateful_restart_fuzz_matches_batch(spark, sf_dir):
                 .where(F.col("user_id") != SENTINEL_USER)
                 .collect()
             }
-            assert got == want[name], (
-                f"iteration {it} ({name}): k={k} fracs={fracs} "
-                f"restart_after={restart_after} — stream+restart "
-                f"diverged from batch by "
-                f"{len(got ^ want[name])} rows"
-            )
+            if got != want[name]:
+                return (
+                    f"iteration {it} ({name}): k={k} fracs={fracs} "
+                    f"restart_after={restart_after} — stream+restart "
+                    f"diverged from batch by {len(got ^ want[name])} rows"
+                )
+            return None
         finally:
             for p in (d, out, ckpt):
                 shutil.rmtree(p, ignore_errors=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        diverged = sorted(r for r in pool.map(run_case, cases) if r)
+    assert not diverged, diverged
 
 
 def test_capped_sessions_state_and_timers_survive_restart(spark, sf_dir):

@@ -25,6 +25,7 @@ from gov_data_pipeline_spark.operators.dedup import (
     lsh_candidate_pairs,
 )
 from gov_data_pipeline_spark.operators.similarity import ann_topk, cosine_topk, ivf_topk
+from gov_data_pipeline_spark.util import pin_partitioned
 
 _MUT_OFFSET = 1_000_000
 
@@ -4087,7 +4088,13 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per thread body so the two overlapped pin jobs stay
         # attributable in the UI.
         spark.sparkContext.setJobDescription("q190: pin scored_all")
-        return (
+        # CO-PARTITIONED by __qid (r14, guide §2.4): the exact arm's
+        # ranking window, the pairs⋈scored_all score join, and the
+        # hits join downstream are all __qid-keyed — capturing
+        # hash(__qid) here deletes every one of their exchanges from
+        # the final DAG (the window needed this exchange anyway; it
+        # just runs once, at pin time).
+        return pin_partitioned(
             cv.crossJoin(F.broadcast(qv))
             .filter(F.col("__qid") != F.col("__cid"))
             .select(
@@ -4103,8 +4110,9 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     4,
                 ).alias("__sim"),
             )
-            .filter(F.col("__sim").isNotNull())
-        ).localCheckpoint()
+            .filter(F.col("__sim").isNotNull()),
+            "__qid",
+        )
 
     def _build_buckets() -> DataFrame:
         # ONE bucket relation for both sides (r13 second pass): the
@@ -4115,6 +4123,11 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sign-join + 36-sum-aggregate subtree a second time. Pinned:
         # it feeds the corpus join side AND the probe fan-out.
         spark.sparkContext.setJobDescription("q190: pin buckets")
+        # Plain pin, NO (__t, __b) co-partitioning (r14, measured): the
+        # candidate join's probe side is broadcast (below), so the
+        # bucket side never shuffles anyway — a layout pin here would
+        # just add a 6x-corpus-row exchange at construction for
+        # nothing (probed +0.1-0.4 s at sf0.1).
         return _with_lsh_buckets(
             emb, "vec_id", "embedding", "__cid", "__cv", bits, tables,
             "md5", dim=dim,
@@ -4162,12 +4175,26 @@ def q190_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two longs + a flag, never vectors. PINNED (r13): it feeds both
     # the score join and the per-query candidate counts — unpinned,
     # the bucket join + dedup shuffle re-ran once per consumer.
-    pairs = (
-        cb.join(probes, ["__t", "__b"])
+    # The probe fan-out is BROADCAST explicitly (r14): it is bounded by
+    # construction at n_queries x tables x (1+bits) rows, and the pin
+    # job runs with AQE off (see pin_partitioned) where the runtime
+    # broadcast promotion that used to catch it cannot fire — without
+    # the hint the static planner saw two unknown-size RDD sides and
+    # fell back to a both-sides-exchanged sort-merge join (probed: the
+    # whole q190 construction regressed ~0.6 s at sf0.1).
+    # CO-PARTITIONED by __qid (r14): the repartition sits BEFORE the
+    # dedup groupBy, whose (qid, cid) clustering hash(__qid) already
+    # satisfies — ONE exchange serves both the aggregate and the
+    # captured layout, and the score join, ranking window, and
+    # candidate-count aggregate downstream all plan exchange-free
+    # against scored_all's matching hash(__qid) pin.
+    pairs = pin_partitioned(
+        cb.join(F.broadcast(probes), ["__t", "__b"])
         .filter(F.col("__qid") != F.col("__cid"))
+        .repartition(F.col("__qid"))
         .groupBy("__qid", "__cid")
         .agg(F.max("__plain").alias("__plain"))
-    ).localCheckpoint()
+    )
     # candidate scores come FROM the pinned scored_all (r13): an
     # id-keyed join against 3-column rows, no vector joins, no second
     # cosine evaluation. Inner join == the old isNotNull filter

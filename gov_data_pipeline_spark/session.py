@@ -75,6 +75,17 @@ def get_spark(
         # headline subset at sf0.1 (interleaved best-of-6,
         # OPTIMIZATION_r13.md; re-confirmed on q02's shape in r14).
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Joins accept co-partitioning on a SUBSET of their keys (r14):
+        # two pins hash-partitioned on qid join on (qid, cid) without
+        # re-shuffling — equal join keys imply equal qid imply the same
+        # partition, so this is planner-only (never wrong results).
+        # The default (true) is skew conservatism: clustering on fewer
+        # keys concentrates rows. The engine's subset-keyed pins
+        # (q190's per-query relations) are keyed by the SAME column
+        # the downstream windows/aggregates partition by anyway, so
+        # the parallelism ceiling is the query's own shape, not this
+        # flag.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),

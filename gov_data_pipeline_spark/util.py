@@ -2,7 +2,12 @@
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+_PIN_LOCK = threading.Lock()
+_PIN_STATE: dict = {"depth": 0, "prev": None}
 
 
 def pin_partitioned(df: DataFrame, *part_cols: str) -> DataFrame:
@@ -38,16 +43,31 @@ def pin_partitioned(df: DataFrame, *part_cols: str) -> DataFrame:
 
     Correctness-neutral: partitioning never changes row content, and a
     failed capture only re-inserts exchanges (EnsureRequirements), so
-    the worst case is the old plan, never a wrong result."""
+    the worst case is the old plan, never a wrong result.
+
+    Thread-safe for OVERLAPPED pins (the guide §2.6 pattern q190
+    uses): the AQE toggle is reference-counted under a lock — the
+    first concurrent pin disables AQE, the last restores it — so a
+    sibling thread's restore can never re-enable AQE under a pin that
+    is still planning (a lost capture would be a silent perf
+    regression). Assumes the engine's one-session-per-process shape."""
     spark = df.sparkSession
     if part_cols:
         df = df.repartition(*[F.col(c) for c in part_cols])
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    with _PIN_LOCK:
+        if _PIN_STATE["depth"] == 0:
+            _PIN_STATE["prev"] = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _PIN_STATE["depth"] += 1
     try:
         return df.localCheckpoint()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        with _PIN_LOCK:
+            _PIN_STATE["depth"] -= 1
+            if _PIN_STATE["depth"] == 0:
+                spark.conf.set(
+                    "spark.sql.adaptive.enabled", _PIN_STATE["prev"]
+                )
 
 
 def qcol(name: str) -> Column:

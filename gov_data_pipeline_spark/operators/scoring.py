@@ -241,6 +241,7 @@ def train_linear_model(
     hash_family: str = "xxhash64",
     token_classes: str = "ascii",
     feats: DataFrame | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration full-batch gradient trainer for the hashed-
     feature linear quality filter — closes the q164 loop: the model
@@ -274,6 +275,14 @@ def train_linear_model(
     train-then-score pipeline pays for the corpus explode exactly once
     across both halves (q168).
 
+    ``labels``: optional prebuilt ``(id_col, label int)`` frame, pinned
+    hash(``id_col``) by the caller (``pin_partitioned(df, id_col)``) —
+    the trainer then runs NO pin job of its own, which lets the caller
+    OVERLAP the label pin with the (much larger) feature pin on a
+    2-thread pool so the small job back-fills the big job's straggler
+    tail (guide §2.6; q168 does this).  When omitted, the trainer pins
+    ``label`` over ``docs`` itself, sequentially.
+
     Scale shape: the feature frame — the expensive part, one explode
     over one text scan — is built ONCE and ``localCheckpoint``-ed, so
     ``n_iter`` iterations never re-read the corpus. Each iteration is
@@ -286,6 +295,14 @@ def train_linear_model(
     base = docs.select(
         F.col(id_col), text.alias("__text"), label.alias("__label")
     )
+    if feats is not None and labels is not None:
+        # caller overlapped both pins (guide §2.6); just reshape the
+        # label — a projection on the pinned frame keeps its hash(id)
+        # layout for the per-iteration co-partitioned joins below
+        labels = labels.select(
+            F.col(id_col),
+            (F.col("label").cast("long") * 1000).alias("__y"),
+        )
     if feats is None:
         # Co-partitioned pin (r14, guide §2.4): repartition the docs by
         # id BEFORE the explode so the tf groupBy reuses that exchange,
@@ -307,13 +324,14 @@ def train_linear_model(
     # labels⋈sums and feats⋈errs joins are co-partitioned (zero
     # exchanges; sums/errs inherit hash(id) from feats through the
     # broadcast joins and doc-id aggregates).
-    labels = pin_partitioned(
-        base.select(
-            F.col(id_col),
-            (F.col("__label").cast("long") * 1000).alias("__y"),
-        ),
-        id_col,
-    )
+    if labels is None:
+        labels = pin_partitioned(
+            base.select(
+                F.col(id_col),
+                (F.col("__label").cast("long") * 1000).alias("__y"),
+            ),
+            id_col,
+        )
 
     w: DataFrame | None = None  # all-zero model: empty weight table
     for _ in range(n_iter):

@@ -57,10 +57,21 @@ _MODULES = (
 # r13 restructures lacking a post-change driver row (VERDICT.md
 # "Residual risk"), plus the BPE-memo kernel family (q149/q153/q195/
 # q199 share q193's memoized merge loop) and q42 (runs under the r13
-# session-wide SHJ config and r14's narrowed profile projection):
+# session-wide SHJ config and r14's narrowed profile projection).
+# r14 restructures: the fused two-pass cjk canonical
+# (transforms/text.py) touches q191/q192/q198; the narrowed
+# minhash_doc_profile projection (operators/dedup.py) touches
+# q42/q75/q187; the chained-strip script counts
+# (functions/textstats.py script_counts_chained) touch q170/q173/q198:
 VERIFICATION_DEBT: tuple[str, ...] = (
     "q09_group_concat",
+    "q170_script_profile",
+    "q173_multilingual_curation",
     "q42_minhash_lsh",
+    "q75_corpus_pipeline",
+    "q187_minhash_calibration",
+    "q191_cjk_normalized_dedup",
+    "q192_quality_linear_cjk",
     "q87_decontaminate",
     "q144_duplicate_passages",
     "q149_doc_pack_nfd",
@@ -101,16 +112,22 @@ _PRIORITY: tuple[str, ...] = (
     "q154_decontaminate_bloom",
     "q155_sparse_cosine_topk",
     "q168_quality_trained",
+    "q170_script_profile",
     "q171_bigram_logprob",
+    "q173_multilingual_curation",
     "q175_phrase_merges",
     "q176_passage_removal",
     "q185_bpe_encode",
+    "q187_minhash_calibration",
     "q190_ann_multiprobe_recall",
+    "q191_cjk_normalized_dedup",
+    "q192_quality_linear_cjk",
     "q193_bpe_ranks_count",
     "q195_bpe_budget_pack",
     "q198_multiclass_route",
     "q199_pack_manifest",
     "q42_minhash_lsh",
+    "q75_corpus_pipeline",
     "q87_decontaminate",
     # latest green r10
     "q07_rollup",
@@ -127,9 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "q139_char_budget_mix",
     "q167_quality_linear_unicode",
     "q169_unicode_normalized_dedup",
-    "q170_script_profile",
     "q172_top_ngram_fraction",
-    "q173_multilingual_curation",
     "q174_temperature_quota",
     "q177_dsir_select",
     "q178_boilerplate_lines",
@@ -140,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "q183_dup_lines",
     "q184_mixture_materialize",
     "q186_ann_recall",
-    "q187_minhash_calibration",
     "q188_ivf_recall",
     "q189_margin_mining",
     "q46_cosine_neardup",
@@ -153,7 +167,6 @@ _PRIORITY: tuple[str, ...] = (
     "q69_stratified_sample",
     "q70_frequent_terms",
     "q74_semantic_clusters",
-    "q75_corpus_pipeline",
     "q77_fuzzy_join",
     # latest green r11
     "q06_asof_join",
@@ -178,8 +191,6 @@ _PRIORITY: tuple[str, ...] = (
     "q15_intersect",
     "q16_except",
     "q18_row_index",
-    "q191_cjk_normalized_dedup",
-    "q192_quality_linear_cjk",
     "q194_pii_scrub",
     "q19_count_distinct",
     "q25_header_promotion",

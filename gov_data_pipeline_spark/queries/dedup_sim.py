@@ -1072,7 +1072,7 @@ def q170_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gov_data_pipeline_spark.functions.textstats import (
         dominant_script_col,
-        script_count_col,
+        script_counts_chained,
     )
 
     _LO = "abcdefghijklmnopqrstuvwxyz"
@@ -1089,10 +1089,11 @@ def q170_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     t = F.col("text")
-    lat = script_count_col(t, "latin")
-    cyr = script_count_col(t, "cyrillic")
-    han = script_count_col(t, "han")
-    dig = script_count_col(t, "digit")
+    # chained-strip counts (r14): identical values to the four
+    # independent regexp_counts — one full-text pass keeps the four
+    # classes, three short passes peel them off; see
+    # script_counts_chained for the disjointness argument
+    lat, cyr, han, dig = script_counts_chained(t, with_digit=True)
     return docs.select(
         "doc_id",
         lat.alias("n_latin"),

@@ -413,15 +413,41 @@ def q168_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feature relation (the r13 shape re-shuffled it by doc_id four
     # times: iter-1 gradient join, iter-2 z-sum, iter-2 gradient
     # join, scorer sum).
-    feats = pin_partitioned(
-        hashed_token_features(
-            docs.repartition(F.col("doc_id")),
-            "doc_id",
-            F.col("text"),
-            n_features=_Q164_N_FEATURES,
-            hash_family="md5",
+    # OVERLAPPED pins (r14, guide §2.6): the feats pin and the (small,
+    # independent) label pin are both eager jobs — submitted
+    # sequentially the label job waits out the feature job's straggler
+    # tail; on a 2-thread pool its tasks back-fill the freed cores.
+    # Job descriptions are thread-local, so each body labels its own.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_feats() -> DataFrame:
+        spark.sparkContext.setJobDescription("q168: pin feats")
+        return pin_partitioned(
+            hashed_token_features(
+                docs.repartition(F.col("doc_id")),
+                "doc_id",
+                F.col("text"),
+                n_features=_Q164_N_FEATURES,
+                hash_family="md5",
+            )
         )
-    )
+
+    def _build_labels() -> DataFrame:
+        spark.sparkContext.setJobDescription("q168: pin labels")
+        return pin_partitioned(
+            docs.select(
+                "doc_id",
+                F.col("text").contains("spark").cast("int").alias("label"),
+            ),
+            "doc_id",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_feats = pool.submit(_build_feats)
+        f_labels = pool.submit(_build_labels)
+        feats = f_feats.result()
+        labels = f_labels.result()
+    spark.sparkContext.setJobDescription(None)
     w = train_linear_model(
         docs,
         "doc_id",
@@ -432,6 +458,7 @@ def q168_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_den=1000,
         hash_family="md5",
         feats=feats,
+        labels=labels,
     )
     return (
         score_linear_model(
@@ -528,7 +555,7 @@ ORDER BY d.doc_id
 def q173_multilingual_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_data_pipeline_spark.functions.textstats import (
         dominant_script_col,
-        script_count_col,
+        script_counts_chained,
     )
     from gov_data_pipeline_spark.operators.scoring import (
         pseudo_weights,
@@ -555,7 +582,9 @@ def q173_multilingual_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionByName(variants)
 
     t = F.col("text")
-    lat, cyr, han = (script_count_col(t, s) for s in ("latin", "cyrillic", "han"))
+    # chained-strip counts (r14): identical values, one full-text scan
+    # + two letters-only scans instead of three full-text regex passes
+    lat, cyr, han = script_counts_chained(t)
     routed = corpus.select(
         "doc_id", "text", dominant_script_col(lat, cyr, han).alias("dominant")
     )
@@ -925,7 +954,7 @@ _Q198_N_FEATURES = 1 << 18
 def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gov_data_pipeline_spark.functions.textstats import (
         dominant_script_col,
-        script_count_col,
+        script_counts_chained,
     )
     from gov_data_pipeline_spark.operators.scoring import (
         class_count_model,
@@ -961,14 +990,16 @@ def q198_multiclass_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (id, class) sum, per-id argmax, and final labeled⋈best join all
     # plan exchange-free — the r13 final DAG re-shuffled the feature
     # relation by doc_id twice and the doc join once.
+    # Chained-strip script counts (r14, guide §1.2): the label's three
+    # per-class regexp_counts each scanned the full text; the chained
+    # form measured 3x faster (0.59 -> 0.26 s interleaved best-of-4 at
+    # sf0.1) with bit-identical counts — see script_counts_chained.
     labeled = pin_partitioned(
         docs.select(
             "doc_id",
             "text",
             dominant_script_col(
-                script_count_col(t, "latin"),
-                script_count_col(t, "cyrillic"),
-                script_count_col(t, "han"),
+                *script_counts_chained(t)
             ).alias("label"),
         ),
         "doc_id",

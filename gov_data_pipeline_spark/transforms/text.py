@@ -317,14 +317,23 @@ def canonical_text_col(col: Column, token_classes: str = "ascii") -> Column:
         )
     if token_classes == "cjk":
         stripped = F.regexp_replace(col, r"[^\p{L}\p{N}]+", " ")
+        # ONE capture-replace does split + collapse (r14, guide §1.2
+        # per-task work): after the class strip no two spaces are
+        # adjacent (each non-alnum run became exactly one space), so
+        # the only double a bare ``(ch) -> "ch "`` insert can create is
+        # ``ch`` immediately followed by an existing space — consuming
+        # that optional space in the SAME match (``" ?"``) yields the
+        # identical string and deletes the third full regex pass
+        # (``" +" -> " "``) the previous form paid to clean it up.
+        # Byte-equivalence to the 3-pass form is pinned by
+        # tests/test_transforms.py::test_canonical_cjk_fused_equivalence.
         char_split = F.regexp_replace(
             stripped,
-            r"([\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsThai}])",
+            r"([\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsThai}]) ?",
             "$1 ",
         )
-        collapsed = F.trim(F.regexp_replace(char_split, r" +", " "))
         return F.translate(
-            collapsed,
+            F.trim(char_split),
             "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
             "abcdefghijklmnopqrstuvwxyz",
         )

@@ -725,3 +725,106 @@ def test_canonical_text_cjk_mode(spark):
     assert uni[3] != uni[4]
     # non-CJK scripts keep word tokens (and non-ASCII case unfolded)
     assert cjk[5] == "Привет мир"
+
+
+def test_canonical_cjk_fused_equivalence(spark):
+    """The r14 two-pass cjk canonical (capture-replace consumes the
+    optional following space) is byte-identical to the original
+    three-pass form (insert ``"ch "`` then collapse ``" +"``) — the
+    equivalence the q191/q192/q198 oracles rely on.  Adversarial
+    cases: CJK separated by spaces (the only double-space source),
+    trailing/leading CJK, CJK runs, punctuation runs around CJK,
+    mixed scripts, empties."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.transforms import canonical_text_col
+
+    def reference(col):
+        stripped = F.regexp_replace(col, r"[^\p{L}\p{N}]+", " ")
+        char_split = F.regexp_replace(
+            stripped,
+            r"([\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsThai}])",
+            "$1 ",
+        )
+        collapsed = F.trim(F.regexp_replace(char_split, r" +", " "))
+        return F.translate(
+            collapsed,
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            "abcdefghijklmnopqrstuvwxyz",
+        )
+
+    cases = [
+        "中 文",          # CJK space CJK: the double-space source
+        "中  文",         # pre-existing run collapses in pass 1
+        "中中中",          # adjacent CJK run
+        "中 中 中",        # alternating CJK/space
+        "中",             # lone CJK
+        "中 ",            # trailing CJK + space
+        " 中",            # leading space + CJK
+        "中!!!文",         # punctuation run between CJK
+        "a中b",           # CJK inside a Latin word
+        "Hello 世界 WORLD",  # mixed with ASCII-fold
+        "ひらがな カタカナ ไทย",
+        "ひ らがな カタ カナ ไท ย",
+        "Привет мир",     # no CJK at all
+        "... !!!",        # punctuation only
+        "",               # empty
+        "中文abc123漢字 ... カナ!",
+        "北京大学Hello, WORLD 42",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "id int, t string")
+    rows = df.select(
+        "id",
+        canonical_text_col(F.col("t"), token_classes="cjk").alias("fused"),
+        reference(F.col("t")).alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r.fused == r.ref, f"case {cases[r.id]!r}: {r.fused!r} != {r.ref!r}"
+
+
+def test_script_counts_chained_equivalence(spark):
+    """script_counts_chained == the four independent script_count_col
+    passes, on adversarial mixed fixtures — including the category/
+    script corners the disjointness argument leans on: Arabic-Indic
+    digits (Nd, script Arabic), Han numerals 一二三 (Lo, script Han —
+    LETTERS, count as han not digit), ideographic zero 〇 (Nl), full-
+    width digits １２３ (Nd, script Common), combining marks, NULLs."""
+    from pyspark.sql import functions as F
+
+    from gov_data_pipeline_spark.functions.textstats import (
+        script_count_col,
+        script_counts_chained,
+    )
+
+    cases = [
+        "hello мир 你好 42",
+        "abcXYZ",
+        "абвгд",
+        "漢字カナひらがなไทย",          # kana/thai are in NO counted class
+        "٠١٢٣ ٤٥",                     # Arabic-Indic digits: Nd only
+        "一二三〇",                     # Han numerals Lo + ideographic zero Nl
+        "１２３ 456",                   # full-width + ASCII digits
+        "é э́",             # combining acute on latin + cyrillic
+        "",
+        None,
+        "mixed混合смесь123٤",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id int, t string"
+    )
+    t = F.col("t")
+    lat, cyr, han, dig = script_counts_chained(t, with_digit=True)
+    lat3, cyr3, han3 = script_counts_chained(t)
+    rows = df.select(
+        "id",
+        lat.alias("lat"), cyr.alias("cyr"), han.alias("han"), dig.alias("dig"),
+        lat3.alias("lat3"), cyr3.alias("cyr3"), han3.alias("han3"),
+        script_count_col(t, "latin").alias("rlat"),
+        script_count_col(t, "cyrillic").alias("rcyr"),
+        script_count_col(t, "han").alias("rhan"),
+        script_count_col(t, "digit").alias("rdig"),
+    ).collect()
+    for r in rows:
+        case = cases[r.id]
+        assert (r.lat, r.cyr, r.han, r.dig) == (r.rlat, r.rcyr, r.rhan, r.rdig), case
+        assert (r.lat3, r.cyr3, r.han3) == (r.rlat, r.rcyr, r.rhan), case
